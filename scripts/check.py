@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local pre-check mirroring the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+For every query dumped by graft.Verify: run its oracle SQL in DuckDB over
+the same parquet tables, sort columns by name, and compare row-by-row
+(exact for ints/strings, exact-with-nan-care for floats).
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def rows_of(rel):
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rel.fetchall():
+        out.append(tuple(norm(row[i]) for i in order))
+    return [cols[i] for i in order], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    import glob
+    have = sorted(p.split("/")[-1] for p in glob.glob(f"{out_dir}/q*"))
+    for name in have:
+        got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        gcols, got = rows_of(got_rel)
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(got)} rows"
+                  + ("  !! EMPTY" if not got else ""))
+            continue
+        try:
+            ecols, exp = rows_of(con.sql(oracle[name]))
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if gcols != ecols:
+            print(f"FAIL {name}: columns {gcols} vs oracle {ecols}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs oracle {len(exp)}")
+            n_fail += 1
+            continue
+        bad = [(i, g, e) for i, (g, e) in enumerate(zip(got, exp)) if g != e]
+        if bad:
+            i, g, e = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(got)} rows differ; "
+                  f"first at {i}:\n  spark={g}\n  duck ={e}\n  cols={gcols}")
+            n_fail += 1
+        else:
+            print(f"  ok {name}: {len(got)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail "
+          f"({len(have) - n_pass - n_fail} rows-only)")
+    return n_fail
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)

@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * `queries` is the declared operator inventory (SURVEY.md §2-B): one
+  * entry per operator family, each a (SparkSession, sfDir) => DataFrame.
+  * `oracleSql` holds the DuckDB-equivalent SQL for every hash-checked
+  * query; entries without oracle SQL (sketches / xxhash64-based ops) are
+  * covered by ScalaTest property tests instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (TPC-H Q1 shape); driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q13_hash_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Windows.queries ++ Scalars.queries ++
+      EventTime.queries ++ TextOps.queries ++ Similarity.queries ++
+      Dedup.queries
+
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Windows.oracle ++ Scalars.oracle ++
+      EventTime.oracle ++ TextOps.oracle ++ Similarity.oracle ++
+      Dedup.oracle
 }

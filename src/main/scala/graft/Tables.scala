@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared parquet table loader for the driver-generated star schema
+  * (/root/repo/FIXTURES.md §1). One parquet file per table under the
+  * scale-factor dir passed to every query.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects outright; read it as a nanos-since-epoch long and convert
+      // (values carry microsecond precision, so the division is exact).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view (for spark.sql-based queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Determinism helpers (SURVEY.md §2-B determinism rules).
+  *
+  * Double sums depend on partial-aggregation order, so a Spark sum and a
+  * DuckDB sum of the same column can differ in the last bits and flip a
+  * ROUND at a .5 boundary. Money columns in the fixtures carry exactly two
+  * decimal digits, so casting to DECIMAL *before* aggregating makes the sum
+  * exact and order-independent in both engines; the final cast back to
+  * double is then a single deterministic conversion. Products of 2-digit
+  * columns carry up to six digits -> scale 6.
+  */
+object Det {
+  /** Exact, order-independent sum of a fixed-scale money column. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Deterministic mean: exact decimal sum divided by count, rounded. */
+  def davg(c: Column, scale: Int = 2, digits: Int = 4): Column =
+    round(dsum(c, scale) / count(lit(1)), digits)
+
+  /** Oracle-side SQL equivalents (DuckDB). */
+  def sqlDsum(col: String, scale: Int = 2): String =
+    s"CAST(sum(CAST($col AS DECIMAL(18,$scale))) AS DOUBLE)"
+  def sqlDavg(col: String, scale: Int = 2, digits: Int = 4): String =
+    s"round(${sqlDsum(col, scale)} / count(*), $digits)"
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate detection for LLM-data pipelines (SURVEY.md §2-B q35 +
+  * extensions): MinHash band signatures + LSH candidate pairs, SimHash
+  * fingerprints, and n-gram (3-shingle) Jaccard similarity.
+  *
+  * MinHash/SimHash build on xxhash64, which has no DuckDB twin, so those
+  * are verified by ScalaTest property tests (exact duplicates must
+  * collide on every band / have identical simhash — see DedupSpec); the
+  * shingle-Jaccard query has a full DuckDB oracle.
+  *
+  * Scale shape: signatures are map-only per document; candidate pairing
+  * shuffles on (band, hash) — the classic LSH band-bucket join that keeps
+  * near-dup detection linear-ish in corpus size instead of O(n²).
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val nBands = 8
+
+  private def docs(s: SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+      .withColumn("tok", expr("split(trim(text), '\\\\s+')"))
+
+  /** (doc_id, band, mh): per-band min of seeded xxhash64 over the doc's
+    * distinct token set. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val exploded = docs(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("tok"))).as("token"))
+    val aggs = (0 until nBands).map(i =>
+      min(xxhash64(lit(i), col("token"))).as(s"b$i"))
+    val wide = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until nBands)
+      .map(i => s"cast($i as bigint), b$i").mkString(", ")
+    wide.selectExpr("doc_id", s"stack($nBands, $stackArgs) as (band, mh)")
+  }
+
+  /** 3-token shingles, distinct, with the per-doc shingle count carried. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("sh3", expr(
+        """case when size(tok) < 3 then array()
+           else array_distinct(transform(sequence(1, size(tok) - 2),
+             i -> concat_ws(' ', element_at(tok, i), element_at(tok, i + 1),
+                            element_at(tok, i + 2)))) end"""))
+      .select(col("doc_id"), size(col("sh3")).as("ns"),
+        explode(col("sh3")).as("sh"))
+
+  val queries: Map[String, Q] = Map(
+    // q35: minhash band signatures (deterministic; property-tested)
+    "q35_minhash_sig" -> ((s, d) =>
+      signatures(s, d).orderBy("doc_id", "band")),
+
+    // q35p: LSH candidate pairs — docs sharing >= 1 identical band hash
+    "q35_minhash_pairs" -> ((s, d) => {
+      val sig = signatures(s, d)
+      val a = sig.select(col("doc_id").as("a_id"), col("band"), col("mh"))
+      val b = sig.select(col("doc_id").as("b_id"), col("band"), col("mh"))
+      a.join(b, Seq("band", "mh"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // q36: 64-bit simhash — entirely map-side (one fold per document):
+    // per-bit vote counts over token hashes, then bits -> one long
+    "q36_simhash" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        expr("""aggregate(
+            transform(
+              aggregate(tok, array_repeat(cast(0 as bigint), 64),
+                (acc, t) -> transform(acc,
+                  (v, i) -> v + IF((shiftright(xxhash64(t), i) & 1) = 1,
+                                   cast(1 as bigint), cast(-1 as bigint)))),
+              (v, i) -> IF(v > 0, shiftleft(cast(1 as bigint), i),
+                           cast(0 as bigint))),
+            cast(0 as bigint),
+            (a, x) -> a + x)""").as("simhash"),
+        size(col("tok")).cast("long").as("ntok"))
+        .orderBy("doc_id")),
+
+    // q37: n-gram (3-shingle) Jaccard similarity over shared-shingle pairs
+    "q37_ngram_jaccard" -> ((s, d) => {
+      val sh = shingled(s, d)
+      val a = sh.select(col("doc_id").as("a_id"), col("ns").as("na"), col("sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("ns").as("nb"), col("sh"))
+      a.join(b, Seq("sh"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jac_raw", col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac_raw") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("inter"),
+          round(col("jac_raw"), 4).as("jac"))
+        .orderBy("a_id", "b_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q37_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+              string_split_regex(trim(text), '\s+') AS tok FROM documents),
+         s AS (SELECT doc_id,
+              CASE WHEN len(tok) < 3 THEN CAST([] AS VARCHAR[])
+                   ELSE list_distinct(list_transform(range(1, len(tok) - 1),
+                     i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) END AS sh
+              FROM t),
+         n AS (SELECT doc_id, len(sh) AS ns, unnest(sh) AS s FROM s),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.ns AS na,
+                      b.ns AS nb, count(*) AS inter
+               FROM n a JOIN n b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3, 4)
+         SELECT a_id, b_id, inter,
+                round(inter / (na + nb - inter), 4) AS jac
+         FROM p WHERE inter / (na + nb - inter) >= 0.5
+         ORDER BY a_id, b_id"""
+  )
+}

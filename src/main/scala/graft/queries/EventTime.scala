@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Event-time analytics in batch mode (SURVEY.md §2-B q29–q31): tumbling,
+  * sliding, and session windows over the `events` table. The streaming
+  * variants (Structured Streaming + watermark) live in
+  * graft.streaming.StreamingWindows and are parity-tested against these.
+  *
+  * Oracle notes: window starts are pinned via epoch arithmetic (not
+  * engine-specific helpers); session gap uses ">= gap starts a new
+  * session", which matches Spark's session_window merge rule exactly.
+  * Timestamps are projected as formatted strings so parquet/DuckDB
+  * timestamp encodings never skew the compare.
+  */
+object EventTime {
+  type Q = (SparkSession, String) => DataFrame
+  private val fmtS = "yyyy-MM-dd HH:mm:ss"
+  private val fmtU = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  val queries: Map[String, Q] = Map(
+    // q29: tumbling 1-hour event-time window x event_type
+    "q29_tumbling_window" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+        .select(date_format(col("window.start"), fmtS).as("wstart"),
+          col("event_type"), col("n"), col("sum_v"))
+        .orderBy("wstart", "event_type")),
+
+    // q30: sliding 1-hour window, 15-minute slide. The mean is emitted as
+    // a floored integer scaled by 1e4: sum/count of 2-decimal values can
+    // land exactly on a round-half tie (e.g. 591.31/8), where Spark's
+    // HALF_UP and DuckDB's binary rounding disagree — integer arithmetic
+    // is tie-free in both engines.
+    "q30_sliding_window" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .as("sdec"))
+        .select(date_format(col("window.start"), fmtS).as("wstart"),
+          col("n"),
+          expr("(cast(sdec * 100 as bigint) * 100) div n").as("avg_e4"))
+        .orderBy("wstart")),
+
+    // q31: session window, 30-minute gap, per user. (user_id, ts) is
+    // deduped first so session semantics match the gaps-and-islands oracle.
+    "q31_session_window" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .select("user_id", "ts").distinct()
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("dur_us"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), fmtU).as("sstart"),
+          col("n_events"), col("dur_us"))
+        .orderBy("user_id", "sstart"))
+  )
+
+  import Det.sqlDsum
+
+  val oracle: Map[String, String] = Map(
+    "q29_tumbling_window" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+            event_type, count(*) AS n, ${sqlDsum("value")} AS sum_v
+          FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+
+    // each event belongs to 4 sliding windows: starts floor(t/900)*900 - i*900
+    "q30_sliding_window" ->
+      s"""SELECT strftime(make_timestamp(
+              ((CAST(floor(epoch(ts) / 900) AS BIGINT) - i.i) * 900) * 1000000),
+              '%Y-%m-%d %H:%M:%S') AS wstart,
+            count(*) AS n,
+            (CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) * 100)
+              // count(*) AS avg_e4
+          FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+          GROUP BY 1 ORDER BY wstart""",
+
+    "q31_session_window" ->
+      """WITH e AS (SELECT DISTINCT user_id, ts FROM events),
+         f AS (SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS newsess
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (SELECT user_id, ts,
+                 sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sstart,
+           count(*) AS n_events,
+           date_diff('microseconds', min(ts), max(ts)) AS dur_us
+         FROM g GROUP BY user_id, sid ORDER BY user_id, sstart"""
+  )
+}

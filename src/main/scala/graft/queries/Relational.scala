@@ -1,0 +1,421 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables}
+
+/** Relational core (SURVEY.md §2-B q01–q17, q20–q22): scans, filters,
+  * joins of every shape, aggregation, rollup/cube, set ops, subqueries.
+  *
+  * Scale notes: dimension sides (region/nation/customer at these shapes)
+  * are broadcast explicitly; fact-fact joins shuffle on their join key and
+  * aggregate with map-side partial aggregation. Every query ends in a
+  * total ORDER BY for the oracle hash compare.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Map[String, Q] = Map(
+    // q01: scan + count
+    "q01_scan_count" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // q02: projection + top-k (TakeOrderedAndProject — no full sort at scale)
+    "q02_topk" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(100)),
+
+    // q03: comparison / BETWEEN filters (pushed to parquet scan)
+    "q03_filter_range" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity").between(10, 20) && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // q04: IN / IS NOT NULL / boolean conjunction
+    "q04_filter_in" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_orderstatus") === "F" && col("o_totalprice").isNotNull)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // q05: LIKE / regexp filters
+    "q05_filter_like" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_name").like("%rod%") || col("p_name").rlike("^blue \\w+"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")),
+
+    // q06: inner equi join, broadcast (small dims)
+    "q06_join_broadcast" -> ((s, d) =>
+      t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"), "inner")
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")),
+
+    // q07: fact-fact equi join (shuffle; SMJ/SHJ chosen by Catalyst + AQE)
+    "q07_join_shuffle" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderstatus")),
+
+    // q08: multi-way join chain (facts shuffle, dims broadcast)
+    "q08_join_multiway" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_lines"),
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("revenue"))
+        .orderBy("r_name", "n_name")),
+
+    // q09: left outer join with null preservation (customers w/o orders)
+    "q09_join_left" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(Det.dsum(col("o_totalprice")), lit(0.0)).as("total"))
+        .orderBy("c_custkey")),
+
+    // q09f: full outer join (nation x supplier; uncovered nations survive)
+    "q09_join_full" -> ((s, d) =>
+      t(s, d, "nation")
+        .join(t(s, d, "supplier"),
+          col("n_nationkey") === col("s_nationkey"), "full_outer")
+        .groupBy("n_nationkey")
+        .agg(count(col("s_suppkey")).as("n_supp"))
+        .orderBy(col("n_nationkey").asc_nulls_first)),
+
+    // q10: left semi / left anti (EXISTS / NOT EXISTS)
+    "q10_join_semi_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has").as("status"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("none").as("status"))
+      semi.union(anti).orderBy("c_custkey")
+    }),
+
+    // q11: cross join + theta filter (bounded side — region is tiny)
+    "q11_cross_join" -> ((s, d) => {
+      val r = t(s, d, "region")
+      val a = r.select(col("r_regionkey").as("a_key"), col("r_name").as("a_name"))
+      val b = r.select(col("r_regionkey").as("b_key"), col("r_name").as("b_name"))
+      a.crossJoin(b).filter(col("a_key") < col("b_key"))
+        .orderBy("a_key", "b_key")
+    }),
+
+    // q12: non-equi range join (date interval, BNLJ with bounded sides)
+    "q12_range_join" -> ((s, d) => {
+      val l = t(s, d, "lineitem").filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      val o = t(s, d, "orders").filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-02-01").cast("timestamp"))
+      l.join(broadcast(o),
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // q13: hash aggregate, TPC-H Q1 shape (flagship)
+    "q13_hash_agg" -> ((s, d) => q13(s, d)),
+
+    // q14: count distinct per group
+    "q14_count_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // q14d: distinct operator proper
+    "q14_distinct" -> ((s, d) =>
+      t(s, d, "customer").select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment")),
+
+    // q15: approx distinct (HLL sketch) — no DuckDB oracle; tolerance
+    // vs exact count is asserted in ScalaTest (AggSpec).
+    "q15_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("cnt"))),
+
+    // q16: rollup + grouping_id
+    "q16_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("cnt"), col("gid"))
+        .orderBy("status", "prio")),
+
+    // q16c: cube
+    "q16_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("cnt"), col("gid"))
+        .orderBy("status", "prio", "gid")),
+
+    // q17: arg-max per group (top-1 via window; A33 analog)
+    "q17_argmax" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
+    // q20: multi-key sort with explicit null ordering
+    "q20_sort" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("nullif(c_mktsegment, 'BUILDING')").as("seg"),
+          col("c_acctbal"))
+        .orderBy(col("seg").asc_nulls_last, col("c_acctbal").desc,
+          col("c_custkey"))),
+
+    // q21: set operations (union all / union distinct / intersect / except)
+    "q21_set_ops" -> ((s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      val ua = cn.union(sn).groupBy("nk").agg(count(lit(1)).as("cnt"))
+        .select(lit("union_all").as("op"), col("nk"), col("cnt"))
+      val un = cn.union(sn).distinct()
+        .select(lit("union").as("op"), col("nk"), lit(1L).as("cnt"))
+      val in = cn.intersect(sn)
+        .select(lit("intersect").as("op"), col("nk"), lit(1L).as("cnt"))
+      val ex = cn.except(sn)
+        .select(lit("except").as("op"), col("nk"), lit(1L).as("cnt"))
+      ua.union(un).union(in).union(ex).orderBy("op", "nk")
+    }),
+
+    // q22: correlated scalar subquery (Catalyst decorrelates); exercises
+    // the SQL parser surface via spark.sql
+    "q22_subquery" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT o.o_orderkey, c.c_nationkey, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > (
+          SELECT avg(o2.o_totalprice)
+          FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+          WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY o.o_orderkey""")
+    })
+  )
+
+  private def q13(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        Det.davg(col("l_extendedprice")).as("avg_price"),
+        Det.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  import Det.{sqlDsum, sqlDavg}
+
+  val oracle: Map[String, String] = Map(
+    "q01_scan_count" -> "SELECT count(*) AS cnt FROM lineitem",
+
+    "q02_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+
+    "q03_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice
+         FROM lineitem
+         WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q04_filter_in" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+         FROM orders
+         WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+           AND o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+         ORDER BY o_orderkey""",
+
+    "q05_filter_like" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+         WHERE p_name LIKE '%rod%' OR regexp_matches(p_name, '^blue \w+')
+         ORDER BY p_partkey""",
+
+    "q06_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_nationkey""",
+
+    "q07_join_shuffle" ->
+      s"""SELECT o_orderstatus, count(*) AS n_lines,
+            ${sqlDsum("l_extendedprice")} AS sum_price
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q08_join_multiway" ->
+      s"""SELECT r_name, n_name, count(*) AS n_lines,
+            ${sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q09_join_left" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+            coalesce(${sqlDsum("o_totalprice")}, 0) AS total
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "q09_join_full" ->
+      """SELECT n_nationkey, count(s_suppkey) AS n_supp
+         FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+         GROUP BY n_nationkey ORDER BY n_nationkey ASC NULLS FIRST""",
+
+    "q10_join_semi_anti" ->
+      """SELECT c_custkey, 'has' AS status FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT c_custkey, 'none' AS status FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q11_cross_join" ->
+      """SELECT a.r_regionkey AS a_key, a.r_name AS a_name,
+                b.r_regionkey AS b_key, b.r_name AS b_name
+         FROM region a CROSS JOIN region b
+         WHERE a.r_regionkey < b.r_regionkey
+         ORDER BY a_key, b_key""",
+
+    "q12_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_pairs,
+                count(DISTINCT o_orderkey) AS n_orders
+         FROM (SELECT * FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l_shipdate < TIMESTAMP '1997-02-01') l,
+              (SELECT * FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-02-01') o
+         WHERE l.l_shipdate BETWEEN o.o_orderdate
+                                AND o.o_orderdate + INTERVAL 7 DAY
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q13_hash_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            ${sqlDsum("l_quantity")} AS sum_qty,
+            ${sqlDsum("l_extendedprice")} AS sum_base_price,
+            ${sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+            ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+            ${sqlDavg("l_quantity")} AS avg_qty,
+            ${sqlDavg("l_extendedprice")} AS avg_price,
+            ${sqlDavg("l_discount")} AS avg_disc,
+            count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+
+    "q14_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supp, count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q14_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "q16_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS prio,
+                count(*) AS cnt,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY status, prio""",
+
+    "q16_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS prio,
+                count(*) AS cnt,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, prio, gid""",
+
+    "q17_argmax" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+           FROM orders) t
+         WHERE rn = 1 ORDER BY o_custkey""",
+
+    "q20_sort" ->
+      """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+         FROM customer
+         ORDER BY seg ASC NULLS LAST, c_acctbal DESC, c_custkey""",
+
+    "q21_set_ops" ->
+      """SELECT 'union_all' AS op, nk, count(*) AS cnt FROM
+           (SELECT c_nationkey AS nk FROM customer
+            UNION ALL SELECT s_nationkey FROM supplier) u GROUP BY nk
+         UNION ALL
+         SELECT 'union' AS op, nk, CAST(1 AS BIGINT) AS cnt FROM
+           (SELECT c_nationkey AS nk FROM customer
+            UNION SELECT s_nationkey FROM supplier) v
+         UNION ALL
+         SELECT 'intersect' AS op, nk, CAST(1 AS BIGINT) AS cnt FROM
+           (SELECT c_nationkey AS nk FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier) w
+         UNION ALL
+         SELECT 'except' AS op, nk, CAST(1 AS BIGINT) AS cnt FROM
+           (SELECT c_nationkey AS nk FROM customer
+            EXCEPT SELECT s_nationkey FROM supplier) x
+         ORDER BY op, nk""",
+
+    "q22_subquery" ->
+      """SELECT o.o_orderkey, c.c_nationkey, o.o_totalprice
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_totalprice > (
+           SELECT avg(o2.o_totalprice)
+           FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+           WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY o.o_orderkey"""
+  )
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding similarity search (SURVEY.md §2-B q34 + training-data
+  * extensions): brute-force cosine top-k as correctness baseline, a
+  * sign-bit LSH bucketing for near-duplicate candidate pairs, and an
+  * IVF-style bucketed ANN probe as the scale path.
+  *
+  * All vector math is higher-order Catalyst functions over
+  * ARRAY<FLOAT> cast to double — no UDFs, map-side only; the LSH/IVF
+  * variants turn the O(n²) pair space into per-bucket joins that shuffle
+  * on the bucket key, which is the pattern that survives 100 TB (bucket
+  * count scales with corpus; brute force is kept only as the oracle).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Cosine-similarity column between two double-array columns (fold order
+    * fixed left-to-right, so the value is deterministic). */
+  private def cosine(a: String, b: String) = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (s, v) -> s + v)
+        / (sqrt(aggregate($a, cast(0.0 as double), (s, v) -> s + v * v))
+         * sqrt(aggregate($b, cast(0.0 as double), (s, v) -> s + v * v)))""")
+
+  /** 4-bit sign-bucket of the first 4 dimensions (16 LSH buckets). */
+  private val bucketExpr = expr(
+    """cast((case when element_at(embedding, 1) > 0 then 1 else 0 end)
+          + (case when element_at(embedding, 2) > 0 then 2 else 0 end)
+          + (case when element_at(embedding, 3) > 0 then 4 else 0 end)
+          + (case when element_at(embedding, 4) > 0 then 8 else 0 end) as bigint)""")
+
+  private val toDouble = expr("transform(embedding, x -> cast(x as double))")
+
+  private def emb(s: SparkSession, d: String) =
+    Tables.load(s, d, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+    // q34: brute-force cosine top-10 vs probe vec_id = 0
+    "q34_cosine_topk" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), toDouble.as("emb"))
+      val probe = e.filter(col("vec_id") === 0).select(col("emb").as("pe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), round(cosine("emb", "pe"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // q38: LSH-bucketed near-duplicate candidate pairs (cosine >= 0.3
+    // within a sign bucket) — the pair space shrinks ~16x vs brute force
+    "q38_embed_neardup" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"),
+        toDouble.as("emb"))
+      val a = e.select(col("vec_id").as("a_id"), col("bucket"),
+        col("emb").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("bucket"),
+        col("emb").as("b_emb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("sim_raw", cosine("a_emb", "b_emb"))
+        .filter(col("sim_raw") >= 0.3)
+        .select(col("a_id"), col("b_id"), round(col("sim_raw"), 4).as("sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // q39: IVF-style ANN — probe only scans its own inverted list (bucket)
+    "q39_ann_ivf" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"),
+        toDouble.as("emb"))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("bucket").as("p_bucket"), col("emb").as("pe"))
+      e.join(broadcast(probe), col("bucket") === col("p_bucket"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(cosine("emb", "pe"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(5)
+    })
+  )
+
+  private val duckBucket =
+    """CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+          + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS BIGINT)"""
+
+  val oracle: Map[String, String] = Map(
+    "q34_cosine_topk" ->
+      """SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST(p.pe AS DOUBLE[])), 4) AS sim
+         FROM embeddings e,
+              (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) p
+         WHERE e.vec_id <> 0
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+
+    "q38_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, $duckBucket AS bucket,
+              CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+          ORDER BY a_id, b_id""",
+
+    "q39_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, $duckBucket AS bucket,
+              CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          p AS (SELECT bucket AS p_bucket, emb AS pe FROM e WHERE vec_id = 0)
+          SELECT e.vec_id,
+            round(list_cosine_similarity(e.emb, p.pe), 4) AS sim
+          FROM e JOIN p ON e.bucket = p.p_bucket
+          WHERE e.vec_id <> 0
+          ORDER BY sim DESC, vec_id LIMIT 5"""
+  )
+}

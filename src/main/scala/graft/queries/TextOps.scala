@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY.md §2-B q32/q33
+  * plus the training-data extensions): exact dedup, corpus stats, top
+  * terms, language-ID heuristic, quality scoring, token counting, and
+  * document fingerprinting. Everything is built-in Catalyst expressions
+  * (codegen'd, no UDFs) and aggregates/explodes shuffle on doc-level keys,
+  * so each op scales linearly with corpus size.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokens of `text` (trimmed so no empty tokens). */
+  private val tokExpr = "split(trim(text), '\\\\s+')"
+
+  private def docs(s: SparkSession, d: String) =
+    Tables.load(s, d, "documents").withColumn("tok", expr(tokExpr))
+
+  // per-language stopword profiles for the langid heuristic
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "de", "los", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private def hitsExpr(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString(", ")
+    s"cast(size(filter(tok, x -> array_contains(array($arr), x))) as bigint)"
+  }
+
+  val queries: Map[String, Q] = Map(
+    // q32: exact dedup by content hash, keep min doc_id
+    "q32_exact_dedup" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+        .orderBy("h")),
+
+    // q33: per-language corpus stats
+    "q33_text_stats" -> ((s, d) =>
+      docs(s, d)
+        .select(col("lang"), size(col("tok")).as("ntok"), col("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("ntok")), 4).as("avg_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("lang")),
+
+    // q33t: top-20 terms by frequency
+    "q33_top_terms" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(col("tok")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(20)),
+
+    // q40: language-ID via stopword-profile hit counts (deterministic
+    // n-gram-style heuristic; ties broken in profile order)
+    "q40_langid" -> ((s, d) => {
+      val withHits = profiles.foldLeft(docs(s, d)) { case (df, (l, ws)) =>
+        df.withColumn(s"hits_$l", expr(hitsExpr(ws)))
+      }
+      withHits.select(col("doc_id"), col("hits_en"), col("hits_es"),
+          col("hits_de"), col("hits_fr"),
+          expr("""CASE
+            WHEN hits_en >= hits_es AND hits_en >= hits_de
+              AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+            WHEN hits_es >= hits_de AND hits_es >= hits_fr
+              AND hits_es > 0 THEN 'es'
+            WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+            WHEN hits_fr > 0 THEN 'fr' ELSE 'und' END""").as("pred"))
+        .orderBy("doc_id")
+    }),
+
+    // q41: document quality scoring (length / punctuation / stopword ratios)
+    "q41_quality" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("hits_en", expr(hitsExpr(profiles.head._2)))
+        .select(col("doc_id"),
+          size(col("tok")).cast("long").as("n_tokens"),
+          round(expr("aggregate(transform(tok, t -> cast(length(t) as double))," +
+            " cast(0.0 as double), (a, x) -> a + x)") / size(col("tok")), 4)
+            .as("avg_tok_len"),
+          round(length(regexp_replace(col("text"), "[\\w\\s]", ""))
+            / length(col("text")), 6).as("punct_ratio"),
+          round(col("hits_en") / size(col("tok")), 6).as("stop_ratio"))
+        .orderBy("doc_id")),
+
+    // q42: token counting — whitespace and a BPE-ish regex tokenizer
+    "q42_token_count" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(col("tok")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("bpe_tokens"),
+        col("n_chars"))
+        .orderBy("doc_id")),
+
+    // q43: order-sensitive document fingerprint (rolling polynomial hash
+    // over per-token codes — a map-only, shuffle-free fold)
+    "q43_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        expr("""aggregate(
+            transform(tok, t -> cast(length(t) * 17 + ascii(substring(t, 1, 1)) as bigint)),
+            cast(0 as bigint),
+            (a, x) -> (a * 31 + x) % 1000000007)""").as("fp"),
+        size(col("tok")).cast("long").as("ntok"))
+        .orderBy("doc_id"))
+  )
+
+  private val duckTok = "string_split_regex(trim(text), '\\s+')"
+  private def duckHits(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(tok, x -> list_contains([$arr], x))) AS BIGINT)"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q32_exact_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
+         FROM documents GROUP BY 1 ORDER BY h""",
+
+    "q33_text_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+            round(avg(len($duckTok)), 4) AS avg_tokens,
+            round(avg(n_chars), 4) AS avg_chars
+          FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q33_top_terms" ->
+      s"""SELECT term, count(*) AS cnt
+          FROM (SELECT unnest($duckTok) AS term FROM documents) t
+          GROUP BY term ORDER BY cnt DESC, term LIMIT 20""",
+
+    "q40_langid" -> {
+      val hits = profiles.map { case (l, ws) =>
+        s"${duckHits(ws)} AS hits_$l" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $duckTok AS tok FROM documents),
+          h AS (SELECT doc_id, $hits FROM t)
+          SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+            CASE
+              WHEN hits_en >= hits_es AND hits_en >= hits_de
+                AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+              WHEN hits_es >= hits_de AND hits_es >= hits_fr
+                AND hits_es > 0 THEN 'es'
+              WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+              WHEN hits_fr > 0 THEN 'fr' ELSE 'und' END AS pred
+          FROM h ORDER BY doc_id"""
+    },
+
+    "q41_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckTok AS tok FROM documents)
+          SELECT doc_id,
+            CAST(len(tok) AS BIGINT) AS n_tokens,
+            round(list_sum(list_transform(tok, t -> CAST(length(t) AS DOUBLE)))
+              / len(tok), 4) AS avg_tok_len,
+            round(length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+              / length(text), 6) AS punct_ratio,
+            round(${duckHits(profiles.head._2)} / len(tok), 6) AS stop_ratio
+          FROM t ORDER BY doc_id""",
+
+    "q42_token_count" ->
+      s"""SELECT doc_id, CAST(len($duckTok) AS BIGINT) AS ws_tokens,
+            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+              AS BIGINT) AS bpe_tokens,
+            n_chars
+          FROM documents ORDER BY doc_id""",
+
+    "q43_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $duckTok AS tok FROM documents)
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(tok,
+                  t -> CAST(length(t) * 17 + ascii(t[1]) AS BIGINT))),
+              (a, x) -> (a * 31 + x) % 1000000007) AS fp,
+            CAST(len(tok) AS BIGINT) AS ntok
+          FROM t ORDER BY doc_id"""
+  )
+}
