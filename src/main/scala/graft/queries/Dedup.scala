@@ -20,28 +20,39 @@ import graft.Tables
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  private val nBands = 8
+  // 4 bands x 4 hashes: P(candidate) = 1 - (1 - j^4)^4 — steep S-curve
+  // around j ~ 0.6, so random same-vocab docs (j ~ 0.2-0.4) rarely pair
+  // while true near-dups (j > 0.8) almost always do.
+  private val nBands = 4
+  private val rowsPerBand = 4
+
+  /** Adds the whitespace-token column to any (doc_id, text, ...) frame. */
+  def withTok(df: DataFrame): DataFrame =
+    df.withColumn("tok", expr("split(trim(text), '\\\\s+')"))
 
   private def docs(s: SparkSession, d: String) =
-    Tables.load(s, d, "documents")
-      .withColumn("tok", expr("split(trim(text), '\\\\s+')"))
+    withTok(Tables.load(s, d, "documents"))
 
-  /** (doc_id, band, mh): per-band min of seeded xxhash64 over the doc's
-    * distinct token set. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val exploded = docs(s, d)
-      .select(col("doc_id"), explode(array_distinct(col("tok"))).as("token"))
-    val aggs = (0 until nBands).map(i =>
-      min(xxhash64(lit(i), col("token"))).as(s"b$i"))
+  /** (doc_id, band, mh): banded minhash over the doc's distinct 3-shingle
+    * set. Each band value hashes `rowsPerBand` independent minhashes
+    * together, all computed in one grouped pass (map-side partial min). */
+  def signaturesOf(docsDf: DataFrame): DataFrame = {
+    val exploded = shingledOf(docsDf).select(col("doc_id"), col("sh"))
+    val nHash = nBands * rowsPerBand
+    val aggs = (0 until nHash).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     val wide = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val stackArgs = (0 until nBands)
-      .map(i => s"cast($i as bigint), b$i").mkString(", ")
-    wide.selectExpr("doc_id", s"stack($nBands, $stackArgs) as (band, mh)")
+    val bandCols = (0 until nBands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")
+      s"cast($b as bigint), xxhash64(${hs.mkString(", ")})"
+    }
+    wide.selectExpr("doc_id",
+      s"stack($nBands, ${bandCols.mkString(", ")}) as (band, mh)")
   }
 
   /** 3-token shingles, distinct, with the per-doc shingle count carried. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+  def shingledOf(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("sh3", expr(
         """case when size(tok) < 3 then array()
            else array_distinct(transform(sequence(1, size(tok) - 2),
@@ -50,14 +61,45 @@ object Dedup {
       .select(col("doc_id"), size(col("sh3")).as("ns"),
         explode(col("sh3")).as("sh"))
 
+  /** 64-bit simhash per document (expects a `tok` column). */
+  def simhashOf(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+      expr("""aggregate(
+          transform(
+            aggregate(tok, array_repeat(cast(0 as bigint), 64),
+              (acc, t) -> transform(acc,
+                (v, i) -> v + IF((shiftright(xxhash64(t), i) & 1) = 1,
+                                 cast(1 as bigint), cast(-1 as bigint)))),
+            (v, i) -> IF(v > 0, shiftleft(cast(1 as bigint), i),
+                         cast(0 as bigint))),
+          cast(0 as bigint),
+          (a, x) -> a + x)""").as("simhash"),
+      size(col("tok")).cast("long").as("ntok"))
+
+  /** Shared-shingle pairs with Jaccard >= threshold. */
+  def jaccardPairsOf(docsDf: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingledOf(docsDf)
+    val a = sh.select(col("doc_id").as("a_id"), col("ns").as("na"), col("sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("ns").as("nb"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac_raw",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        round(col("jac_raw"), 4).as("jac"))
+  }
+
   val queries: Map[String, Q] = Map(
     // q35: minhash band signatures (deterministic; property-tested)
     "q35_minhash_sig" -> ((s, d) =>
-      signatures(s, d).orderBy("doc_id", "band")),
+      signaturesOf(docs(s, d)).orderBy("doc_id", "band")),
 
     // q35p: LSH candidate pairs — docs sharing >= 1 identical band hash
     "q35_minhash_pairs" -> ((s, d) => {
-      val sig = signatures(s, d)
+      val sig = signaturesOf(docs(s, d))
       val a = sig.select(col("doc_id").as("a_id"), col("band"), col("mh"))
       val b = sig.select(col("doc_id").as("b_id"), col("band"), col("mh"))
       a.join(b, Seq("band", "mh"))
@@ -69,36 +111,11 @@ object Dedup {
 
     // q36: 64-bit simhash — entirely map-side (one fold per document):
     // per-bit vote counts over token hashes, then bits -> one long
-    "q36_simhash" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-        expr("""aggregate(
-            transform(
-              aggregate(tok, array_repeat(cast(0 as bigint), 64),
-                (acc, t) -> transform(acc,
-                  (v, i) -> v + IF((shiftright(xxhash64(t), i) & 1) = 1,
-                                   cast(1 as bigint), cast(-1 as bigint)))),
-              (v, i) -> IF(v > 0, shiftleft(cast(1 as bigint), i),
-                           cast(0 as bigint))),
-            cast(0 as bigint),
-            (a, x) -> a + x)""").as("simhash"),
-        size(col("tok")).cast("long").as("ntok"))
-        .orderBy("doc_id")),
+    "q36_simhash" -> ((s, d) => simhashOf(docs(s, d)).orderBy("doc_id")),
 
     // q37: n-gram (3-shingle) Jaccard similarity over shared-shingle pairs
-    "q37_ngram_jaccard" -> ((s, d) => {
-      val sh = shingled(s, d)
-      val a = sh.select(col("doc_id").as("a_id"), col("ns").as("na"), col("sh"))
-      val b = sh.select(col("doc_id").as("b_id"), col("ns").as("nb"), col("sh"))
-      a.join(b, Seq("sh"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id", "na", "nb")
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jac_raw", col("inter") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jac_raw") >= 0.5)
-        .select(col("a_id"), col("b_id"), col("inter"),
-          round(col("jac_raw"), 4).as("jac"))
-        .orderBy("a_id", "b_id")
-    })
+    "q37_ngram_jaccard" -> ((s, d) =>
+      jaccardPairsOf(docs(s, d), 0.5).orderBy("a_id", "b_id"))
   )
 
   val oracle: Map[String, String] = Map(

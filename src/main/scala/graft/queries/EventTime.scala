@@ -10,8 +10,10 @@ import graft.{Det, Tables}
   * graft.streaming.StreamingWindows and are parity-tested against these.
   *
   * Oracle notes: window starts are pinned via epoch arithmetic (not
-  * engine-specific helpers); session gap uses ">= gap starts a new
-  * session", which matches Spark's session_window merge rule exactly.
+  * engine-specific helpers); Spark's session_window merges an event at
+  * exactly prev + gap into the running session (verified in
+  * OperatorSpec), so the islands oracle opens a new session only when
+  * the gap is STRICTLY greater than 30 minutes.
   * Timestamps are projected as formatted strings so parquet/DuckDB
   * timestamp encodings never skew the compare.
   */
@@ -84,7 +86,7 @@ object EventTime {
       """WITH e AS (SELECT DISTINCT user_id, ts FROM events),
          f AS (SELECT user_id, ts,
                  CASE WHEN lag(ts) OVER w IS NULL
-                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS newsess
                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          g AS (SELECT user_id, ts,

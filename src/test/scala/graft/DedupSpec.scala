@@ -1,0 +1,72 @@
+package graft
+
+import graft.queries.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Property tests for the non-oracled dedup ops (SURVEY.md §5.2-3):
+  * minhash bands must collide for exact duplicates, usually collide for
+  * near-duplicates, and not collide for disjoint texts; simhash is
+  * content-determined with small hamming distance for near-dups; exact
+  * dedup is idempotent.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 4
+  private val nearDup = base.replace("lazy", "sleepy")
+  private val disjoint =
+    "completely different words about spark catalyst tungsten codegen " * 4
+
+  private def docsDf: DataFrame = Dedup.withTok(Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, disjoint)
+  ).toDF("doc_id", "text"))
+
+  test("minhash: exact duplicates collide on every band") {
+    val sig = Dedup.signaturesOf(docsDf)
+    val d1 = sig.filter($"doc_id" === 1).select("band", "mh").collect().toSet
+    val d2 = sig.filter($"doc_id" === 2).select("band", "mh").collect().toSet
+    assert(d1 == d2 && d1.size == 4)
+  }
+
+  test("minhash: near-duplicate shares a band; disjoint text shares none") {
+    val sig = Dedup.signaturesOf(docsDf)
+    def bands(id: Long) =
+      sig.filter($"doc_id" === id).select("band", "mh")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bands(1).intersect(bands(3)).nonEmpty,
+      "near-dup should share >= 1 band")
+    assert(bands(1).intersect(bands(4)).isEmpty,
+      "disjoint docs must not share a band")
+  }
+
+  test("simhash: identical for identical text, near for near-dups") {
+    val sh = Dedup.simhashOf(docsDf)
+      .collect().map(r => r.getLong(1)).toSeq
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(0) == sh(1), "identical text -> identical simhash")
+    assert(hamming(sh(0), sh(2)) < 16, "near-dup hamming must be small")
+    assert(hamming(sh(0), sh(3)) > hamming(sh(0), sh(2)),
+      "disjoint text must be farther than near-dup")
+  }
+
+  test("jaccard pairs: exact dup = 1.0; disjoint absent") {
+    val pairs = Dedup.jaccardPairsOf(docsDf, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("exact dedup is idempotent and keeps min doc_id") {
+    val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
+      .toDF("doc_id", "text")
+    def dedup(in: DataFrame): DataFrame = in
+      .withColumn("h", md5($"text"))
+      .groupBy("h").agg(min($"doc_id").as("doc_id"), first($"text").as("text"))
+      .select("doc_id", "text")
+    val once = dedup(df)
+    val twice = dedup(once)
+    assert(once.collect().toSet == twice.collect().toSet)
+    assert(once.filter($"text" === "same text").head().getLong(0) == 3L)
+  }
+}

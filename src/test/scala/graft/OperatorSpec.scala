@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Hand-computed expectations for the relational / window / event-time
+  * operator families on tiny literal DataFrames (SURVEY.md §5.2-2/3).
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("join shapes preserve expected rows (left/semi/anti/full)") {
+    val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "lv")
+    val r = Seq((2, "x"), (2, "y"), (4, "z")).toDF("k", "rv")
+    assert(l.join(r, Seq("k"), "inner").count() == 2)
+    assert(l.join(r, Seq("k"), "left").count() == 4) // 1,3 null-padded + 2x2
+    assert(l.join(r, Seq("k"), "left_semi").as[(Int, String)].collect()
+      .toSet == Set((2, "b")))
+    assert(l.join(r, Seq("k"), "left_anti").select("k").as[Int].collect()
+      .toSet == Set(1, 3))
+    assert(l.join(r, Seq("k"), "full_outer").count() == 5)
+  }
+
+  test("rollup produces per-group, subtotal and grand-total rows") {
+    val df = Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 3))
+      .toDF("g1", "g2", "v")
+    val out = df.rollup($"g1", $"g2").agg(sum($"v").as("s"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2))).toSet
+    assert(out == Set(
+      (Some("a"), Some("x"), 1L), (Some("a"), Some("y"), 2L),
+      (Some("b"), Some("x"), 3L),
+      (Some("a"), None, 3L), (Some("b"), None, 3L),
+      (None, None, 6L)))
+  }
+
+  test("set ops match algebra (A union A distinct = A)") {
+    val a = Seq(1, 2, 2, 3).toDF("v")
+    assert(a.union(a).distinct().as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(a.intersect(a).count() == 3)  // intersect is distinct
+    assert(a.except(a).count() == 0)
+  }
+
+  test("window frame sum equals explicit slice sums") {
+    val df = Seq((1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (1, 4, 40.0))
+      .toDF("g", "i", "v")
+    val w = Window.partitionBy("g").orderBy("i").rowsBetween(-2, 0)
+    val got = df.withColumn("m", sum($"v").over(w))
+      .orderBy("i").select("m").as[Double].collect().toSeq
+    assert(got == Seq(10.0, 30.0, 60.0, 90.0))
+  }
+
+  test("approx_count_distinct within 5% of exact on lineitem") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val exact = li.select(countDistinct($"l_partkey")).head().getLong(0)
+    val approx = li.select(approx_count_distinct($"l_partkey")).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("session window matches hand-computed islands") {
+    // gaps: 10 min, 40 min (new session), 5 min => sessions of 2 and 2
+    val ts = Seq("2024-01-01 00:00:00", "2024-01-01 00:10:00",
+      "2024-01-01 00:50:00", "2024-01-01 00:55:00")
+    val df = ts.map(t => (1L, java.sql.Timestamp.valueOf(t)))
+      .toDF("user_id", "ts")
+    val out = df.groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n")).select("n").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 2L))
+  }
+
+  test("exactly-30-min gap stays in the same session (boundary semantics)") {
+    // Spark merges an event at exactly prev + gap into the running
+    // session; only a STRICTLY larger gap opens a new one. The q31
+    // gaps-and-islands oracle mirrors this with `> INTERVAL 30 MINUTE`.
+    val ts = Seq("2024-01-01 00:00:00", "2024-01-01 00:30:00",
+      "2024-01-01 01:00:00.000001")
+    val df = ts.map(t => (1L, java.sql.Timestamp.valueOf(t)))
+      .toDF("user_id", "ts")
+    val n = df.groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .count().count()
+    assert(n == 2, "== gap merges; > gap splits")
+  }
+
+  test("tumbling window boundaries are inclusive-start exclusive-end") {
+    val ts = Seq("2024-01-01 00:59:59.999999", "2024-01-01 01:00:00")
+    val df = ts.map(t => (java.sql.Timestamp.valueOf(t), 1)).toDF("ts", "v")
+    val starts = df.groupBy(window($"ts", "1 hour")).count()
+      .select(date_format($"window.start", "HH:mm").as("s"))
+      .as[String].collect().sorted
+    assert(starts.toSeq == Seq("00:00", "01:00"))
+  }
+}

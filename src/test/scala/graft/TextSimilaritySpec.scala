@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for text-analysis and similarity queries over the
+  * smoke-SF tables (ratios bounded, determinism, top-k consistency).
+  */
+class TextSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality ratios are bounded in [0, 1]") {
+    val q = SparkEntry.queries("q41_quality")(spark, sf)
+    val bad = q.filter($"punct_ratio" < 0 || $"punct_ratio" > 1 ||
+      $"stop_ratio" < 0 || $"stop_ratio" > 1)
+    assert(bad.count() == 0)
+  }
+
+  test("langid prediction is a known label") {
+    val preds = SparkEntry.queries("q40_langid")(spark, sf)
+      .select("pred").distinct().as[String].collect().toSet
+    assert(preds.subsetOf(Set("en", "es", "de", "fr", "und")))
+  }
+
+  test("fingerprint is deterministic across runs") {
+    val a = SparkEntry.queries("q43_fingerprint")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = SparkEntry.queries("q43_fingerprint")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("cosine top-k: sims within [-1, 1] and non-increasing") {
+    val sims = SparkEntry.queries("q34_cosine_topk")(spark, sf)
+      .select("sim").as[Double].collect().toSeq
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    assert(sims == sims.sortBy(-_), "top-k must be sorted desc")
+  }
+
+  test("IVF ANN results are a subset of brute-force candidates") {
+    val brute = SparkEntry.queries("q34_cosine_topk")(spark, sf)
+    val ivf = SparkEntry.queries("q39_ann_ivf")(spark, sf)
+    // every IVF sim must also be achievable by brute force over all vecs:
+    // the IVF top-1 sim can never exceed the brute-force top-1 sim
+    val bMax = brute.agg(max($"sim")).head().getDouble(0)
+    val iMax = ivf.agg(max($"sim")).head().getDouble(0)
+    assert(iMax <= bMax + 1e-9)
+  }
+
+  test("token counts: bpe tokenization never undercounts ws tokens") {
+    val q = SparkEntry.queries("q42_token_count")(spark, sf)
+    assert(q.filter($"bpe_tokens" < $"ws_tokens").count() == 0)
+  }
+}
