@@ -22,44 +22,54 @@ object EventTime {
   private val fmtS = "yyyy-MM-dd HH:mm:ss"
   private val fmtU = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** q29 aggregation over any events frame (batch or streaming). */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+      .select(date_format(col("window.start"), fmtS).as("wstart"),
+        col("event_type"), col("n"), col("sum_v"))
+
+  /** q30 aggregation. The mean is emitted as a floored integer scaled by
+    * 1e4: sum/count of 2-decimal values can land exactly on a round-half
+    * tie (e.g. 591.31/8), where Spark's HALF_UP and DuckDB's binary
+    * rounding disagree — integer arithmetic is tie-free in both engines. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("sdec"))
+      .select(date_format(col("window.start"), fmtS).as("wstart"),
+        col("n"),
+        expr("(cast(sdec * 100 as bigint) * 100) div n").as("avg_e4"))
+
+  /** q31 aggregation; input must already be deduped on (user_id, ts) so
+    * session semantics match the gaps-and-islands oracle. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("dur_us"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), fmtU).as("sstart"),
+        col("n_events"), col("dur_us"))
+
   val queries: Map[String, Q] = Map(
     // q29: tumbling 1-hour event-time window x event_type
     "q29_tumbling_window" -> ((s, d) =>
-      Tables.load(s, d, "events")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
-        .select(date_format(col("window.start"), fmtS).as("wstart"),
-          col("event_type"), col("n"), col("sum_v"))
+      tumblingAgg(Tables.load(s, d, "events"))
         .orderBy("wstart", "event_type")),
 
-    // q30: sliding 1-hour window, 15-minute slide. The mean is emitted as
-    // a floored integer scaled by 1e4: sum/count of 2-decimal values can
-    // land exactly on a round-half tie (e.g. 591.31/8), where Spark's
-    // HALF_UP and DuckDB's binary rounding disagree — integer arithmetic
-    // is tie-free in both engines.
+    // q30: sliding 1-hour window, 15-minute slide
     "q30_sliding_window" -> ((s, d) =>
-      Tables.load(s, d, "events")
-        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .as("sdec"))
-        .select(date_format(col("window.start"), fmtS).as("wstart"),
-          col("n"),
-          expr("(cast(sdec * 100 as bigint) * 100) div n").as("avg_e4"))
-        .orderBy("wstart")),
+      slidingAgg(Tables.load(s, d, "events")).orderBy("wstart")),
 
-    // q31: session window, 30-minute gap, per user. (user_id, ts) is
-    // deduped first so session semantics match the gaps-and-islands oracle.
+    // q31: session window, 30-minute gap, per user
     "q31_session_window" -> ((s, d) =>
-      Tables.load(s, d, "events")
-        .select("user_id", "ts").distinct()
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"),
-          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
-            .as("dur_us"))
-        .select(col("user_id"),
-          date_format(col("session_window.start"), fmtU).as("sstart"),
-          col("n_events"), col("dur_us"))
+      sessionAgg(Tables.load(s, d, "events")
+        .select("user_id", "ts").distinct())
         .orderBy("user_id", "sstart"))
   )
 

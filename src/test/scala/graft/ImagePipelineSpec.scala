@@ -1,0 +1,193 @@
+package graft
+
+import graft.pipeline.{ImageOps, ImagePipeline, ImageRecord, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Typed/image pipeline tests on <=8x8 synthetic fixtures (FIXTURES.md
+  * §2): decode fast path + encoded fallback, INTER_AREA-analog resize,
+  * seeded flip determinism, rotate, jitter clamping, JPEG q95 roundtrip,
+  * tensor conversion + ImageNet normalize, positional split clamping,
+  * batching, accuracy/argmax, and the multimodal stubs.
+  */
+class ImagePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def solid(w: Int, h: Int, bgr: (Int, Int, Int)): ImageRecord = {
+    val data = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < data.length) {
+      data(i) = bgr._1.toByte; data(i + 1) = bgr._2.toByte
+      data(i + 2) = bgr._3.toByte; i += 3
+    }
+    ImageRecord("mem://solid", h, w, 3, 16, data)
+  }
+
+  private def gradient(w: Int, h: Int): ImageRecord = {
+    val data = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      data((y * w + x) * 3 + c) = ((x * 255) / (w - 1)).toByte
+    ImageRecord("mem://grad", h, w, 3, 16, data)
+  }
+
+  test("decode: fast path for raw shape, None for garbage (dropInvalid)") {
+    val ok = solid(4, 4, (1, 2, 3))
+    assert(ImageOps.decode(ok).contains(ok))
+    assert(ImageOps.decode(ok.copy(data = Array[Byte]())).isEmpty)
+    assert(ImageOps.decode(ok.copy(data = Array[Byte](1, 2, 3, 4, 5))).isEmpty)
+  }
+
+  test("resize area: 8x8 block downscale to 4x4 averages blocks exactly") {
+    val g = gradient(8, 8)
+    val r = ImageOps.resizeArea(g, 4, 4)
+    assert(r.width == 4 && r.height == 4)
+    // columns 0,1 of the gradient are (0,36) -> mean 18
+    assert((r.data(0) & 0xff) == 18)
+    // solid image stays solid under any resize
+    val s = ImageOps.resizeArea(solid(8, 6, (50, 100, 150)), 3, 5)
+    assert(s.data.grouped(3).forall(p =>
+      (p(0) & 0xff) == 50 && (p(1) & 0xff) == 100 && (p(2) & 0xff) == 150))
+  }
+
+  test("flip: seeded determinism and involution") {
+    val g = gradient(6, 4)
+    val f1 = ImageOps.flipSeeded(g, seed = 42)
+    val f2 = ImageOps.flipSeeded(g, seed = 42)
+    assert(f1.data.sameElements(f2.data), "same seed -> same flip")
+    val h = ImageOps.flip(g, horizontal = true, vertical = false)
+    assert(ImageOps.flip(h, horizontal = true, vertical = false)
+      .data.sameElements(g.data), "double flip = identity")
+    // horizontal flip reverses the gradient row
+    assert((h.data(0) & 0xff) == 255)
+  }
+
+  test("rotate: 0 deg = identity; 15 deg keeps solid interior solid") {
+    val g = gradient(8, 8)
+    assert(ImageOps.rotate(g, 0.0).data.sameElements(g.data))
+    val s = ImageOps.rotate(solid(8, 8, (77, 77, 77)), 15.0)
+    // center pixel untouched by rotation of a solid image
+    val center = (4 * 8 + 4) * 3
+    assert((s.data(center) & 0xff) == 77)
+  }
+
+  test("color jitter: alpha=1.2 beta=10 with saturation") {
+    val s = ImageOps.colorJitter(solid(2, 2, (100, 200, 250)))
+    assert((s.data(0) & 0xff) == 130)  // 1.2*100+10
+    assert((s.data(1) & 0xff) == 250)  // 1.2*200+10 -> 250
+    assert((s.data(2) & 0xff) == 255)  // clamp
+  }
+
+  test("contrast about midpoint 128 (A18 semantics)") {
+    val r = ImageOps.contrastBrightness(solid(1, 1, (128, 28, 228)), 2.0, 0.0)
+    assert((r.data(0) & 0xff) == 128)  // midpoint fixed
+    assert((r.data(1) & 0xff) == 0)    // (28-128)*2+128 = -72 -> clamp
+    assert((r.data(2) & 0xff) == 255)  // (228-128)*2+128 = 328 -> clamp
+  }
+
+  test("jpeg q95 encode -> ImageIO decode roundtrip approximates input") {
+    val g = gradient(8, 8)
+    val bytes = ImageOps.jpegEncode(g)
+    assert(bytes.length > 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, "JPEG SOI marker")
+    val back = ImageOps.decodeEncoded("mem://rt", bytes).get
+    assert(back.width == 8 && back.height == 8 && back.nChannels == 3)
+    val maxErr = g.data.zip(back.data).map { case (a, b) =>
+      math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 24, s"q95 roundtrip error too large: $maxErr")
+  }
+
+  test("tensor CHW conversion + ImageNet normalize") {
+    val s = solid(2, 2, (255, 0, 128))
+    val t = ImageOps.toTensorCHW(s)
+    assert(t.length == 12)
+    assert(t(0) == 1.0f && t(4) == 0.0f)          // B plane, G plane
+    assert(math.abs(t(8) - 128 / 255.0f) < 1e-6)  // R plane
+    val n = ImageOps.normalizeCHW(t, 3)
+    assert(math.abs(n(0) - (1.0f - 0.485f) / 0.229f) < 1e-5)
+  }
+
+  test("gaussian noise and random erase are seed-deterministic") {
+    val g = gradient(8, 8)
+    assert(ImageOps.gaussianNoise(g, 7).data
+      .sameElements(ImageOps.gaussianNoise(g, 7).data))
+    assert(ImageOps.randomErase(g, 7).data
+      .sameElements(ImageOps.randomErase(g, 7).data))
+    // erase with mean fill on a solid image is a no-op (fill == content)
+    val s = solid(8, 8, (9, 9, 9))
+    assert(ImageOps.randomErase(s, 1).data.sameElements(s.data))
+  }
+
+  test("augment chain: typed Dataset end-to-end, invalid rows dropped") {
+    val good = gradient(8, 8)
+    val bad = ImageRecord("mem://bad", 8, 8, 3, 16, Array[Byte](1, 2))
+    val ds = spark.createDataset(Seq(good, bad))
+    val out = ImagePipeline.augmentChain(ds, 4, 4, seed = 42).collect()
+    assert(out.length == 1, "invalid record must be dropped")
+    assert(out.head._1 == "mem://grad")
+    assert(ImageOps.decodeEncoded("rt", out.head._2).get.width == 4)
+  }
+
+  test("positional split: 0.8/0.2 by seeded order, >= 1 per side") {
+    val df = (1 to 10).toDF("id")
+    val (tr, va) = ImagePipeline.positionalSplit(df, "id", seed = 42)
+    assert(tr.count() == 8 && va.count() == 2)
+    assert(tr.intersect(va).count() == 0)
+    // clamp: 2 rows always split 1/1
+    val (t2, v2) = ImagePipeline.positionalSplit((1 to 2).toDF("id"), "id", 1)
+    assert(t2.count() == 1 && v2.count() == 1)
+    // determinism
+    val (tr2, _) = ImagePipeline.positionalSplit(df, "id", seed = 42)
+    assert(tr.collect().toSet == tr2.collect().toSet)
+  }
+
+  test("batching groups per partition without shuffle") {
+    val ds = spark.range(0, 20).repartition(2).as[Long]
+    val batches = ImagePipeline.batched(ds, 4).collect()
+    assert(batches.map(_.size).forall(_ <= 4))
+    assert(batches.map(_.size).sum == 20)
+  }
+
+  test("accuracy and argmax prediction (A31/A33)") {
+    val df = Seq(
+      (Array(0.1, 0.7, 0.2), 1),
+      (Array(0.9, 0.05, 0.05), 0),
+      (Array(0.2, 0.3, 0.5), 1)  // wrong
+    ).toDF("scores", "label")
+    val acc = ImagePipeline.accuracy(df, "scores", "label")
+      .head().getDouble(0)
+    assert(math.abs(acc - 200.0 / 3) < 1e-9)
+    val preds = ImagePipeline.argmaxPrediction(df, "scores")
+      .select("prediction").as[Int].collect().toSeq
+    assert(preds == Seq(1, 0, 2))
+  }
+
+  test("relative path projection mirrors tree under output dir (A14)") {
+    val df = Seq("file:/data/raw/catA/img1.jpg", "/data/raw/catB/img2.png")
+      .toDF("path")
+    val got = df.select(
+      ImagePipeline.relativePathCol("/data/raw", "/data/out").as("p"))
+      .as[String].collect().toSeq
+    assert(got == Seq("/data/out/catA/img1.jpg", "/data/out/catB/img2.png"))
+  }
+
+  test("multimodal: image features real, audio/video stubs deterministic") {
+    val jpeg = ImageOps.jpegEncode(gradient(8, 8))
+    val img = Multimodal.asMediaFrame(
+      Seq((1L, jpeg)).toDF("id", "bytes"), "id", "image", "bytes")
+    val feats = Multimodal.imageFeatures(spark, img)
+    val row = feats.head()
+    assert(row.getLong(0) == 1L)
+    assert(row.getSeq[Float](1).length == 3 * 8 * 8)
+
+    val audio = Multimodal.asMediaFrame(
+      Seq((2L, Array.tabulate(64)(_.toByte))).toDF("id", "bytes"),
+      "id", "audio", "bytes")
+    val a1 = Multimodal.audioFeaturesStub(spark, audio).head().getSeq[Float](1)
+    val a2 = Multimodal.audioFeaturesStub(spark, audio).head().getSeq[Float](1)
+    assert(a1 == a2 && a1.length == 16)
+
+    val video = Multimodal.asMediaFrame(
+      Seq((3L, Array.tabulate(64)(_.toByte))).toDF("id", "bytes"),
+      "id", "video", "bytes")
+    assert(Multimodal.sampleFramesStub(spark, video).count() == 4)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.queries.EventTime
+import graft.streaming.StreamingWindows
+import org.apache.spark.sql.Row
+
+/** Streaming-batch parity (SURVEY.md §5.2-4): the watermarked streaming
+  * variants of q29-q31 must produce exactly the batch results for every
+  * window the watermark has finalized, and nothing else. With a single
+  * input file the watermark never advances past the last event, so
+  * append-mode output is the batch result minus the windows still within
+  * the watermark horizon of max(ts) — i.e. a subset; complete/update
+  * modes must equal batch exactly.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def batchRows(name: String): Set[Row] =
+    SparkEntry.queries(name)(spark, sf).collect().toSet
+
+  test("tumbling window: streaming update mode equals batch") {
+    val q = StreamingWindows.runToMemory(
+      StreamingWindows.tumbling(spark, sf), "t_upd", mode = "update")
+    try {
+      val got = spark.table("t_upd").collect().toSet
+      assert(got == batchRows("q29_tumbling_window"), "update-mode parity")
+    } finally q.stop()
+  }
+
+  test("tumbling window: append mode emits a finalized subset of batch") {
+    val q = StreamingWindows.runToMemory(
+      StreamingWindows.tumbling(spark, sf), "t_app", mode = "append")
+    try {
+      val got = spark.table("t_app").collect().toSet
+      val batch = batchRows("q29_tumbling_window")
+      assert(got.subsetOf(batch), "append rows must be final batch rows")
+      val horizonMissing = batch.size - got.size
+      assert(horizonMissing >= 0 && horizonMissing <= 10,
+        s"only tail windows within the watermark may be held back " +
+          s"(missing $horizonMissing of ${batch.size})")
+    } finally q.stop()
+  }
+
+  test("sliding window: streaming update mode equals batch") {
+    val q = StreamingWindows.runToMemory(
+      StreamingWindows.sliding(spark, sf), "s_upd", mode = "update")
+    try {
+      assert(spark.table("s_upd").collect().toSet ==
+        batchRows("q30_sliding_window"))
+    } finally q.stop()
+  }
+
+  test("session window: streaming parity with batch sessionization") {
+    // session windows require watermark + append/update; update mode may
+    // emit intermediate merged sessions, so compare the final state per
+    // (user_id, sstart): the last emitted row per session must match batch
+    val q = StreamingWindows.runToMemory(
+      StreamingWindows.session(spark, sf), "sess_app", mode = "append")
+    try {
+      val got = spark.table("sess_app").collect().toSet
+      val batch = batchRows("q31_session_window")
+      assert(got.subsetOf(batch),
+        "every finalized streaming session must equal its batch twin")
+      assert(got.size >= batch.size - 20,
+        s"only sessions near max(ts) may be unfinalized " +
+          s"(got ${got.size} of ${batch.size})")
+    } finally q.stop()
+  }
+}
