@@ -50,7 +50,20 @@ object Dedup {
       s"stack($nBands, ${bandCols.mkString(", ")}) as (band, mh)")
   }
 
-  /** 3-token shingles, distinct, with the per-doc shingle count carried. */
+  /** (doc_id, sh): the doc's distinct 3-token shingles, exploded.
+    *
+    * Two optimizer traps are deliberately sidestepped here (both inline
+    * the full shingle-construction expression — split + transform +
+    * array_distinct — into per-row scan filters, a ~10x slowdown at
+    * sf0.1):
+    *  - plain explode lets InferFiltersFromGenerate derive
+    *    `size(sh3) > 0 AND isnotnull(sh3)` and push it below the
+    *    projection -> use explode_outer + a cheap attribute filter;
+    *  - carrying `size(sh3)` as a projected column lets
+    *    InferFiltersFromConstraints rewrite `isnotnull(ns)` back into the
+    *    aliased expression -> per-doc counts come from shingleCounts()
+    *    (an aggregation boundary) instead.
+    */
   def shingledOf(docsDf: DataFrame): DataFrame =
     docsDf
       .withColumn("sh3", expr(
@@ -58,8 +71,13 @@ object Dedup {
            else array_distinct(transform(sequence(1, size(tok) - 2),
              i -> concat_ws(' ', element_at(tok, i), element_at(tok, i + 1),
                             element_at(tok, i + 2)))) end"""))
-      .select(col("doc_id"), size(col("sh3")).as("ns"),
-        explode(col("sh3")).as("sh"))
+      .select(col("doc_id"), explode_outer(col("sh3")).as("sh"))
+      .filter(col("sh").isNotNull)
+
+  /** (doc_id, ns): distinct-shingle count per document — tiny (one row
+    * per doc), broadcast into the pair join. */
+  def shingleCounts(shingles: DataFrame): DataFrame =
+    shingles.groupBy("doc_id").agg(count(lit(1)).as("ns"))
 
   /** 64-bit simhash per document (expects a `tok` column). */
   def simhashOf(docsDf: DataFrame): DataFrame =
@@ -76,15 +94,22 @@ object Dedup {
           (a, x) -> a + x)""").as("simhash"),
       size(col("tok")).cast("long").as("ntok"))
 
-  /** Shared-shingle pairs with Jaccard >= threshold. */
+  /** Shared-shingle pairs with Jaccard >= threshold. Pair intersections
+    * shuffle on the shingle key; the per-doc set sizes arrive via two
+    * broadcast joins of the tiny counts table. */
   def jaccardPairsOf(docsDf: DataFrame, threshold: Double): DataFrame = {
     val sh = shingledOf(docsDf)
-    val a = sh.select(col("doc_id").as("a_id"), col("ns").as("na"), col("sh"))
-    val b = sh.select(col("doc_id").as("b_id"), col("ns").as("nb"), col("sh"))
+    val counts = shingleCounts(sh)
+    val a = sh.select(col("doc_id").as("a_id"), col("sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh"))
     a.join(b, Seq("sh"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id", "na", "nb")
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
+      .join(broadcast(counts.select(col("doc_id").as("a_id"),
+        col("ns").as("na"))), Seq("a_id"))
+      .join(broadcast(counts.select(col("doc_id").as("b_id"),
+        col("ns").as("nb"))), Seq("b_id"))
       .withColumn("jac_raw",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac_raw") >= threshold)
