@@ -18,12 +18,10 @@ import graft.Tables
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Cosine-similarity column between two double-array columns (fold order
-    * fixed left-to-right, so the value is deterministic). */
-  private def cosine(a: String, b: String) = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (s, v) -> s + v)
-        / (sqrt(aggregate($a, cast(0.0 as double), (s, v) -> s + v * v))
-         * sqrt(aggregate($b, cast(0.0 as double), (s, v) -> s + v * v)))""")
+  /** Cosine similarity between two ARRAY<FLOAT> columns via the native
+    * codegen'd expression (graft.functions.CosineSimilarity) — one fused
+    * loop, accumulation order identical to the HOF/oracle formulation. */
+  private def cosine(a: String, b: String) = expr(s"cosine_sim($a, $b)")
 
   /** 4-bit sign-bucket of the first 4 dimensions (16 LSH buckets). */
   private val bucketExpr = expr(
@@ -32,15 +30,15 @@ object Similarity {
           + (case when element_at(embedding, 3) > 0 then 4 else 0 end)
           + (case when element_at(embedding, 4) > 0 then 8 else 0 end) as bigint)""")
 
-  private val toDouble = expr("transform(embedding, x -> cast(x as double))")
-
-  private def emb(s: SparkSession, d: String) =
+  private def emb(s: SparkSession, d: String) = {
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, d, "embeddings")
+  }
 
   val queries: Map[String, Q] = Map(
     // q34: brute-force cosine top-10 vs probe vec_id = 0
     "q34_cosine_topk" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), toDouble.as("emb"))
+      val e = emb(s, d).select(col("vec_id"), col("embedding").as("emb"))
       val probe = e.filter(col("vec_id") === 0).select(col("emb").as("pe"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
@@ -53,7 +51,7 @@ object Similarity {
     // within a sign bucket) — the pair space shrinks ~16x vs brute force
     "q38_embed_neardup" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"),
-        toDouble.as("emb"))
+        col("embedding").as("emb"))
       val a = e.select(col("vec_id").as("a_id"), col("bucket"),
         col("emb").as("a_emb"))
       val b = e.select(col("vec_id").as("b_id"), col("bucket"),
@@ -69,7 +67,7 @@ object Similarity {
     // q39: IVF-style ANN — probe only scans its own inverted list (bucket)
     "q39_ann_ivf" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"),
-        toDouble.as("emb"))
+        col("embedding").as("emb"))
       val probe = e.filter(col("vec_id") === 0)
         .select(col("bucket").as("p_bucket"), col("emb").as("pe"))
       e.join(broadcast(probe), col("bucket") === col("p_bucket"))

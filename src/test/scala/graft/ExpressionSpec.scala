@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** Native-expression checks: the codegen'd cosine_sim must agree exactly
+  * with the higher-order-function formulation (same fold order), handle
+  * nulls, and produce known values.
+  */
+class ExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val hof =
+    """aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)),
+         cast(0.0 as double), (s, v) -> s + v)
+       / (sqrt(aggregate(a, cast(0.0 as double),
+           (s, v) -> s + cast(v as double) * cast(v as double)))
+        * sqrt(aggregate(b, cast(0.0 as double),
+           (s, v) -> s + cast(v as double) * cast(v as double))))"""
+
+  test("cosine_sim: known values") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),   // identical -> 1
+      (Array(1f, 0f), Array(0f, 1f)),   // orthogonal -> 0
+      (Array(1f, 0f), Array(-1f, 0f))   // opposite -> -1
+    ).toDF("a", "b")
+    val got = df.select(expr("cosine_sim(a, b)")).as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("cosine_sim: bit-identical to the HOF formulation on real data") {
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, sf, "embeddings")
+    val probe = e.filter($"vec_id" === 0)
+      .select($"embedding".as("b")).crossJoin(e.select($"vec_id", $"embedding".as("a")))
+    val diff = probe
+      .select(expr("cosine_sim(a, b)").as("native"), expr(hof).as("ref"))
+      .filter($"native" =!= $"ref")
+    assert(diff.count() == 0, "native and HOF cosine must agree bit-for-bit")
+  }
+
+  test("cosine_sim: null propagation") {
+    GraftFunctions.register(spark)
+    val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+    assert(df.select(expr("cosine_sim(a, b)")).head().isNullAt(0))
+  }
+}
