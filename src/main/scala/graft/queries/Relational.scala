@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.{Det, Tables}
 
 /** Relational core (SURVEY.md §2-B q01–q17, q20–q22): scans, filters,
@@ -185,16 +184,17 @@ object Relational {
           col("cnt"), col("gid"))
         .orderBy("status", "prio", "gid")),
 
-    // q17: arg-max per group (top-1 via window; A33 analog)
-    "q17_argmax" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    // q17: arg-max per group (A33 analog). max(struct) == lexicographic
+    // max (highest price, ties to highest orderkey) — identical result to
+    // a row_number window but with map-side partial aggregation instead
+    // of a full shuffle + per-partition sort: the winning shape at scale.
+    "q17_argmax" -> ((s, d) =>
       t(s, d, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey")
-    }),
+        .groupBy("o_custkey")
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"), col("m.o_orderkey").as("o_orderkey"),
+          col("m.o_totalprice").as("o_totalprice"))
+        .orderBy("o_custkey")),
 
     // q20: multi-key sort with explicit null ordering
     "q20_sort" -> ((s, d) =>
