@@ -17,6 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object ImagePipeline {
 
+  /** A1 exact: Spark's built-in `image` source — one row per image file
+    * with the (origin, height, width, nChannels, mode, data[BGR]) struct,
+    * undecodable files dropped, recursive lookup. Identical call shape to
+    * the reference (data_augment.py:115-120). */
+  def readImageDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("image")
+      .option("dropInvalid", "true")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+
+  /** Flatten the image-source struct into the typed record used by the
+    * scalar ops (field names/layout match Spark's ImageSchema). */
+  def toImageRecords(df: DataFrame): Dataset[ImageRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col("image.origin"), col("image.height"), col("image.width"),
+      col("image.nChannels"), col("image.mode"), col("image.data"))
+      .as[ImageRecord]
+  }
+
   /** A1/A5: read a directory tree of images as (path, label, bytes):
     * binaryFile source, recursive; label = parent directory name. */
   def readImageFolder(spark: SparkSession, dir: String): DataFrame =

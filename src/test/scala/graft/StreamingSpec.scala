@@ -49,6 +49,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful flatMapGroupsWithState sessions match batch q31 rows") {
+    val events = graft.streaming.StreamingWindows.eventsStream(spark, sf)
+    val sess = graft.streaming.StatefulSessions.sessionize(spark, events)
+    val q = StreamingWindows.runToMemory(sess.toDF(), "fmgws", mode = "append")
+    try {
+      val got = spark.table("fmgws").collect().toSet
+      val batch = batchRows("q31_session_window")
+      assert(got.nonEmpty, "in-batch closed sessions must be emitted")
+      assert(got.subsetOf(batch),
+        "every emitted session must equal its batch q31 twin")
+      val users = spark.table("fmgws").select("user_id").distinct().count()
+      assert(got.size >= batch.size - users,
+        s"only each user's open tail session may be unemitted " +
+          s"(got ${got.size} of ${batch.size}, $users users)")
+    } finally q.stop()
+  }
+
   test("session window: streaming parity with batch sessionization") {
     // session windows require watermark + append/update; update mode may
     // emit intermediate merged sessions, so compare the final state per

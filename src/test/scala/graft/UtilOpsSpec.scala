@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.MinHashAggregator
+import graft.operators.Skew
+import graft.pipeline.{ImageOps, ImagePipeline, ImageRecord}
+import org.apache.spark.sql.functions._
+
+/** Specs for the auxiliary operators: image-format source, minhash
+  * sketch aggregator, salted aggregation.
+  */
+class UtilOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("image source: reads a dir of PNGs, drops invalid (A1 parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("imgsrc")
+    def png(name: String, w: Int, h: Int): Unit = {
+      val rec = ImageRecord(name, h, w, 3,
+        16, Array.fill(h * w * 3)(100.toByte))
+      javax.imageio.ImageIO.write(ImageOps.toBufferedImage(rec), "png",
+        dir.resolve(name).toFile)
+    }
+    png("a.png", 4, 4)
+    png("b.png", 6, 2)
+    java.nio.file.Files.write(dir.resolve("bad.png"),
+      Array[Byte](1, 2, 3, 4))
+    val df = ImagePipeline.readImageDir(spark, dir.toString)
+    assert(df.count() == 2, "dropInvalid must drop the garbage file")
+    val recs = ImagePipeline.toImageRecords(df).collect()
+    assert(recs.map(r => (r.width, r.height)).toSet == Set((4, 4), (6, 2)))
+    // pixel content survives the source roundtrip (solid 100s)
+    assert(recs.forall(_.data.forall(b => (b & 0xff) == 100)))
+  }
+
+  test("minhash sketch: deterministic, mergeable, jaccard estimate") {
+    val agg = new MinHashAggregator(32)
+    val t1 = Seq("a", "b", "c", "d")
+    val t2 = Seq("a", "b", "c", "e")
+    val s1 = agg.finish(agg.reduce(agg.zero, t1))
+    val s1b = agg.finish(agg.reduce(agg.zero, t1))
+    assert(s1 == s1b, "sketch is deterministic")
+    // mergeability: sketch(t1 half1 ++ half2) == merge(sketch(h1), sketch(h2))
+    val m = agg.finish(agg.merge(
+      agg.reduce(agg.zero, t1.take(2)), agg.reduce(agg.zero, t1.drop(2))))
+    assert(m == s1, "merge of partial sketches equals whole-set sketch")
+    val s2 = agg.finish(agg.reduce(agg.zero, t2))
+    val est = MinHashAggregator.estimateJaccard(s1, s2)
+    // true jaccard = 3/5 = 0.6; with 32 hashes expect est in (0.2, 1.0)
+    assert(est > 0.2 && est < 1.0, s"estimate $est implausible for j=0.6")
+    assert(MinHashAggregator.estimateJaccard(s1, s1) == 1.0)
+  }
+
+  test("minhash sketch as grouped aggregation over documents") {
+    val agg = new MinHashAggregator(16)
+    val docs = Seq((1L, Seq("x", "y", "z")), (1L, Seq("w")),
+      (2L, Seq("x", "y", "z", "w"))).toDS()
+    val sk = docs.groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("sketch")).collect().toMap
+    // doc 1 (two partial rows) and doc 2 hold the same token set
+    assert(sk(1L) == sk(2L), "same token set across rows -> same sketch")
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(lit(1L)).as("cnt"),
+        org.apache.spark.sql.functions.sum($"l_quantity").as("qty"),
+        org.apache.spark.sql.functions.min($"l_extendedprice").as("mn"),
+        org.apache.spark.sql.functions.max($"l_extendedprice").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val salted = Skew.saltedAgg(li, Seq("l_returnflag"), saltBuckets = 8,
+      Seq(Skew.count("cnt"), Skew.sum("qty", $"l_quantity"),
+        Skew.min("mn", $"l_extendedprice"), Skew.max("mx", $"l_extendedprice")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (c, q, mn, mx)) =>
+      val (dc, dq, dmn, dmx) = direct(k)
+      assert(c == dc && mn == dmn && mx == dmx)
+      assert(math.abs(q - dq) < 1e-6)  // double sum order differs by salt
+    }
+  }
+}
