@@ -40,6 +40,11 @@ class ExpressionSpec extends SparkSpec {
     assert(diff.count() == 0, "native and HOF cosine must agree bit-for-bit")
   }
 
+  test("GraftExtensions installs into SparkSessionExtensions") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(e)  // must register without throwing
+  }
+
   test("cosine_sim: null propagation") {
     GraftFunctions.register(spark)
     val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Float]]))
