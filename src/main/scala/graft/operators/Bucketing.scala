@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffling fact tables into N buckets on
+  * their join key lets every subsequent equi-join and aggregation on that
+  * key run shuffle-free (Exchange elided, verified in BucketingSpec).
+  * This is the standing answer to "is there a shuffle here that becomes
+  * the bottleneck at scale?" for repeatedly-joined 100 TB facts: pay the
+  * shuffle once at ingest, never again.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed parquet table
+    * (idempotent: drops the table and any orphaned location first — the
+    * in-memory catalog forgets tables across sessions but their files
+    * survive in the warehouse dir). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+        .getPath, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(loc)
+    }
+    df.write.format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

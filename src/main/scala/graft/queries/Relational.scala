@@ -140,6 +140,37 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // q12b: the same interval join as an equi-join on 7-day buckets —
+    // each order's [date, date+7d] window spans at most two weekly
+    // buckets, so exploding the small side into its buckets turns the
+    // O(n*m) BNLJ into a shuffle/broadcast HASH join + exact residual
+    // filter. Identical result; this is the shape that survives a 100x
+    // scale-up where BNLJ does not.
+    "q12_range_join_bucketed" -> ((s, d) => {
+      val l = t(s, d, "lineitem").filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+        .withColumn("bk",
+          expr("floor(datediff(l_shipdate, date'1970-01-01') / 7)"))
+      val o = t(s, d, "orders").filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-02-01").cast("timestamp"))
+        .withColumn("bks", expr(
+          """array_distinct(array(
+               floor(datediff(o_orderdate, date'1970-01-01') / 7),
+               floor(datediff(o_orderdate + interval 7 days,
+                              date'1970-01-01') / 7)))"""))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+          explode(col("bks")).as("bk"))
+      l.join(o, Seq("bk"))
+        .filter(col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // q13: hash aggregate, TPC-H Q1 shape (flagship)
     "q13_hash_agg" -> ((s, d) => q13(s, d)),
 
@@ -328,6 +359,19 @@ object Relational {
          ORDER BY a_key, b_key""",
 
     "q12_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_pairs,
+                count(DISTINCT o_orderkey) AS n_orders
+         FROM (SELECT * FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l_shipdate < TIMESTAMP '1997-02-01') l,
+              (SELECT * FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-02-01') o
+         WHERE l.l_shipdate BETWEEN o.o_orderdate
+                                AND o.o_orderdate + INTERVAL 7 DAY
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q12_range_join_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n_pairs,
                 count(DISTINCT o_orderkey) AS n_orders
          FROM (SELECT * FROM lineitem

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Bucketing
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Bucketed tables must make the equi-join shuffle-free: same bucket
+  * count on the same key => co-located partitions, Exchange elided.
+  */
+class BucketingSpec extends SparkSpec {
+
+  private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan  // descend into the final adaptive plan
+      case p => p
+    }
+    plan.collect { case e: ShuffleExchangeLike => e }.size
+  }
+
+  test("join of two same-key bucketed tables plans zero shuffles") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", 4)
+    Bucketing.writeBucketed(o, "b_orders", "l_orderkey", 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.read(spark, "b_lineitem")
+        .join(Bucketing.read(spark, "b_orders"), Seq("l_orderkey"))
+      assert(joined.count() ==
+        li.join(o, Seq("l_orderkey")).count(), "same result as unbucketed")
+      assert(countShuffles(joined) == 0,
+        "bucketed join must not contain a ShuffleExchange")
+
+      // and the unbucketed equivalent DOES shuffle (sanity of the check)
+      val unbucketed = li.join(o, Seq("l_orderkey"))
+      unbucketed.count()
+      assert(countShuffles(unbucketed) > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("aggregation on the bucket key also skips the shuffle") {
+    val agg = Bucketing.read(spark, "b_lineitem")
+      .groupBy("l_orderkey").agg(sum(col("l_quantity")))
+    agg.count()
+    assert(countShuffles(agg) == 0,
+      "group-by on the bucket key must reuse bucketing")
+  }
+}
