@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.MinHashAggregator
+import graft.queries.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** ScalaCheck property tests (SURVEY.md §5.2-3): algebraic invariants
+  * over generated inputs — dedup idempotence, sketch merge laws,
+  * session-window equivalence with the islands formulation, window-frame
+  * sums equal explicit slices.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // plain-scalacheck sampling (the scalatestplus bridge is not in the
+  // offline dependency set): draw n deterministic-ish samples from a Gen
+  private def forSamples[T](g: Gen[T], n: Int)(body: T => Unit): Unit = {
+    val it = Iterator.continually(g.sample).flatten.take(n)
+    var checked = 0
+    it.foreach { v => body(v); checked += 1 }
+    assert(checked == n, s"only $checked/$n samples generated")
+  }
+
+  private val vocab = Gen.oneOf("spark", "scan", "join", "sort", "the",
+    "row", "data", "fast", "key", "hash")
+  private val textGen: Gen[String] =
+    Gen.listOfN(12, vocab).map(_.mkString(" "))
+
+  test("property: exact dedup is idempotent on generated corpora") {
+    forSamples(Gen.listOfN(12, textGen), 5) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def dedup(in: org.apache.spark.sql.DataFrame) = in
+        .groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id"))
+      val once = dedup(df).collect().toSet
+      val twice = dedup(df).groupBy($"h").agg(min($"doc_id").as("doc_id"))
+        .collect().toSet
+      assert(once == twice)
+    }
+  }
+
+  test("property: minhash sketch merge is commutative and associative") {
+    val agg = new MinHashAggregator(8)
+    val tokens = Gen.listOfN(6, vocab)
+    forSamples(Gen.zip(tokens, tokens, tokens), 20) {
+      case (a, b, c) =>
+        def sk(t: List[String]) = agg.reduce(agg.zero, t)
+        val ab_c = agg.merge(agg.merge(sk(a), sk(b)), sk(c)).toSeq
+        val a_bc = agg.merge(sk(a), agg.merge(sk(b), sk(c))).toSeq
+        val ba = agg.merge(sk(b), sk(a)).toSeq
+        assert(ab_c == a_bc)
+        assert(agg.merge(sk(a), sk(b)).toSeq == ba)
+    }
+  }
+
+  test("property: minhash bands collide for identical texts (any corpus)") {
+    forSamples(textGen, 10) { t =>
+      val df = Dedup.withTok(
+        Seq((1L, t), (2L, t)).toDF("doc_id", "text"))
+      val sig = Dedup.signaturesOf(df).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+      // docs with >= 3 tokens have shingles; both share every band
+      if (sig.nonEmpty) assert(sig(1L) == sig(2L))
+    }
+  }
+
+  test("property: session_window equals gaps-and-islands on random gaps") {
+    val gapGen = Gen.listOfN(20, Gen.chooseNum(1L, 70L)) // minutes
+    forSamples(gapGen, 5) { gaps =>
+      val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      val times = gaps.scanLeft(t0) { (t, g) => t.plusSeconds(g * 60) }
+      val df = times.map(t => (1L, java.sql.Timestamp.from(t)))
+        .toDF("user_id", "ts")
+      val spark_sessions = df
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .count().count()
+      // islands: new session when the gap is strictly > 30 minutes
+      val islands = 1 + gaps.count(_ > 30)
+      assert(spark_sessions == islands)
+    }
+  }
+
+  test("property: moving window sum equals explicit slice sums") {
+    val valsGen = Gen.listOfN(15, Gen.chooseNum(-100, 100))
+    forSamples(valsGen, 5) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i, v.toLong) }
+        .toDF("i", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("i").rowsBetween(-2, 0)
+      val got = df.withColumn("m", sum($"v").over(w))
+        .orderBy("i").select("m").as[Long].collect().toSeq
+      val expect = vs.indices.map(i =>
+        vs.slice(math.max(0, i - 2), i + 1).map(_.toLong).sum)
+      assert(got == expect)
+    }
+  }
+
+  test("property: set-op algebra on generated multisets") {
+    val ints = Gen.listOfN(30, Gen.chooseNum(0, 8))
+    forSamples(ints, 5) { xs =>
+      val a = xs.toDF("v")
+      assert(a.union(a).distinct().count() == xs.distinct.size.toLong)
+      assert(a.except(a).count() == 0)
+      assert(a.intersect(a).count() == xs.distinct.size.toLong)
+    }
+  }
+}
