@@ -79,14 +79,18 @@ object Dedup {
   def shingleCounts(shingles: DataFrame): DataFrame =
     shingles.groupBy("doc_id").agg(count(lit(1)).as("ns"))
 
-  /** 64-bit simhash per document (expects a `tok` column). */
+  /** 64-bit simhash per document (expects a `tok` column). The token
+    * hashes are materialized once into an array (inner transform) before
+    * the per-bit vote fold — hashing inside the bit lambda would re-run
+    * xxhash64 64x per token. */
   def simhashOf(docsDf: DataFrame): DataFrame =
     docsDf.select(col("doc_id"),
       expr("""aggregate(
           transform(
-            aggregate(tok, array_repeat(cast(0 as bigint), 64),
-              (acc, t) -> transform(acc,
-                (v, i) -> v + IF((shiftright(xxhash64(t), i) & 1) = 1,
+            aggregate(transform(tok, t -> xxhash64(t)),
+              array_repeat(cast(0 as bigint), 64),
+              (acc, h) -> transform(acc,
+                (v, i) -> v + IF((shiftright(h, i) & 1) = 1,
                                  cast(1 as bigint), cast(-1 as bigint)))),
             (v, i) -> IF(v > 0, shiftleft(cast(1 as bigint), i),
                          cast(0 as bigint))),
