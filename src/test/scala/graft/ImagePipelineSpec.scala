@@ -169,6 +169,21 @@ class ImagePipelineSpec extends SparkSpec {
     assert(got == Seq("/data/out/catA/img1.jpg", "/data/out/catB/img2.png"))
   }
 
+  test("image UDFs compose in SQL and match the direct ops") {
+    graft.pipeline.ImageUDFs.register(spark)
+    val g = gradient(8, 8)
+    Seq((g.data, g.height, g.width, g.nChannels)).toDF("d", "h", "w", "c")
+      .createOrReplaceTempView("imgs")
+    val sqlBytes = spark.sql(
+      """SELECT img_jitter(img_resize(d, h, w, c, 4, 4), 4, 4, c, 1.2, 10.0)
+         AS out FROM imgs""").head().getAs[Array[Byte]](0)
+    val direct = ImageOps.colorJitter(ImageOps.resizeArea(g, 4, 4)).data
+    assert(sqlBytes.sameElements(direct))
+    val tensor = spark.sql("SELECT img_tensor_chw(d, h, w, c) FROM imgs")
+      .head().getSeq[Float](0)
+    assert(tensor.length == 8 * 8 * 3)
+  }
+
   test("multimodal: image features real, audio/video stubs deterministic") {
     val jpeg = ImageOps.jpegEncode(gradient(8, 8))
     val img = Multimodal.asMediaFrame(
