@@ -99,6 +99,27 @@ object TextOps {
         col("n_chars"))
         .orderBy("doc_id")),
 
+    // q45: flagship training-data curation — the LLM-pipeline ops
+    // composed end to end: quality filter (length + punctuation ratio)
+    // -> exact dedup (md5, keep min doc_id) -> near-dup removal (3-gram
+    // jaccard >= 0.5, keep the lowest doc_id of each pair). Every stage
+    // is SQL-expressible, so the whole composition has a DuckDB oracle.
+    "q45_curation" -> ((s, d) => {
+      val q = docs(s, d)
+        .withColumn("nt", size(col("tok")))
+        .withColumn("pr", length(regexp_replace(col("text"), "[\\w\\s]", ""))
+          / length(col("text")))
+      val f = q.filter(col("nt") >= 30 && col("pr") <= 0.1)
+      val keepIds = f.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val fd = f.join(keepIds, Seq("doc_id"), "left_semi")
+      val nearDupDrop = graft.queries.Dedup.jaccardPairsOf(fd, 0.5)
+        .select(col("b_id").as("doc_id")).distinct()
+      fd.join(nearDupDrop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("nt").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // q43: order-sensitive document fingerprint (rolling polynomial hash
     // over per-token codes — a map-only, shuffle-free fold)
     "q43_fingerprint" -> ((s, d) =>
@@ -166,6 +187,32 @@ object TextOps {
               AS BIGINT) AS bpe_tokens,
             n_chars
           FROM documents ORDER BY doc_id""",
+
+    "q45_curation" ->
+      s"""WITH t AS (SELECT doc_id, text, lang, $duckTok AS tok FROM documents),
+          q AS (SELECT doc_id, text, lang, tok, len(tok) AS nt,
+                  length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                    / length(text) AS pr
+                FROM t),
+          f AS (SELECT * FROM q WHERE nt >= 30 AND pr <= 0.1),
+          d AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+          fd AS (SELECT f.* FROM f JOIN d USING (doc_id)),
+          s AS (SELECT doc_id,
+                  CASE WHEN len(tok) < 3 THEN CAST([] AS VARCHAR[])
+                       ELSE list_distinct(list_transform(range(1, len(tok) - 1),
+                         i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) END AS sh
+                FROM fd),
+          n AS (SELECT doc_id, len(sh) AS ns, unnest(sh) AS s FROM s),
+          p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.ns AS na,
+                       b.ns AS nb, count(*) AS inter
+                FROM n a JOIN n b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4),
+          drop_ids AS (SELECT DISTINCT b_id AS doc_id FROM p
+                       WHERE inter / (na + nb - inter) >= 0.5)
+          SELECT fd.doc_id, fd.lang, CAST(fd.nt AS BIGINT) AS n_tokens
+          FROM fd
+          WHERE fd.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+          ORDER BY fd.doc_id""",
 
     "q43_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $duckTok AS tok FROM documents)

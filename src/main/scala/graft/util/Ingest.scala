@@ -1,0 +1,56 @@
+package graft.util
+
+import java.io.{File, FileOutputStream}
+import java.util.zip.ZipFile
+import scala.jdk.CollectionConverters._
+
+/** Driver-side ingest utilities mirroring the reference's orchestration
+  * helpers (SURVEY.md §2-A A3/A35; reference
+  * luigi_tasks.py:75-117,45-51): zip extraction with single-root
+  * stripping, and idempotent completion markers. Pure JVM (zero-egress
+  * environment: the A2/A4 authenticated/chunked downloads are a
+  * production concern, not reproducible here).
+  */
+object Ingest {
+
+  /** Extract `zip` under `dest`. If every entry lives under one common
+    * root directory, that root is stripped during extraction (the
+    * reference's single-root fast path). Returns extracted file count. */
+  def unzipWithRootStrip(zip: File, dest: File): Int = {
+    val zf = new ZipFile(zip)
+    try {
+      val entries = zf.entries().asScala.toList
+      val names = entries.filterNot(_.isDirectory).map(_.getName)
+      val roots = names.map(_.takeWhile(_ != '/')).distinct
+      val hasSingleRoot = roots.size == 1 &&
+        names.forall(_.startsWith(roots.head + "/"))
+      var n = 0
+      entries.filterNot(_.isDirectory).foreach { e =>
+        val rel = if (hasSingleRoot) e.getName.drop(roots.head.length + 1)
+                  else e.getName
+        val out = new File(dest, rel)
+        // zip-slip guard: resolved path must stay under dest
+        require(out.getCanonicalPath.startsWith(dest.getCanonicalPath),
+          s"zip entry escapes destination: ${e.getName}")
+        out.getParentFile.mkdirs()
+        val in = zf.getInputStream(e)
+        val os = new FileOutputStream(out)
+        try { in.transferTo(os); n += 1 } finally { os.close(); in.close() }
+      }
+      n
+    } finally zf.close()
+  }
+
+  /** Idempotent unit of work gated by a marker file (the reference's
+    * LocalTarget pattern): `work` runs only if `marker` is absent, and
+    * the marker is written only after success. Returns true if work ran. */
+  def withCompletionMarker(marker: File)(work: => Unit): Boolean =
+    if (marker.exists()) false
+    else {
+      work
+      Option(marker.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.write(marker.toPath,
+        java.time.Instant.now().toString.getBytes)
+      true
+    }
+}
