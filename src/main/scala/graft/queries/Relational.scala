@@ -215,6 +215,29 @@ object Relational {
           col("cnt"), col("gid"))
         .orderBy("status", "prio", "gid")),
 
+    // q16g: explicit GROUPING SETS via the SQL surface
+    "q16_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               count(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, prio""")
+    }),
+
+    // q46: exact percentiles / median per group (interpolated)
+    "q46_percentiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 4)
+            .as("p50"),
+          round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 4)
+            .as("p90"))
+        .orderBy("l_returnflag")),
+
     // q17: arg-max per group (A33 analog). max(struct) == lexicographic
     // max (highest price, ties to highest orderkey) — identical result to
     // a row_number window but with map-side partial aggregation instead
@@ -421,6 +444,20 @@ object Relational {
                 CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY status, prio, gid""",
+
+    "q16_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               count(*) AS cnt
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY status, prio""",
+
+    "q46_percentiles" ->
+      """SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q17_argmax" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (

@@ -30,6 +30,20 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // q19f: value windows — first/last/nth over an explicit frame
+    "q19_value_windows" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(full).as("first_price"),
+          last(col("o_totalprice")).over(full).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q19_analytic_windows" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -56,6 +70,16 @@ object Windows {
            rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rnk,
            dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drnk
          FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "q19_value_windows" ->
+      """SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
 
     "q19_analytic_windows" ->
       """SELECT o_custkey, o_orderkey,
