@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape regression tests: the properties that make these queries
+  * scale (pushdown, broadcast choice, top-k without global sort, partial
+  * aggregation, no accidental window shuffles) asserted against the
+  * final adaptive physical plan, so a refactor that silently degrades
+  * the plan fails CI rather than the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def finalPlan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.count() // finalize AQE
+    def descend(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    descend(df.queryExecution.executedPlan).toString
+  }
+
+  test("q02 top-k plans TakeOrderedAndProject, not a global sort") {
+    assert(finalPlan("q02_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q03 filters are pushed into the parquet scan") {
+    val p = finalPlan("q03_filter_range")
+    // the toString elides long filter lists — assert the pushdown prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p.take(500))
+  }
+
+  test("q06 dim join broadcasts the small side") {
+    assert(finalPlan("q06_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q13 aggregates partially before the exchange") {
+    val p = finalPlan("q13_hash_agg")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+  }
+
+  test("q17 argmax contains no Window operator") {
+    val p = finalPlan("q17_argmax")
+    assert(!p.contains("Window"), "argmax must stay aggregation-based")
+  }
+
+  test("q34 probe side is broadcast (no shuffle of the corpus)") {
+    assert(finalPlan("q34_cosine_topk").contains("Broadcast"))
+  }
+
+  test("q34 uses the native cosine expression, not HOF lambdas") {
+    val p = finalPlan("q34_cosine_topk")
+    assert(p.contains("cosinesimilarity") || p.contains("CosineSimilarity"),
+      "native expression expected in the plan")
+  }
+}
