@@ -98,16 +98,29 @@ object Dedup {
           (a, x) -> a + x)""").as("simhash"),
       size(col("tok")).cast("long").as("ntok"))
 
-  /** Shared-shingle pairs with Jaccard >= threshold. Pair intersections
-    * shuffle on the shingle key; the per-doc set sizes arrive via two
-    * broadcast joins of the tiny counts table. */
+  /** Shared-shingle pairs with Jaccard >= threshold.
+    *
+    * The shingle construction runs ONCE: one shuffle groups doc ids per
+    * shingle, pairs are generated in-group (ids are sorted, so a < b by
+    * construction), and the per-doc set sizes are re-derived from the
+    * same grouped data — a self-join formulation would recompute the
+    * expensive shingling for each side. In-group pair generation is
+    * O(c²) per shingle; at 100 TB a stop-shingle document-frequency cap
+    * bounds c (the groups here max out at c=25).
+    */
   def jaccardPairsOf(docsDf: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingledOf(docsDf)
-    val counts = shingleCounts(sh)
-    val a = sh.select(col("doc_id").as("a_id"), col("sh"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh"))
-    a.join(b, Seq("sh"))
-      .filter(col("a_id") < col("b_id"))
+    val grouped = shingledOf(docsDf)
+      .groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val counts = grouped
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    grouped.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+             i -> transform(sequence(i + 1, size(ids) - 1),
+               j -> struct(ids[i] AS a_id, ids[j] AS b_id))))""")).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(counts.select(col("doc_id").as("a_id"),
