@@ -59,6 +59,37 @@ class UtilOpsSpec extends SparkSpec {
     assert(sk(1L) == sk(2L), "same token set across rows -> same sketch")
   }
 
+  test("HLL sketch: merge law and accuracy within 3% at 10k distinct") {
+    val agg = new graft.functions.HllAggregator(12)
+    // accuracy on 10k distinct values
+    val reg = (0 until 10000).foldLeft(agg.zero)((r, i) => agg.reduce(r, s"v$i"))
+    val est = agg.finish(reg)
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.03, s"estimate $est")
+    // merge = union: two overlapping halves estimate the union size
+    val a = (0 until 6000).foldLeft(agg.zero)((r, i) => agg.reduce(r, s"v$i"))
+    val b = (4000 until 10000).foldLeft(agg.zero)((r, i) => agg.reduce(r, s"v$i"))
+    val u = agg.finish(agg.merge(a, b))
+    assert(math.abs(u - 10000.0) / 10000.0 < 0.03, s"union estimate $u")
+  }
+
+  test("HLL sketch as a grouped Spark aggregation vs exact counts") {
+    val agg = new graft.functions.HllAggregator(12)
+    val li = Tables.load(spark, sf, "lineitem")
+    import org.apache.spark.sql.functions.countDistinct
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct($"l_partkey").as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = li.select($"l_returnflag", $"l_partkey".cast("string").as("v"))
+      .as[(String, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("est")).collect()
+      .map { case (k, v) => k -> v }.toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(est(k) - ex.toDouble) / ex < 0.05,
+        s"flag $k: est ${est(k)} vs exact $ex")
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.load(spark, sf, "lineitem")
     val direct = li.groupBy("l_returnflag")
