@@ -64,6 +64,48 @@ object Similarity {
         .orderBy("a_id", "b_id")
     }),
 
+    // q47: distributed kNN join — top-3 neighbors per probe (first 100
+    // vectors) within the probe's LSH bucket: candidate generation is a
+    // bucket equi-join, ranking is a per-probe window. The pattern that
+    // replaces an O(n²) all-pairs kNN at corpus scale.
+    "q47_knn_join" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"),
+        col("embedding").as("emb"))
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("a_id"), col("bucket"),
+          col("emb").as("a_emb"))
+      val cands = e.select(col("vec_id").as("b_id"), col("bucket"),
+        col("emb").as("b_emb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+      probes.join(cands, Seq("bucket"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(cosine("a_emb", "b_emb"), 4).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("a_id"), col("b_id"), col("sim"))
+        .orderBy(col("a_id"), col("sim").desc, col("b_id"))
+    }),
+
+    // q48: per-label centroids (classification prototypes) — per-dim
+    // decimal-exact means via posexplode, reported as the centroid's L2
+    // norm. The vector-aggregation shape used for prototype/clustering
+    // steps in training pipelines.
+    "q48_centroids" -> ((s, d) =>
+      emb(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos")
+        .agg((sum(col("col").cast(
+            org.apache.spark.sql.types.DecimalType(18, 8))).cast("double")
+          / count(lit(1))).as("mean"),
+          count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(round(sqrt(sum(col("mean") * col("mean"))), 4)
+          .as("centroid_norm"),
+          max(col("n")).as("n_vecs"))
+        .orderBy("label")),
+
     // q39: IVF-style ANN — probe only scans its own inverted list (bucket)
     "q39_ann_ivf" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"),
@@ -102,6 +144,35 @@ object Similarity {
           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
           ORDER BY a_id, b_id""",
+
+    "q47_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, $duckBucket AS bucket,
+              CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+                FROM e a JOIN e b
+                  ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+                WHERE a.vec_id < 100),
+          r AS (SELECT a_id, b_id, sim,
+                  row_number() OVER (PARTITION BY a_id
+                    ORDER BY sim DESC, b_id) AS rn
+                FROM p)
+          SELECT a_id, b_id, sim FROM r WHERE rn <= 3
+          ORDER BY a_id, sim DESC, b_id""",
+
+    "q48_centroids" ->
+      """WITH x AS (SELECT label,
+              generate_subscripts(embedding, 1) - 1 AS pos,
+              unnest(embedding) AS v
+            FROM embeddings),
+          m AS (SELECT label, pos,
+                  CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
+                    / count(*) AS mean,
+                  count(*) AS n
+                FROM x GROUP BY label, pos)
+          SELECT label, round(sqrt(sum(mean * mean)), 4) AS centroid_norm,
+                 CAST(max(n) AS BIGINT) AS n_vecs
+          FROM m GROUP BY label ORDER BY label""",
 
     "q39_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, $duckBucket AS bucket,
