@@ -238,6 +238,25 @@ object Relational {
             .as("p90"))
         .orderBy("l_returnflag")),
 
+    // q49: hot-key-safe aggregation — the two-phase salted aggregate
+    // (operators.Skew) under the oracle gate: results must be identical
+    // to a direct GROUP BY (decimal-cast sums keep the double exact
+    // across the extra combine phase).
+    "q49_salted_agg" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = t(s, d, "lineitem")
+        .withColumn("dec_price", col("l_extendedprice").cast(DecimalType(18, 2)))
+      graft.operators.Skew.saltedAgg(li, Seq("l_returnflag"), 8, Seq(
+          graft.operators.Skew.count("cnt"),
+          graft.operators.Skew.sum("sum_price", col("dec_price")),
+          graft.operators.Skew.min("min_price", col("l_extendedprice")),
+          graft.operators.Skew.max("max_price", col("l_extendedprice"))))
+        .select(col("l_returnflag"), col("cnt"),
+          col("sum_price").cast("double").as("sum_price"),
+          col("min_price"), col("max_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // q17: arg-max per group (A33 analog). max(struct) == lexicographic
     // max (highest price, ties to highest orderkey) — identical result to
     // a row_number window but with map-side partial aggregation instead
@@ -458,6 +477,13 @@ object Relational {
                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q49_salted_agg" ->
+      s"""SELECT l_returnflag, count(*) AS cnt,
+            ${sqlDsum("l_extendedprice")} AS sum_price,
+            min(l_extendedprice) AS min_price,
+            max(l_extendedprice) AS max_price
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q17_argmax" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (

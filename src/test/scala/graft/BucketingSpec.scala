@@ -44,6 +44,21 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned sink: reads prune partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("psink").toString
+    val docs = Tables.load(spark, sf, "documents")
+    graft.operators.Sinks.writePartitioned(docs, dir, "lang")
+    val back = graft.operators.Sinks.readPartitioned(spark, dir)
+    assert(back.count() == docs.count())
+    val filtered = back.filter(org.apache.spark.sql.functions.col("lang") === "en")
+    filtered.count()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      "lang filter must prune hive partitions:\n" + plan.take(400))
+    assert(filtered.count() ==
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count())
+  }
+
   test("aggregation on the bucket key also skips the shuffle") {
     val agg = Bucketing.read(spark, "b_lineitem")
       .groupBy("l_orderkey").agg(sum(col("l_quantity")))
