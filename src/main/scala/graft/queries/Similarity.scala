@@ -106,6 +106,62 @@ object Similarity {
           max(col("n")).as("n_vecs"))
         .orderBy("label")),
 
+    // q50: IVF with LEARNED centroids — one deterministic Lloyd
+    // iteration, entirely relational (no array re-assembly): init
+    // centroids = first 16 vectors; assign every vector to its nearest
+    // init centroid (broadcast + per-vector ranking window); recompute
+    // centroids as per-dim decimal-exact means in long format; route the
+    // probe to its nearest learned centroid via a long-format dot
+    // product; then scan only that inverted list for the top-5. This is
+    // the production ANN shape: train once, assign map-side, probe
+    // touches 1/k of the corpus.
+    "q50_ivf_kmeans" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val init = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val wAsg = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim").desc, col("c_id"))
+      val assigned = e.crossJoin(broadcast(init))
+        .withColumn("sim", cosine("embedding", "c_emb"))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id"), col("embedding"))
+      // learned centroids, long format: (c_id, pos, mean)
+      val cent = assigned
+        .select(col("c_id"), posexplode(col("embedding")))
+        .groupBy("c_id", "pos")
+        .agg((sum(col("col").cast(
+            org.apache.spark.sql.types.DecimalType(18, 8))).cast("double")
+          / count(lit(1))).as("mean"))
+      // probe dims
+      val pd = e.filter(col("vec_id") === 0)
+        .select(posexplode(col("embedding")))
+        .select(col("pos"), col("col").cast("double").as("pv"))
+      val pn2 = pd.agg(sum(col("pv") * col("pv")).as("pn2"))
+      // probe -> nearest learned centroid
+      val wBest = org.apache.spark.sql.expressions.Window
+        .orderBy(col("csim").desc, col("c_id"))
+      val best = cent.join(broadcast(pd), Seq("pos"))
+        .groupBy("c_id")
+        .agg(sum(col("pv") * col("mean")).as("dot"),
+          sum(col("mean") * col("mean")).as("cn2"))
+        .crossJoin(broadcast(pn2))
+        .withColumn("csim",
+          col("dot") / (sqrt(col("cn2")) * sqrt(col("pn2"))))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("c_id"))
+      // scan only the probe's inverted list
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pe"))
+      assigned.join(broadcast(best), Seq("c_id"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), round(cosine("embedding", "pe"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // q39: IVF-style ANN — probe only scans its own inverted list (bucket)
     "q39_ann_ivf" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"),
@@ -173,6 +229,46 @@ object Similarity {
           SELECT label, round(sqrt(sum(mean * mean)), 4) AS centroid_norm,
                  CAST(max(n) AS BIGINT) AS n_vecs
           FROM m GROUP BY label ORDER BY label""",
+
+    "q50_ivf_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding,
+              CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          init AS (SELECT vec_id AS c_id, emb AS c_emb FROM e
+                   WHERE vec_id < 16),
+          sims AS (SELECT e.vec_id, i.c_id,
+                     list_cosine_similarity(e.emb, i.c_emb) AS sim
+                   FROM e CROSS JOIN init i),
+          asg AS (SELECT vec_id, c_id FROM (
+                    SELECT vec_id, c_id, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+                    FROM sims) t WHERE rn = 1),
+          dims AS (SELECT a.c_id,
+                     generate_subscripts(e.embedding, 1) - 1 AS pos,
+                     unnest(e.embedding) AS v
+                   FROM e JOIN asg a USING (vec_id)),
+          cent AS (SELECT c_id, pos,
+                     CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
+                       / count(*) AS mean
+                   FROM dims GROUP BY c_id, pos),
+          pd AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS pv
+                 FROM e WHERE vec_id = 0),
+          pn AS (SELECT sum(pv * pv) AS pn2 FROM pd),
+          cs AS (SELECT c.c_id, sum(p.pv * c.mean) AS dot,
+                   sum(c.mean * c.mean) AS cn2
+                 FROM cent c JOIN pd p USING (pos) GROUP BY c.c_id),
+          best AS (SELECT c_id FROM (
+                     SELECT c_id, row_number() OVER (ORDER BY
+                       dot / (sqrt(cn2) * sqrt((SELECT pn2 FROM pn))) DESC,
+                       c_id) AS rn
+                     FROM cs) t WHERE rn = 1)
+          SELECT e.vec_id,
+            round(list_cosine_similarity(e.emb, p.pe), 4) AS sim
+          FROM e
+          JOIN asg USING (vec_id)
+          CROSS JOIN (SELECT emb AS pe FROM e WHERE vec_id = 0) p
+          WHERE asg.c_id = (SELECT c_id FROM best) AND e.vec_id <> 0
+          ORDER BY sim DESC, vec_id LIMIT 5""",
 
     "q39_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, $duckBucket AS bucket,
