@@ -171,6 +171,53 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // q51: pivot (wide conditional aggregation)
+    "q51_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L)
+        .orderBy("o_orderpriority")),
+
+    // q52: unpivot/melt back to long form
+    "q52_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count().na.fill(0L)
+      wide.unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "cnt")
+        .orderBy("o_orderpriority", "status")
+    }),
+
+    // q53: one-pass column profiling (ANALYZE-style data-quality op)
+    "q53_profile" -> ((s, d) =>
+      t(s, d, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("d_cust"),
+        countDistinct(col("o_orderstatus")).as("d_status"),
+        sum(col("o_totalprice").isNull.cast("long")).as("null_price"),
+        Det.dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))),
+
+    // q54: deterministic content-hash train/test split (md5-based, so
+    // the assignment is stable across engines, runs and cluster sizes —
+    // the property a training pipeline needs from its split)
+    "q54_hash_split" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("bucket",
+          (ascii(substring(md5(col("text")), 1, 1)) % 5).cast("long"))
+        .withColumn("split",
+          when(col("bucket") < 4, "train").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split")),
+
     // q13: hash aggregate, TPC-H Q1 shape (flagship)
     "q13_hash_agg" -> ((s, d) => q13(s, d)),
 
@@ -425,6 +472,43 @@ object Relational {
          WHERE l.l_shipdate BETWEEN o.o_orderdate
                                 AND o.o_orderdate + INTERVAL 7 DAY
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q51_pivot" ->
+      """SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q52_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+             FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, 'F' AS status, f_cnt AS cnt FROM w
+         UNION ALL SELECT o_orderpriority, 'O', o_cnt FROM w
+         UNION ALL SELECT o_orderpriority, 'P', p_cnt FROM w
+         ORDER BY o_orderpriority, status""",
+
+    "q53_profile" ->
+      s"""SELECT count(*) AS n_rows,
+            count(DISTINCT o_custkey) AS d_cust,
+            count(DISTINCT o_orderstatus) AS d_status,
+            CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_price,
+            ${sqlDsum("o_totalprice")} AS sum_price,
+            min(o_totalprice) AS min_price,
+            max(o_totalprice) AS max_price,
+            strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+            strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+          FROM orders""",
+
+    "q54_hash_split" ->
+      """SELECT CASE WHEN ascii(substring(md5(text), 1, 1)) % 5 < 4
+                     THEN 'train' ELSE 'test' END AS split,
+               count(*) AS n, count(DISTINCT lang) AS n_langs
+         FROM documents GROUP BY 1 ORDER BY split""",
 
     "q13_hash_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
