@@ -218,6 +218,40 @@ object Relational {
           countDistinct(col("lang")).as("n_langs"))
         .orderBy("split")),
 
+    // q55: seeded stratified sampling (per-language fractions) — the
+    // sampling is hash-seeded so the draw is reproducible; counts are
+    // rows-only checked (no DuckDB RNG twin) and proportions are
+    // asserted in ScalaTest
+    "q55_stratified_sample" -> ((s, d) => {
+      val fractions = Map("en" -> 0.5, "es" -> 0.5, "de" -> 0.5,
+        "fr" -> 0.5, "zh" -> 0.5)
+      Tables.load(s, d, "documents")
+        .stat.sampleBy("lang", fractions, seed = 42L)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
+    // q56: approximate quantiles via the t-digest-style sketch — no
+    // DuckDB twin (rows-only); tolerance vs exact asserted in ScalaTest
+    "q56_approx_quantile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_extendedprice, 0.5, 10000)")
+          .as("p50_approx"),
+          expr("percentile_approx(l_extendedprice, 0.9, 10000)")
+            .as("p90_approx"))
+        .orderBy("l_returnflag")),
+
+    // q57: correlation / covariance / dispersion statistics
+    "q57_stats" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("qty_price_corr"),
+          round(stddev_samp(col("l_quantity")), 4).as("qty_sd"),
+          round(var_samp(col("l_discount")), 6).as("disc_var"))
+        .orderBy("l_returnflag")),
+
     // q13: hash aggregate, TPC-H Q1 shape (flagship)
     "q13_hash_agg" -> ((s, d) => q13(s, d)),
 
@@ -509,6 +543,13 @@ object Relational {
                      THEN 'train' ELSE 'test' END AS split,
                count(*) AS n, count(DISTINCT lang) AS n_langs
          FROM documents GROUP BY 1 ORDER BY split""",
+
+    "q57_stats" ->
+      """SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+               round(stddev_samp(l_quantity), 4) AS qty_sd,
+               round(var_samp(l_discount), 6) AS disc_var
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q13_hash_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -50,6 +50,35 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq(10.0, 30.0, 60.0, 90.0))
   }
 
+  test("stratified sample is seed-deterministic with sane proportions") {
+    val a = SparkEntry.queries("q55_stratified_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = SparkEntry.queries("q55_stratified_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a == b, "same seed must draw the same sample")
+    val totals = Tables.load(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    a.foreach { case (lang, n) =>
+      val frac = n.toDouble / totals(lang)
+      assert(frac > 0.25 && frac < 0.75, s"$lang sampled $frac of target 0.5")
+    }
+  }
+
+  test("approx quantiles within 2% of exact percentiles") {
+    val approx = SparkEntry.queries("q56_approx_quantile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val exact = SparkEntry.queries("q46_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) / p50 < 0.02, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 < 0.02, s"$k p90: $a90 vs $p90")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact on lineitem") {
     val li = Tables.load(spark, sf, "lineitem")
     val exact = li.select(countDistinct($"l_partkey")).head().getLong(0)
