@@ -20,10 +20,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Scalars.queries ++
       EventTime.queries ++ TextOps.queries ++ Similarity.queries ++
-      Dedup.queries ++ Pipeline.queries
+      Dedup.queries ++ Pipeline.queries ++ Analytics.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ Scalars.oracle ++
       EventTime.oracle ++ TextOps.oracle ++ Similarity.oracle ++
-      Dedup.oracle ++ Pipeline.oracle
+      Dedup.oracle ++ Pipeline.oracle ++ Analytics.oracle
 }

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Product/time-series analytics over the events + documents tables:
+  * gap-filled resampling, first-seen retention, conversion funnels, and
+  * corpus TF-IDF. All oracle-checked; each stays in the partial-agg /
+  * broadcast-dim shapes that scale (the dense time grid and the
+  * document-frequency table are the only broadcast sides, both tiny
+  * relative to the fact data).
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+  private val fmtS = "yyyy-MM-dd HH:mm:ss"
+
+  val queries: Map[String, Q] = Map(
+    // q58: hourly resample WITH gap filling over a fixed 2-day span —
+    // empty hours must appear with zero counts
+    "q58_gap_fill" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val hours = s.range(1).select(explode(expr(
+        """sequence(timestamp'2024-01-05 00:00:00',
+                    timestamp'2024-01-06 23:00:00',
+                    interval 1 hour)""")).as("h"))
+      val types = ev.select("event_type").distinct()
+      val actual = ev
+        .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      hours.crossJoin(types)
+        .join(actual, Seq("h", "event_type"), "left")
+        .select(date_format(col("h"), fmtS).as("hour"),
+          col("event_type"), coalesce(col("cnt"), lit(0L)).as("n"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // q59: first-seen retention — new users per day
+    "q59_new_users" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+        .groupBy(date_format(date_trunc("day", col("first_ts")), "yyyy-MM-dd")
+          .as("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .orderBy("day")),
+
+    // q60: conversion funnel — signup -> purchase within 7 days (the
+    // conversion rate is an integer-scaled ratio, tie-free by design)
+    "q60_funnel" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val converted = su.join(pu, Seq("user_id"))
+        .filter(col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+        .select("user_id").distinct()
+      su.agg(count(lit(1)).as("signups"))
+        .crossJoin(converted.agg(count(lit(1)).as("converted")))
+        .select(col("signups"), col("converted"),
+          expr("(converted * 10000) div signups").as("conv_e4"))
+    }),
+
+    // q61: corpus TF-IDF (smoothed idf), reported for the first 5 docs
+    "q61_tfidf" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          explode(expr("split(trim(text), '\\\\s+')")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy("term")
+        .agg(count(lit(1)).as("df_t"))
+      val nDocs = Tables.load(s, d, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+      tf.filter(col("doc_id") < 5)
+        .join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("tf") * log((col("n_docs") + 1).cast("double")
+            / (col("df_t") + 1)), 4).as("tfidf"))
+        .orderBy("doc_id", "term")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q58_gap_fill" ->
+      """WITH hours AS (SELECT h FROM generate_series(
+              TIMESTAMP '2024-01-05 00:00:00',
+              TIMESTAMP '2024-01-06 23:00:00',
+              INTERVAL 1 HOUR) AS t(h)),
+          types AS (SELECT DISTINCT event_type FROM events),
+          actual AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                       count(*) AS cnt
+                     FROM events
+                     WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+                       AND ts < TIMESTAMP '2024-01-07 00:00:00'
+                     GROUP BY 1, 2)
+          SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour,
+                 types.event_type AS event_type, coalesce(actual.cnt, 0) AS n
+          FROM hours CROSS JOIN types
+          LEFT JOIN actual ON actual.h = hours.h
+                          AND actual.event_type = types.event_type
+          ORDER BY 1, 2""",
+
+    "q59_new_users" ->
+      """SELECT strftime(date_trunc('day', first_ts), '%Y-%m-%d') AS day,
+               count(*) AS new_users
+         FROM (SELECT user_id, min(ts) AS first_ts FROM events
+               GROUP BY user_id) t
+         GROUP BY 1 ORDER BY day""",
+
+    "q60_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+          conv AS (SELECT DISTINCT su.user_id
+                   FROM su JOIN events p ON p.user_id = su.user_id
+                   WHERE p.event_type = 'purchase'
+                     AND p.ts >= su.s_ts
+                     AND p.ts <= su.s_ts + INTERVAL 7 DAY)
+          SELECT (SELECT count(*) FROM su) AS signups,
+                 (SELECT count(*) FROM conv) AS converted,
+                 ((SELECT count(*) FROM conv) * 10000)
+                   // (SELECT count(*) FROM su) AS conv_e4""",
+
+    "q61_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+              unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                 GROUP BY doc_id, term),
+          dfreq AS (SELECT term, count(*) AS df_t
+                    FROM (SELECT DISTINCT doc_id, term FROM toks) x
+                    GROUP BY term),
+          n AS (SELECT count(*) AS n_docs FROM documents)
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE)
+                   / (dfreq.df_t + 1)), 4) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+          WHERE tf.doc_id < 5
+          ORDER BY doc_id, term"""
+  )
+}
