@@ -99,6 +99,42 @@ object TextOps {
         col("n_chars"))
         .orderBy("doc_id")),
 
+    // q62: exact dedup, window formulation (the alternative shape from
+    // SURVEY §2-B q32: keep rank-1 per content hash instead of group-min)
+    "q62_dedup_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id")
+      Tables.load(s, d, "documents")
+        .withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("h"))
+        .orderBy("doc_id")
+    }),
+
+    // q64: ordered group concatenation (string_agg / listagg)
+    "q64_string_agg" -> ((s, d) =>
+      Tables.load(s, d, "customer")
+        .filter(col("c_custkey") < 100)
+        .groupBy("c_mktsegment")
+        .agg(concat_ws(",", expr(
+          // numeric sort BEFORE casting to string, matching the oracle's
+          // ORDER BY c_custkey ("10" < "2" lexically would diverge)
+          "transform(sort_array(collect_list(c_custkey)), x -> cast(x as string))"))
+          .as("keys"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
+    // q65: conditional + boolean aggregates (count_if / every / any)
+    "q65_bool_agg" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("count_if(o_totalprice > 200000)").as("n_big"),
+          expr("every(o_totalprice > 0)").as("all_pos"),
+          expr("any(o_orderstatus = 'P')").as("has_pending"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
     // q45: flagship training-data curation — the LLM-pipeline ops
     // composed end to end: quality filter (length + punctuation ratio)
     // -> exact dedup (md5, keep min doc_id) -> near-dup removal (3-gram
@@ -187,6 +223,28 @@ object TextOps {
               AS BIGINT) AS bpe_tokens,
             n_chars
           FROM documents ORDER BY doc_id""",
+
+    "q62_dedup_window" ->
+      """SELECT doc_id, h FROM (
+           SELECT doc_id, md5(text) AS h,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents) t
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    "q64_string_agg" ->
+      """SELECT c_mktsegment,
+           string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS keys,
+           count(*) AS n
+         FROM customer WHERE c_custkey < 100
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q65_bool_agg" ->
+      """SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           bool_and(o_totalprice > 0) AS all_pos,
+           bool_or(o_orderstatus = 'P') AS has_pending,
+           count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q45_curation" ->
       s"""WITH t AS (SELECT doc_id, text, lang, $duckTok AS tok FROM documents),
