@@ -49,6 +49,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches every event (count parity)") {
+    import spark.implicits._
+    val dim = Seq(("signup", 1), ("purchase", 2), ("click", 3),
+      ("view", 4), ("error", 5)).toDF("event_type", "type_id")
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamJoins.enriched(spark, sf, dim), "enr")
+    try {
+      val streamed = spark.table("enr").count()
+      val batch = Tables.load(spark, sf, "events").join(dim, Seq("event_type"))
+        .count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join equals the batch funnel join") {
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamJoins.streamingFunnel(spark, sf), "funnel")
+    try {
+      val got = spark.table("funnel").collect().toSet
+      val ev = Tables.load(spark, sf, "events")
+      val su = ev.filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+        .selectExpr("user_id", "ts AS s_ts")
+      val pu = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+        .selectExpr("user_id AS p_user", "ts AS p_ts")
+      val batch = su.join(pu, org.apache.spark.sql.functions.expr(
+          "user_id = p_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 7 days"))
+        .select("user_id", "s_ts", "p_ts").collect().toSet
+      assert(got == batch, s"streaming ${got.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("stateful flatMapGroupsWithState sessions match batch q31 rows") {
     val events = graft.streaming.StreamingWindows.eventsStream(spark, sf)
     val sess = graft.streaming.StatefulSessions.sessionize(spark, events)
