@@ -64,6 +64,24 @@ object Analytics {
           expr("(converted * 10000) div signups").as("conv_e4"))
     }),
 
+    // q66: cross-modal join — documents enriched with their embedding
+    // vectors (doc_id = vec_id), per-language mean L2 norm of the text's
+    // embedding. The text+vector join every multimodal training
+    // pipeline runs before packing examples.
+    "q66_doc_embedding_join" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "lang")
+      val vecs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          expr("""sqrt(aggregate(embedding, cast(0.0 as double),
+                    (a, x) -> a + cast(x as double) * cast(x as double)))""")
+            .as("norm"))
+      docs.join(vecs, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("norm")), 4).as("avg_norm"))
+        .orderBy("lang")
+    }),
+
     // q61: corpus TF-IDF (smoothed idf), reported for the first 5 docs
     "q61_tfidf" -> ((s, d) => {
       val toks = Tables.load(s, d, "documents")
@@ -123,6 +141,15 @@ object Analytics {
                  (SELECT count(*) FROM conv) AS converted,
                  ((SELECT count(*) FROM conv) * 10000)
                    // (SELECT count(*) FROM su) AS conv_e4""",
+
+    "q66_doc_embedding_join" ->
+      """WITH v AS (SELECT vec_id AS doc_id,
+              sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+            FROM embeddings)
+         SELECT lang, count(*) AS n, round(avg(norm), 4) AS avg_norm
+         FROM documents JOIN v USING (doc_id)
+         GROUP BY lang ORDER BY lang""",
 
     "q61_tfidf" ->
       """WITH toks AS (SELECT doc_id,

@@ -59,6 +59,19 @@ class BucketingSpec extends SparkSpec {
       docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count())
   }
 
+  test("csv and json round-trips preserve rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("rt").toString
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+    graft.operators.Sinks.writeCsv(docs, s"$dir/csv")
+    val csvBack = graft.operators.Sinks.readCsv(spark, s"$dir/csv", docs.schema)
+    assert(csvBack.schema == docs.schema)
+    assert(csvBack.collect().toSet == docs.collect().toSet)
+    graft.operators.Sinks.writeJson(docs, s"$dir/json")
+    val jsonBack = graft.operators.Sinks.readJson(spark, s"$dir/json", docs.schema)
+    assert(jsonBack.collect().toSet == docs.collect().toSet)
+  }
+
   test("aggregation on the bucket key also skips the shuffle") {
     val agg = Bucketing.read(spark, "b_lineitem")
       .groupBy("l_orderkey").agg(sum(col("l_quantity")))
