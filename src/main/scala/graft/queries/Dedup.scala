@@ -157,10 +157,49 @@ object Dedup {
 
     // q37: n-gram (3-shingle) Jaccard similarity over shared-shingle pairs
     "q37_ngram_jaccard" -> ((s, d) =>
-      jaccardPairsOf(docs(s, d), 0.5).orderBy("a_id", "b_id"))
+      jaccardPairsOf(docs(s, d), 0.5).orderBy("a_id", "b_id")),
+
+    // q67: near-dup CLUSTERS — connected components over the jaccard
+    // pair graph (min-label propagation), giving each near-duplicate
+    // group a canonical representative. Oracle: DuckDB recursive-CTE
+    // transitive closure over the same pairs.
+    "q67_dedup_clusters" -> ((s, d) => {
+      val edges = jaccardPairsOf(docs(s, d), 0.5).select("a_id", "b_id")
+      graft.operators.ConnectedComponents.run(edges, "a_id", "b_id")
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    })
   )
 
+  /** Shared oracle fragment: the q37 pair CTEs (shingles -> pairs). */
+  private val pairCtes =
+    """t AS (SELECT doc_id,
+           string_split_regex(trim(text), '\s+') AS tok FROM documents),
+      s AS (SELECT doc_id,
+           CASE WHEN len(tok) < 3 THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct(list_transform(range(1, len(tok) - 1),
+                  i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) END AS sh
+           FROM t),
+      n AS (SELECT doc_id, len(sh) AS ns, unnest(sh) AS s FROM s),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.ns AS na,
+                   b.ns AS nb, count(*) AS inter
+            FROM n a JOIN n b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+      edges AS (SELECT a_id, b_id FROM p
+                WHERE inter / (na + nb - inter) >= 0.5)"""
+
   val oracle: Map[String, String] = Map(
+    "q67_dedup_clusters" ->
+      s"""WITH RECURSIVE $pairCtes,
+          sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+                  UNION SELECT b_id, a_id FROM edges),
+          reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src)
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src ORDER BY doc_id""",
+
     "q37_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,
               string_split_regex(trim(text), '\s+') AS tok FROM documents),

@@ -57,6 +57,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("connected components: chain merges into one cluster with min label") {
+    val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("a_id", "b_id")
+    val cc = graft.operators.ConnectedComponents.run(edges, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("exact dedup is idempotent and keeps min doc_id") {
     val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
       .toDF("doc_id", "text")
