@@ -159,6 +159,29 @@ object Dedup {
     "q37_ngram_jaccard" -> ((s, d) =>
       jaccardPairsOf(docs(s, d), 0.5).orderBy("a_id", "b_id")),
 
+    // q68: simhash LSH candidates — the 64-bit fingerprint split into 4
+    // 16-bit bands; docs sharing any band value are candidates, then
+    // filtered by full hamming distance <= 8. Map-only signatures + a
+    // band-bucket join (no oracle: xxhash64-based; exact-dup collision
+    // asserted in DedupSpec).
+    "q68_simhash_pairs" -> ((s, d) => {
+      val sh = simhashOf(docs(s, d)).select("doc_id", "simhash")
+      val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bv",
+          expr("shiftright(simhash, cast(band * 16 as int)) & 65535"))
+      val a = bands.select(col("doc_id").as("a_id"),
+        col("simhash").as("ha"), col("band"), col("bv"))
+      val b = bands.select(col("doc_id").as("b_id"),
+        col("simhash").as("hb"), col("band"), col("bv"))
+      a.join(b, Seq("band", "bv"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(min(expr("bit_count(ha ^ hb)")).as("hamming"))
+        .filter(col("hamming") <= 8)
+        .orderBy("a_id", "b_id")
+    }),
+
     // q67: near-dup CLUSTERS — connected components over the jaccard
     // pair graph (min-label propagation), giving each near-duplicate
     // group a canonical representative. Oracle: DuckDB recursive-CTE

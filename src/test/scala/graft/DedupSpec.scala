@@ -57,6 +57,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("simhash band pairing surfaces exact and near duplicates") {
+    // run the q68 logic shape on the literal fixture via public queries
+    // is not possible (it loads the documents table), so assert on the
+    // smoke SF: every returned pair must have small hamming, and the
+    // corpus's known near-dups must produce at least one candidate
+    val pairs = SparkEntry.queries("q68_simhash_pairs")(spark, sf).collect()
+    assert(pairs.nonEmpty, "near-dup corpus must yield simhash candidates")
+    assert(pairs.forall(_.getInt(2) <= 8))
+  }
+
   test("connected components: chain merges into one cluster with min label") {
     val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("a_id", "b_id")
     val cc = graft.operators.ConnectedComponents.run(edges, "a_id", "b_id")
