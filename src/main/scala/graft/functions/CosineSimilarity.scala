@@ -74,9 +74,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object GraftFunctions {
   /** Idempotently register graft's native expressions on a session, so
-    * `expr("cosine_sim(a, b)")` resolves (SQL + DataFrame surfaces). */
-  def register(spark: SparkSession): Unit =
+    * `expr("cosine_sim(a, b)")` etc. resolve (SQL + DataFrame surfaces). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => Simhash64(exprs.head), "built-in")
+  }
 }

@@ -79,24 +79,15 @@ object Dedup {
   def shingleCounts(shingles: DataFrame): DataFrame =
     shingles.groupBy("doc_id").agg(count(lit(1)).as("ns"))
 
-  /** 64-bit simhash per document (expects a `tok` column). The token
-    * hashes are materialized once into an array (inner transform) before
-    * the per-bit vote fold — hashing inside the bit lambda would re-run
-    * xxhash64 64x per token. */
-  def simhashOf(docsDf: DataFrame): DataFrame =
+  /** 64-bit simhash per document (expects a `tok` column), via the
+    * native Simhash64 expression (graft.functions) — one fused loop per
+    * document instead of 64 interpreted lambdas per token. */
+  def simhashOf(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
     docsDf.select(col("doc_id"),
-      expr("""aggregate(
-          transform(
-            aggregate(transform(tok, t -> xxhash64(t)),
-              array_repeat(cast(0 as bigint), 64),
-              (acc, h) -> transform(acc,
-                (v, i) -> v + IF((shiftright(h, i) & 1) = 1,
-                                 cast(1 as bigint), cast(-1 as bigint)))),
-            (v, i) -> IF(v > 0, shiftleft(cast(1 as bigint), i),
-                         cast(0 as bigint))),
-          cast(0 as bigint),
-          (a, x) -> a + x)""").as("simhash"),
+      expr("simhash64(tok)").as("simhash"),
       size(col("tok")).cast("long").as("ntok"))
+  }
 
   /** Shared-shingle pairs with Jaccard >= threshold.
     *

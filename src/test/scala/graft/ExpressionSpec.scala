@@ -40,6 +40,28 @@ class ExpressionSpec extends SparkSpec {
     assert(diff.count() == 0, "native and HOF cosine must agree bit-for-bit")
   }
 
+  test("native simhash64 equals the HOF formulation (same hash, seed 42)") {
+    GraftFunctions.register(spark)
+    val hofSimhash =
+      """aggregate(
+           transform(
+             aggregate(transform(tok, t -> xxhash64(t)),
+               array_repeat(cast(0 as bigint), 64),
+               (acc, h) -> transform(acc,
+                 (v, i) -> v + IF((shiftright(h, i) & 1) = 1,
+                                  cast(1 as bigint), cast(-1 as bigint)))),
+             (v, i) -> IF(v > 0, shiftleft(cast(1 as bigint), i),
+                          cast(0 as bigint))),
+           cast(0 as bigint),
+           (a, x) -> a + x)"""
+    val docs = graft.queries.Dedup.withTok(
+      Tables.load(spark, sf, "documents").limit(50))
+    val diff = docs
+      .select(expr("simhash64(tok)").as("native"), expr(hofSimhash).as("ref"))
+      .filter($"native" =!= $"ref")
+    assert(diff.count() == 0, "native simhash must equal the HOF fold")
+  }
+
   test("GraftExtensions installs into SparkSessionExtensions") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)  // must register without throwing
