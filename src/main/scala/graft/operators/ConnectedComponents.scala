@@ -30,6 +30,12 @@ object ConnectedComponents {
       .withColumn("lbl", col("node"))
       .localCheckpoint()
 
+    // labels only decrease, so sum(lbl) is a strictly decreasing
+    // potential function: an unchanged sum IS the fixpoint — one cheap
+    // aggregate per iteration instead of a join-based change count
+    def lblSum(df: DataFrame): Long =
+      df.agg(sum(col("lbl"))).head().getLong(0)
+    var prevSum = lblSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -39,11 +45,10 @@ object ConnectedComponents {
       val next = labels.union(nbrLabels)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      val shrunk = next
-        .join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
-        .filter(col("lbl") < col("old")).count()
+      val s = lblSum(next)
       labels = next
-      converged = shrunk == 0
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     labels.select(col("node"), col("lbl").as("cluster_id"))

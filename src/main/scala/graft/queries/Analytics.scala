@@ -64,6 +64,23 @@ object Analytics {
           expr("(converted * 10000) div signups").as("conv_e4"))
     }),
 
+    // q69: event-path analysis — each user's ordered path over their
+    // first 10 events, grouped into path frequencies (the sequence-
+    // mining input shape for funnel/journey analytics)
+    "q69_event_paths" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy("user_id")
+        .agg(concat_ws(">", expr(
+          """transform(array_sort(collect_list(struct(ts, event_id, event_type))),
+               x -> x.event_type)""")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy("path")
+    }),
+
     // q66: cross-modal join — documents enriched with their embedding
     // vectors (doc_id = vec_id), per-language mean L2 norm of the text's
     // embedding. The text+vector join every multimodal training
@@ -141,6 +158,17 @@ object Analytics {
                  (SELECT count(*) FROM conv) AS converted,
                  ((SELECT count(*) FROM conv) * 10000)
                    // (SELECT count(*) FROM su) AS conv_e4""",
+
+    "q69_event_paths" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS rn
+            FROM events),
+          p AS (SELECT user_id,
+                  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+                FROM e WHERE rn <= 10 GROUP BY user_id)
+          SELECT path, count(*) AS n_users FROM p
+          GROUP BY path ORDER BY path""",
 
     "q66_doc_embedding_join" ->
       """WITH v AS (SELECT vec_id AS doc_id,
