@@ -24,12 +24,16 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
-    // warm-up pass (untimed): compiles codegen for every plan shape and
-    // warms the JIT + parquet footer caches
+    // warm-up pass (timed as one block, reported separately): compiles
+    // codegen for every plan shape and warms the JIT + parquet footer
+    // caches. warmup_sec lets a cold-start baseline be compared
+    // like-with-like (cold total ~= warmup_sec, warm total = value).
+    val w0 = System.nanoTime()
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    val warmupSec = (System.nanoTime() - w0) / 1e9
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
@@ -40,7 +44,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver records only a truncated tail of stdout — persist the
+    // full line so later rounds can diff per-query times without rerunning
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

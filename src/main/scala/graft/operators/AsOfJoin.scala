@@ -45,8 +45,13 @@ object AsOfJoin {
       col(rightTs).cast("timestamp").as("__rt"),
       struct(rCols.map(col): _*).as("__r"))
 
+    // Final xxhash64(__r) term: two right rows with the same (key, ts)
+    // would otherwise be ordered arbitrarily, making the carried payload
+    // depend on partitioning/run. Hashing the payload struct gives a
+    // stable total order (left rows hash a NULL struct to a constant, and
+    // their relative order never matters — they carry no payload).
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t"), col("__is_left"))
+      .orderBy(col("__t"), col("__is_left"), xxhash64(col("__r")))
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val unioned = l2.union(r2)

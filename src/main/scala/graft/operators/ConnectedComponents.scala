@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed connected components via min-label propagation — the
   * canonical "beyond plain SQL" dedup operator: near-duplicate PAIRS
@@ -18,7 +19,14 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** edges: two numeric columns (a, b), undirected. Returns
-    * (node, cluster_id = smallest reachable node id). */
+    * (node, cluster_id = smallest reachable node id).
+    *
+    * Throws IllegalStateException if maxIter is reached before the
+    * fixpoint — min-label propagation needs diameter(graph) iterations,
+    * so returning the non-converged labels would silently mislabel long
+    * chains. An empty edge set short-circuits to an empty result (the
+    * potential-sum probe would otherwise NPE on sum-of-nothing = NULL).
+    */
   def run(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -32,10 +40,17 @@ object ConnectedComponents {
 
     // labels only decrease, so sum(lbl) is a strictly decreasing
     // potential function: an unchanged sum IS the fixpoint — one cheap
-    // aggregate per iteration instead of a join-based change count
-    def lblSum(df: DataFrame): Long =
-      df.agg(sum(col("lbl"))).head().getLong(0)
+    // aggregate per iteration instead of a join-based change count.
+    // The sum runs over DECIMAL(38,0): a Long sum could wrap on billions
+    // of 64-bit ids and fake an unchanged potential. NULL = empty frame.
+    def lblSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("lbl").cast(DecimalType(38, 0))))
+        .head().getDecimal(0))
+
     var prevSum = lblSum(labels)
+    if (prevSum.isEmpty) // no edges -> no nodes -> no clusters
+      return labels.select(col("node"), col("lbl").as("cluster_id"))
+
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -51,6 +66,10 @@ object ConnectedComponents {
       prevSum = s
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations; " +
+          "raise maxIter above the graph diameter")
     labels.select(col("node"), col("lbl").as("cluster_id"))
   }
 }

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-level pipeline operators giving the reference's end-to-end
@@ -86,16 +85,29 @@ object ImagePipeline {
 
   /** A26: positional train/val split after a seeded shuffle — the
     * reference splits by position (not Bernoulli), clamping at least one
-    * row per side. Returns (train, val). */
+    * row per side. Returns (train, val).
+    *
+    * Positions come from zipWithIndex over the range-partitioned sort
+    * (per-partition counts + offsets), NOT from an unpartitioned
+    * row_number window: `Window.orderBy` without partitionBy funnels the
+    * whole dataset through ONE task, which is a scale killer. For large
+    * unlabeled corpora prefer the q54-style content-hash split (no global
+    * order at all); positional semantics are for reference-parity on
+    * labeled sets. */
   def positionalSplit(df: DataFrame, keyCol: String, seed: Long,
       trainFrac: Double = 0.8): (DataFrame, DataFrame) = {
     val n = df.count()
     val cut0 = math.ceil(trainFrac * n).toLong
     val cut = math.max(1L, math.min(n - 1, cut0)) // >= 1 per side
-    val w = Window.orderBy(xxhash64(lit(seed), col(keyCol)), col(keyCol))
-    val pos = df.withColumn("__pos", row_number().over(w))
-    (pos.filter(col("__pos") <= cut).drop("__pos"),
-      pos.filter(col("__pos") > cut).drop("__pos"))
+    val sorted = df.orderBy(xxhash64(lit(seed), col(keyCol)), col(keyCol))
+    val posSchema = sorted.schema
+      .add("__pos", org.apache.spark.sql.types.LongType, nullable = false)
+    val pos = df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, posSchema)
+    (pos.filter(col("__pos") < cut).drop("__pos"),
+      pos.filter(col("__pos") >= cut).drop("__pos"))
   }
 
   /** A27: partition-local batching — groups of `batchSize` records per

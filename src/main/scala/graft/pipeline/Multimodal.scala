@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * feature-extract / frame-sample are partition-parallel transforms.
   *
   * Image decode is REAL (JDK ImageIO via graft.pipeline.ImageOps —
-  * jpeg/png/bmp/gif). Audio decode and video frame extraction are
-  * STUBBED with deterministic fakes (this container ships no media
-  * codecs); the Spark-side plumbing — schema, batch shape, partitioning —
-  * is real and tested, and a production deploy swaps only the marked
-  * functions.
+  * jpeg/png/bmp/gif). Audio decode is REAL for WAV/PCM (JDK
+  * javax.sound.sampled via graft.pipeline.AudioOps). Compressed audio
+  * codecs and video frame extraction are STUBBED with deterministic
+  * fakes (this container ships no mp3/ogg/aac/video codecs); the
+  * Spark-side plumbing — schema, batch shape, partitioning — is real and
+  * tested, and a production deploy swaps only the marked functions.
   */
 object Multimodal {
 
@@ -54,10 +55,30 @@ object Multimodal {
       }.toDF("media_id", "features")
   }
 
-  /** STUB — audio feature extraction. A real deploy decodes PCM and
-    * computes e.g. mel filterbanks; here a deterministic fake derives
-    * `nMel` pseudo-energies from content bytes so schema, determinism
-    * and partitioning are exercised end-to-end. */
+  /** REAL audio feature extraction for WAV/PCM content: decode to mono
+    * samples (AudioOps, pure JDK) and emit `nSeg` per-segment RMS
+    * energies. Rows whose bytes javax.sound cannot parse (compressed
+    * codecs) are dropped, mirroring the image pipeline's
+    * drop-undecodable policy — route those through
+    * [[audioFeaturesStub]] until a codec-equipped deploy swaps it out. */
+  def audioFeatures(spark: SparkSession, media: DataFrame,
+      nSeg: Int = 16): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        AudioOps.decodeWav(bytes).map { case (_, samples) =>
+          (id, AudioOps.segmentEnergies(samples, nSeg))
+        }
+      }.toDF("media_id", "features")
+  }
+
+  /** STUB — compressed-codec audio fallback. A real deploy decodes
+    * mp3/ogg/aac and computes e.g. mel filterbanks; here a deterministic
+    * fake derives `nMel` pseudo-energies from content bytes so schema,
+    * determinism and partitioning are exercised end-to-end. WAV/PCM
+    * content should use the real [[audioFeatures]] instead. */
   def audioFeaturesStub(spark: SparkSession, media: DataFrame,
       nMel: Int = 16): DataFrame = {
     import spark.implicits._

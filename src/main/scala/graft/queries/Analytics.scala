@@ -95,7 +95,11 @@ object Analytics {
       docs.join(vecs, Seq("doc_id"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),
-          round(avg(col("norm")), 4).as("avg_norm"))
+          // Det policy: a plain double avg is partial-agg-order dependent
+          // and can flip the 4th digit vs the oracle — sum exactly in
+          // decimal (order-independent), then one double division.
+          round(sum(col("norm").cast("decimal(38,12)")).cast("double")
+            / count(lit(1)), 4).as("avg_norm"))
         .orderBy("lang")
     }),
 
@@ -175,7 +179,9 @@ object Analytics {
               sqrt(list_sum(list_transform(embedding,
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
             FROM embeddings)
-         SELECT lang, count(*) AS n, round(avg(norm), 4) AS avg_norm
+         SELECT lang, count(*) AS n,
+                round(CAST(sum(CAST(norm AS DECIMAL(38,12))) AS DOUBLE)
+                  / count(*), 4) AS avg_norm
          FROM documents JOIN v USING (doc_id)
          GROUP BY lang ORDER BY lang""",
 

@@ -8,10 +8,12 @@ import graft.Tables
   * extensions): MinHash band signatures + LSH candidate pairs, SimHash
   * fingerprints, and n-gram (3-shingle) Jaccard similarity.
   *
-  * MinHash/SimHash build on xxhash64, which has no DuckDB twin, so those
-  * are verified by ScalaTest property tests (exact duplicates must
-  * collide on every band / have identical simhash — see DedupSpec); the
-  * shingle-Jaccard query has a full DuckDB oracle.
+  * All hash-based ops here use a 60-bit MD5-derived hash (`hash60`) that
+  * DuckDB reproduces bit-for-bit, so minhash signatures, LSH candidate
+  * pairs and simhash fingerprints all carry full DuckDB oracles on top of
+  * the ScalaTest collision/property tests. (An xxhash64-based Simhash64
+  * expression also ships — ~2-3x cheaper per token — for deployments that
+  * don't need a cross-engine oracle; the LSH structure is identical.)
   *
   * Scale shape: signatures are map-only per document; candidate pairing
   * shuffles on (band, hash) — the classic LSH band-bucket join that keeps
@@ -25,6 +27,7 @@ object Dedup {
   // while true near-dups (j > 0.8) almost always do.
   private val nBands = 4
   private val rowsPerBand = 4
+  private val nHash = nBands * rowsPerBand
 
   /** Adds the whitespace-token column to any (doc_id, text, ...) frame. */
   def withTok(df: DataFrame): DataFrame =
@@ -33,18 +36,29 @@ object Dedup {
   private def docs(s: SparkSession, d: String) =
     withTok(Tables.load(s, d, "documents"))
 
+  /** 60-bit cross-engine hash: the integer value of the first 15 hex
+    * chars of md5(e), via the native Hash60 expression (graft.functions)
+    * — digest-direct, no hex round trip. DuckDB twin:
+    * `CAST(CAST('0x' || substr(md5(e), 1, 15) AS UBIGINT) AS BIGINT)`.
+    * 15 hex chars = 60 bits, so the value is positive in a signed BIGINT
+    * in both engines (16 chars could overflow the cast). */
+  private def hash60(e: String): String = s"hash60($e)"
+
   /** (doc_id, band, mh): banded minhash over the doc's distinct 3-shingle
     * set. Each band value hashes `rowsPerBand` independent minhashes
-    * together, all computed in one grouped pass (map-side partial min). */
+    * together, all computed in one grouped pass (map-side partial min).
+    * Hash family: hash60(i || ':' || shingle), i = 0..nHash-1 — MD5-based
+    * so the whole signature table has a DuckDB oracle. */
   def signaturesOf(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
     val exploded = shingledOf(docsDf).select(col("doc_id"), col("sh"))
-    val nHash = nBands * rowsPerBand
     val aggs = (0 until nHash).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      min(expr(hash60(s"concat('$i', ':', sh)"))).as(s"h$i"))
     val wide = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until nBands).map { b =>
       val hs = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")
-      s"cast($b as bigint), xxhash64(${hs.mkString(", ")})"
+      val sig = s"concat_ws(',', ${hs.map(h => s"cast($h as string)").mkString(", ")})"
+      s"cast($b as bigint), ${hash60(sig)}"
     }
     wide.selectExpr("doc_id",
       s"stack($nBands, ${bandCols.mkString(", ")}) as (band, mh)")
@@ -79,30 +93,52 @@ object Dedup {
   def shingleCounts(shingles: DataFrame): DataFrame =
     shingles.groupBy("doc_id").agg(count(lit(1)).as("ns"))
 
-  /** 64-bit simhash per document (expects a `tok` column), via the
-    * native Simhash64 expression (graft.functions) — one fused loop per
-    * document instead of 64 interpreted lambdas per token. */
+  /** 60-bit simhash per document (expects a `tok` column), via the
+    * native SimhashMd5 expression (graft.functions) — one fused
+    * digest+vote loop per document instead of per-bit lambdas, with an
+    * MD5-derived token hash DuckDB reproduces exactly (full oracle). */
   def simhashOf(docsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
     docsDf.select(col("doc_id"),
-      expr("simhash64(tok)").as("simhash"),
+      expr("simhash_md5(tok)").as("simhash"),
       size(col("tok")).cast("long").as("ntok"))
   }
+
+  /** Default document-frequency cap for `jaccardPairsOf`: shingles shared
+    * by more than this many documents are treated as stop-shingles and
+    * excluded from the similarity universe. The fixtures max out at
+    * df = 25 (sf0.1), so 100 leaves the oracle-checked results untouched
+    * while bounding worst-case behavior. The cap is mirrored literally in
+    * the q37/q45/q67 DuckDB oracle SQL — change both together. */
+  val DefaultShingleDfCap = 100
 
   /** Shared-shingle pairs with Jaccard >= threshold.
     *
     * The shingle construction runs ONCE: one shuffle groups doc ids per
-    * shingle, pairs are generated in-group (ids are sorted, so a < b by
-    * construction), and the per-doc set sizes are re-derived from the
-    * same grouped data — a self-join formulation would recompute the
-    * expensive shingling for each side. In-group pair generation is
-    * O(c²) per shingle; at 100 TB a stop-shingle document-frequency cap
-    * bounds c (the groups here max out at c=25).
+    * shingle, pairs are generated in-group (ids arrive sorted from the
+    * aggregator, so a < b by construction), and the per-doc set sizes are
+    * re-derived from the same grouped data — a self-join formulation
+    * would recompute the expensive shingling for each side.
+    *
+    * In-group pair generation is O(c²) per shingle, so c is bounded by a
+    * document-frequency cap: `CappedIdList` stops collecting past
+    * dfCap + 1 ids (O(dfCap) reducer memory even for a shingle shared by
+    * millions of documents) and returns NULL for over-cap groups, which
+    * are dropped. Dropping a stop-shingle removes it from the similarity
+    * universe entirely — both intersections and per-doc set sizes (`ns`
+    * comes from the same post-cap grouped data), matching the standard
+    * stop-shingle-removal semantics and the DuckDB oracle's QUALIFY
+    * filter.
     */
-  def jaccardPairsOf(docsDf: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairsOf(docsDf: DataFrame, threshold: Double,
+      dfCap: Int = DefaultShingleDfCap): DataFrame = {
+    val cappedIds =
+      udaf(new graft.functions.CappedIdList(dfCap),
+        org.apache.spark.sql.Encoders.scalaLong)
     val grouped = shingledOf(docsDf)
       .groupBy("sh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(cappedIds(col("doc_id")).as("ids"))
+      .filter(col("ids").isNotNull)
     val counts = grouped
       .select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("ns"))
@@ -150,17 +186,17 @@ object Dedup {
     "q37_ngram_jaccard" -> ((s, d) =>
       jaccardPairsOf(docs(s, d), 0.5).orderBy("a_id", "b_id")),
 
-    // q68: simhash LSH candidates — the 64-bit fingerprint split into 4
-    // 16-bit bands; docs sharing any band value are candidates, then
+    // q68: simhash LSH candidates — the 60-bit fingerprint split into 4
+    // 15-bit bands; docs sharing any band value are candidates, then
     // filtered by full hamming distance <= 8. Map-only signatures + a
-    // band-bucket join (no oracle: xxhash64-based; exact-dup collision
-    // asserted in DedupSpec).
+    // band-bucket join; MD5-based hash -> full DuckDB oracle (plus the
+    // exact-dup collision property in DedupSpec).
     "q68_simhash_pairs" -> ((s, d) => {
       val sh = simhashOf(docs(s, d)).select("doc_id", "simhash")
       val bands = sh.select(col("doc_id"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("band"))
         .withColumn("bv",
-          expr("shiftright(simhash, cast(band * 16 as int)) & 65535"))
+          expr("shiftright(simhash, cast(band * 15 as int)) & 32767"))
       val a = bands.select(col("doc_id").as("a_id"),
         col("simhash").as("ha"), col("band"), col("bv"))
       val b = bands.select(col("doc_id").as("b_id"),
@@ -168,7 +204,7 @@ object Dedup {
       a.join(b, Seq("band", "bv"))
         .filter(col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id")
-        .agg(min(expr("bit_count(ha ^ hb)")).as("hamming"))
+        .agg(min(expr("bit_count(ha ^ hb)")).cast("long").as("hamming"))
         .filter(col("hamming") <= 8)
         .orderBy("a_id", "b_id")
     }),
@@ -185,26 +221,48 @@ object Dedup {
     })
   )
 
-  /** Shared oracle fragment: the q37 pair CTEs (shingles -> pairs). */
-  private val pairCtes =
+  /** DuckDB CTE chain mirroring `jaccardPairsOf`: from a CTE named `src`
+    * with (doc_id, tok) columns to a pair-stats CTE `p` (a_id, b_id, na,
+    * nb, inter). The QUALIFY filter is the oracle twin of the Spark-side
+    * `CappedIdList` document-frequency cap; per-doc set sizes (`ns`) are
+    * recomputed post-cap, exactly like the Spark plan. Shared by the
+    * q37 / q45 / q67 oracles. */
+  /** DuckDB twin of `hash60` (value-identical to the Spark expression). */
+  private def duckHash60(e: String): String =
+    s"CAST(CAST('0x' || substr(md5($e), 1, 15) AS UBIGINT) AS BIGINT)"
+
+  /** DuckDB shingle CTE `__s` (doc_id, sh list) from a (doc_id, tok) CTE. */
+  private def duckShingleCte(src: String): String =
+    s"""__s AS (SELECT doc_id,
+             CASE WHEN len(tok) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(tok) - 1),
+                    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) END AS sh
+             FROM $src)"""
+
+  def duckPairCtes(src: String,
+      dfCap: Int = DefaultShingleDfCap): String =
+    s"""${duckShingleCte(src)},
+        __n0 AS (SELECT doc_id, unnest(sh) AS s FROM __s),
+        __nk AS (SELECT doc_id, s FROM __n0
+                 QUALIFY count(*) OVER (PARTITION BY s) <= $dfCap),
+        __nc AS (SELECT doc_id, count(*) AS ns FROM __nk GROUP BY doc_id),
+        __n AS (SELECT k.doc_id, k.s, c.ns
+                FROM __nk k JOIN __nc c USING (doc_id)),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.ns AS na,
+                     b.ns AS nb, count(*) AS inter
+              FROM __n a JOIN __n b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)"""
+
+  private val docsTokCte =
     """t AS (SELECT doc_id,
-           string_split_regex(trim(text), '\s+') AS tok FROM documents),
-      s AS (SELECT doc_id,
-           CASE WHEN len(tok) < 3 THEN CAST([] AS VARCHAR[])
-                ELSE list_distinct(list_transform(range(1, len(tok) - 1),
-                  i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) END AS sh
-           FROM t),
-      n AS (SELECT doc_id, len(sh) AS ns, unnest(sh) AS s FROM s),
-      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.ns AS na,
-                   b.ns AS nb, count(*) AS inter
-            FROM n a JOIN n b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4),
-      edges AS (SELECT a_id, b_id FROM p
-                WHERE inter / (na + nb - inter) >= 0.5)"""
+           string_split_regex(trim(text), '\s+') AS tok FROM documents)"""
 
   val oracle: Map[String, String] = Map(
     "q67_dedup_clusters" ->
-      s"""WITH RECURSIVE $pairCtes,
+      s"""WITH RECURSIVE $docsTokCte,
+          ${duckPairCtes("t")},
+          edges AS (SELECT a_id, b_id FROM p
+                    WHERE inter / (na + nb - inter) >= 0.5),
           sym AS (SELECT a_id AS src, b_id AS dst FROM edges
                   UNION SELECT b_id, a_id FROM edges),
           reach(src, dst) AS (
@@ -215,21 +273,78 @@ object Dedup {
           FROM reach GROUP BY src ORDER BY doc_id""",
 
     "q37_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id,
-              string_split_regex(trim(text), '\s+') AS tok FROM documents),
-         s AS (SELECT doc_id,
-              CASE WHEN len(tok) < 3 THEN CAST([] AS VARCHAR[])
-                   ELSE list_distinct(list_transform(range(1, len(tok) - 1),
-                     i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) END AS sh
-              FROM t),
-         n AS (SELECT doc_id, len(sh) AS ns, unnest(sh) AS s FROM s),
-         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.ns AS na,
-                      b.ns AS nb, count(*) AS inter
-               FROM n a JOIN n b ON a.s = b.s AND a.doc_id < b.doc_id
-               GROUP BY 1, 2, 3, 4)
+      s"""WITH $docsTokCte,
+         ${duckPairCtes("t")}
          SELECT a_id, b_id, inter,
                 round(inter / (na + nb - inter), 4) AS jac
          FROM p WHERE inter / (na + nb - inter) >= 0.5
-         ORDER BY a_id, b_id"""
+         ORDER BY a_id, b_id""",
+
+    "q35_minhash_sig" -> (minhashSigSql + " ORDER BY doc_id, band"),
+
+    "q35_minhash_pairs" ->
+      s"""WITH sig AS ($minhashSigSql)
+          SELECT a.doc_id AS a_id, b2.doc_id AS b_id, count(*) AS n_bands
+          FROM sig a JOIN sig b2
+            ON a.band = b2.band AND a.mh = b2.mh AND a.doc_id < b2.doc_id
+          GROUP BY 1, 2 ORDER BY a_id, b_id""",
+
+    "q36_simhash" ->
+      s"""WITH $docsTokCte,
+          $simhashCtes
+          SELECT sh.doc_id, sh.simhash, CAST(len(t.tok) AS BIGINT) AS ntok
+          FROM sh JOIN t ON sh.doc_id = t.doc_id
+          ORDER BY sh.doc_id""",
+
+    "q68_simhash_pairs" ->
+      s"""WITH $docsTokCte,
+          $simhashCtes,
+          bands AS (SELECT doc_id, simhash, r.b AS band,
+                      (simhash >> CAST(r.b * 15 AS INTEGER)) & 32767 AS bv
+                    FROM sh CROSS JOIN range(4) r(b)),
+          p AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+                  CAST(min(bit_count(xor(a.simhash, b2.simhash))) AS BIGINT)
+                    AS hamming
+                FROM bands a JOIN bands b2
+                  ON a.band = b2.band AND a.bv = b2.bv
+                    AND a.doc_id < b2.doc_id
+                GROUP BY 1, 2)
+          SELECT a_id, b_id, hamming FROM p WHERE hamming <= 8
+          ORDER BY a_id, b_id"""
   )
+
+  /** DuckDB minhash signature query (doc_id, band, mh) mirroring
+    * `signaturesOf`: per-shingle hash60(i || ':' || sh) minimized per
+    * (doc, i), then each band of `rowsPerBand` minhashes is re-hashed via
+    * the same comma-joined string in both engines. */
+  private lazy val minhashSigSql: String =
+    s"""WITH $docsTokCte,
+        ${duckShingleCte("t")},
+        e AS (SELECT doc_id, unnest(sh) AS sh FROM __s),
+        h AS (SELECT doc_id, r.i AS i,
+                min(${duckHash60("CAST(r.i AS VARCHAR) || ':' || sh")}) AS mh
+              FROM e CROSS JOIN range($nHash) r(i)
+              GROUP BY doc_id, r.i),
+        bb AS (SELECT doc_id, CAST(i // $rowsPerBand AS BIGINT) AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+               FROM h GROUP BY doc_id, i // $rowsPerBand)
+        SELECT doc_id, band, ${duckHash60("sig")} AS mh FROM bb"""
+
+  /** DuckDB CTE chain from a (doc_id, tok) CTE `t` to `sh`
+    * (doc_id, simhash): per-token hash60, per-bit +-1 votes over the
+    * token MULTISET (duplicates count), bit set when votes > 0 —
+    * mirroring the SimhashMd5 expression exactly. */
+  private lazy val simhashCtes: String =
+    s"""e AS (SELECT doc_id, unnest(tok) AS w FROM t),
+        hh AS (SELECT doc_id, ${duckHash60("w")} AS h FROM e),
+        v AS (SELECT doc_id, r.j AS j,
+                sum(CASE WHEN ((h >> CAST(r.j AS INTEGER)) & 1) = 1
+                    THEN 1 ELSE -1 END) AS vote
+              FROM hh CROSS JOIN range(60) r(j)
+              GROUP BY doc_id, r.j),
+        sh AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN vote > 0
+                   THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                   ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+               FROM v GROUP BY doc_id)"""
 }

@@ -255,16 +255,7 @@ object TextOps {
           f AS (SELECT * FROM q WHERE nt >= 30 AND pr <= 0.1),
           d AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
           fd AS (SELECT f.* FROM f JOIN d USING (doc_id)),
-          s AS (SELECT doc_id,
-                  CASE WHEN len(tok) < 3 THEN CAST([] AS VARCHAR[])
-                       ELSE list_distinct(list_transform(range(1, len(tok) - 1),
-                         i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) END AS sh
-                FROM fd),
-          n AS (SELECT doc_id, len(sh) AS ns, unnest(sh) AS s FROM s),
-          p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.ns AS na,
-                       b.ns AS nb, count(*) AS inter
-                FROM n a JOIN n b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2, 3, 4),
+          ${Dedup.duckPairCtes("fd")},
           drop_ids AS (SELECT DISTINCT b_id AS doc_id FROM p
                        WHERE inter / (na + nb - inter) >= 0.5)
           SELECT fd.doc_id, fd.lang, CAST(fd.nt AS BIGINT) AS n_tokens

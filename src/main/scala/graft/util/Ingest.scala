@@ -53,4 +53,40 @@ object Ingest {
         java.time.Instant.now().toString.getBytes)
       true
     }
+
+  /** A driver-side task with marker-gated idempotence and upstream
+    * dependencies (the reference's `requires()` pattern,
+    * luigi_tasks.py:328-347). */
+  case class Task(name: String, marker: File, deps: Seq[String] = Nil)(
+      val work: () => Unit)
+
+  /** Topological-order DAG runner over marker-gated tasks: each task runs
+    * once all its dependencies are complete, and only if its own marker
+    * is absent — so a re-run after a partial failure resumes exactly
+    * where it stopped (already-marked tasks are zero work). Returns the
+    * names of tasks whose work actually ran, in execution order.
+    *
+    * Deliberately driver-side and tiny: the heavy lifting inside each
+    * task is a Spark job; this only sequences job submission the way the
+    * reference's scheduler sequences its tasks. Cycles and unknown
+    * dependency names fail fast. */
+  def runDag(tasks: Seq[Task]): Seq[String] = {
+    val byName = tasks.map(t => t.name -> t).toMap
+    require(byName.size == tasks.size, "duplicate task names")
+    tasks.flatMap(_.deps).foreach(d =>
+      require(byName.contains(d), s"unknown dependency: $d"))
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    val done = scala.collection.mutable.Set[String]()
+    val visiting = scala.collection.mutable.Set[String]()
+    def visit(t: Task): Unit =
+      if (!done.contains(t.name)) {
+        require(visiting.add(t.name), s"dependency cycle at: ${t.name}")
+        t.deps.foreach(d => visit(byName(d)))
+        if (withCompletionMarker(t.marker)(t.work())) ran += t.name
+        visiting.remove(t.name)
+        done += t.name
+      }
+    tasks.foreach(visit)
+    ran.toSeq
+  }
 }

@@ -64,7 +64,7 @@ class DedupSpec extends SparkSpec {
     // corpus's known near-dups must produce at least one candidate
     val pairs = SparkEntry.queries("q68_simhash_pairs")(spark, sf).collect()
     assert(pairs.nonEmpty, "near-dup corpus must yield simhash candidates")
-    assert(pairs.forall(_.getInt(2) <= 8))
+    assert(pairs.forall(_.getLong(2) <= 8L))
   }
 
   test("connected components: chain merges into one cluster with min label") {
@@ -72,6 +72,54 @@ class DedupSpec extends SparkSpec {
     val cc = graft.operators.ConnectedComponents.run(edges, "a_id", "b_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: empty edge set returns empty result, no NPE") {
+    val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val cc = graft.operators.ConnectedComponents.run(edges, "a_id", "b_id")
+    assert(cc.columns.toSeq == Seq("node", "cluster_id"))
+    assert(cc.count() == 0)
+  }
+
+  test("connected components: long chain converges; short maxIter throws") {
+    // path graph 0-1-2-...-12: diameter 12, so label 0 needs 12 rounds
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = graft.operators.ConnectedComponents
+      .run(chain, "a_id", "b_id", maxIter = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == 13 && cc.forall(_._2 == 0L))
+    // star converges in 2 rounds regardless of size
+    val star = (1L to 30L).map(i => (0L, i)).toDF("a_id", "b_id")
+    val sc = graft.operators.ConnectedComponents
+      .run(star, "a_id", "b_id", maxIter = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sc.length == 31 && sc.forall(_._2 == 0L))
+    // a maxIter below the diameter must fail loudly, not mislabel
+    intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents
+        .run(chain, "a_id", "b_id", maxIter = 3).collect()
+    }
+  }
+
+  test("jaccard dfCap: a viral stop-shingle cannot explode pair count") {
+    // 300 docs share exactly one shingle ("h1 h2 h3"); every other
+    // shingle is unique per doc. Uncapped this is 300*299/2 = 44850
+    // pairs from one group; with the cap the hot shingle is dropped from
+    // the universe and NO pairs remain.
+    val docs = Dedup.withTok((1 to 300).map(i =>
+      (i.toLong, s"h1 h2 h3 u${i}a u${i}b u${i}c")).toSeq
+      .toDF("doc_id", "text"))
+    assert(Dedup.jaccardPairsOf(docs, 0.0, dfCap = 100).count() == 0)
+    val uncapped = Dedup.jaccardPairsOf(docs, 0.0, dfCap = 1000)
+    assert(uncapped.count() == 300L * 299 / 2)
+  }
+
+  test("jaccard dfCap: cap above max df is a no-op on results") {
+    val a = Dedup.jaccardPairsOf(docsDf, 0.5, dfCap = 100)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.jaccardPairsOf(docsDf, 0.5, dfCap = 100000)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
   }
 
   test("exact dedup is idempotent and keeps min doc_id") {

@@ -139,6 +139,19 @@ class ImagePipelineSpec extends SparkSpec {
     assert(tr.collect().toSet == tr2.collect().toSet)
   }
 
+  test("positional split runs no unpartitioned window (single-task killer)") {
+    // positions must come from zipWithIndex over the range-partitioned
+    // sort, never from Window.orderBy-without-partitionBy: that plan
+    // funnels the whole dataset through one task at scale
+    val (tr, va) = ImagePipeline.positionalSplit(
+      (1 to 100).toDF("id"), "id", seed = 7)
+    Seq(tr, va).foreach { d =>
+      assert(!d.queryExecution.executedPlan.toString.contains("Window"),
+        "positionalSplit must not use a window operator")
+    }
+    assert(tr.count() == 80 && va.count() == 20)
+  }
+
   test("batching groups per partition without shuffle") {
     val ds = spark.range(0, 20).repartition(2).as[Long]
     val batches = ImagePipeline.batched(ds, 4).collect()
@@ -204,5 +217,46 @@ class ImagePipelineSpec extends SparkSpec {
       Seq((3L, Array.tabulate(64)(_.toByte))).toDF("id", "bytes"),
       "id", "video", "bytes")
     assert(Multimodal.sampleFramesStub(spark, video).count() == 4)
+  }
+
+  private def wavBytes(samples: Array[Double], rate: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val v = math.max(-32768L, math.min(32767L, math.round(s * 32767))).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: REAL wav decode -> per-segment RMS energies") {
+    // 0.1 s @ 8 kHz: first half a 440 Hz sine at amplitude 0.5, second
+    // half silence -> with 4 segments, energies ~ (0.354, 0.354, 0, 0)
+    val n = 800
+    val samples = Array.tabulate(n) { i =>
+      if (i < n / 2) 0.5 * math.sin(2 * math.Pi * 440 * i / 8000.0) else 0.0
+    }
+    val good = (10L, wavBytes(samples, 8000f))
+    val corrupt = (11L, Array.tabulate(64)(_.toByte)) // not a WAV
+    val media = Multimodal.asMediaFrame(
+      Seq(good, corrupt).toDF("id", "bytes"), "id", "audio", "bytes")
+    val out = Multimodal.audioFeatures(spark, media, nSeg = 4).collect()
+    assert(out.length == 1, "undecodable audio rows must be dropped")
+    assert(out.head.getLong(0) == 10L)
+    val e = out.head.getSeq[Float](1)
+    assert(e.length == 4)
+    val rms = 0.5 / math.sqrt(2)
+    assert(math.abs(e(0) - rms) < 0.01 && math.abs(e(1) - rms) < 0.01)
+    assert(e(2) == 0f && e(3) == 0f)
+    // determinism across runs
+    val again = Multimodal.audioFeatures(spark, media, nSeg = 4)
+      .head().getSeq[Float](1)
+    assert(again == e)
   }
 }

@@ -64,4 +64,33 @@ class IngestSpec extends AnyFunSuite {
     }
     assert(!marker2.exists(), "marker must not exist after failed work")
   }
+
+  test("DAG runner: topo order, idempotent re-run, partial resume") {
+    val dir = tmpDir()
+    val log = scala.collection.mutable.ArrayBuffer[String]()
+    def tasks = Seq(
+      Ingest.Task("extract", new File(dir, "extract.marker"),
+        deps = Seq("download"))(() => log += "extract"),
+      Ingest.Task("download", new File(dir, "download.marker"))(
+        () => log += "download"),
+      Ingest.Task("train", new File(dir, "train.marker"),
+        deps = Seq("extract"))(() => log += "train"))
+
+    // first run: dependencies before dependents, regardless of seq order
+    assert(Ingest.runDag(tasks) == Seq("download", "extract", "train"))
+    assert(log.toSeq == Seq("download", "extract", "train"))
+
+    // second run: everything marked -> zero work
+    assert(Ingest.runDag(tasks).isEmpty && log.size == 3)
+
+    // partial resume: drop one marker, only that task re-runs
+    new File(dir, "extract.marker").delete()
+    assert(Ingest.runDag(tasks) == Seq("extract"))
+
+    // cycles fail fast
+    val cyc = Seq(
+      Ingest.Task("a", new File(dir, "a.marker"), deps = Seq("b"))(() => ()),
+      Ingest.Task("b", new File(dir, "b.marker"), deps = Seq("a"))(() => ()))
+    intercept[IllegalArgumentException] { Ingest.runDag(cyc) }
+  }
 }
