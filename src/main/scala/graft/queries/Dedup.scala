@@ -29,6 +29,29 @@ object Dedup {
   private val rowsPerBand = 4
   private val nHash = nBands * rowsPerBand
 
+  // ---- cross-engine integer mixing over Z_2^60 -------------------------
+  // The 16-member minhash family is derived from ONE hash60(sh) digest
+  // per shingle via an affine multiply-shift: h_i = (h*A_i + B_i) mod 2^60
+  // (A_i odd => bijective on Z_2^60). Exactness in both engines:
+  //  - Spark Longs wrap mod 2^64; since 2^60 | 2^64,
+  //    ((h*A + B) wrapped) & (2^60-1) == (h*A + B) mod 2^60 exactly.
+  //  - DuckDB BIGINT arithmetic errors on overflow, so the twin computes
+  //    in HUGEINT (int128) and takes % 2^60 — same value, always positive.
+  // This replaced 16 md5 digests per shingle (plus a string re-hash per
+  // band) after the round-2 bench regression: MD5 is ~10x xxhash-class
+  // cost and the seed-by-string-prefix family multiplied it by nHash.
+  private val Mask60 = (1L << 60) - 1 // 1152921504606846975
+  private val Mod60 = "1152921504606846976" // 2^60 (DuckDB modulus)
+  private val mixA: IndexedSeq[Long] = // odd => bijection on Z_2^60
+    (0 until nHash).map(i => ((0x9E3779B97F4A7C15L * (2 * i + 1)) >>> 4) | 1L)
+  private val mixB: IndexedSeq[Long] =
+    (0 until nHash).map(i => (0xC2B2AE3D27D4EB4FL * (i + 1)) >>> 4)
+  // band fingerprint = sum_r(minhash_r * bandP_r) mod 2^60 — a linear
+  // combination with odd weights; distinct signature tuples collide with
+  // probability ~2^-60, and both engines evaluate it exactly (above).
+  private val bandP: IndexedSeq[Long] =
+    (0 until rowsPerBand).map(r => ((0x2545F4914F6CDD1DL * (2 * r + 3)) >>> 4) | 1L)
+
   /** Adds the whitespace-token column to any (doc_id, text, ...) frame. */
   def withTok(df: DataFrame): DataFrame =
     df.withColumn("tok", expr("split(trim(text), '\\\\s+')"))
@@ -45,20 +68,21 @@ object Dedup {
   private def hash60(e: String): String = s"hash60($e)"
 
   /** (doc_id, band, mh): banded minhash over the doc's distinct 3-shingle
-    * set. Each band value hashes `rowsPerBand` independent minhashes
-    * together, all computed in one grouped pass (map-side partial min).
-    * Hash family: hash60(i || ':' || shingle), i = 0..nHash-1 — MD5-based
-    * so the whole signature table has a DuckDB oracle. */
+    * set. ONE hash60 digest per shingle; the nHash-member family is the
+    * affine mix above (min is map-side partial), and each band value is a
+    * linear combination of its `rowsPerBand` minhashes — all pure integer
+    * arithmetic after the single digest, with an exact DuckDB twin. */
   def signaturesOf(docsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
-    val exploded = shingledOf(docsDf).select(col("doc_id"), col("sh"))
+    val hashed = shingledOf(docsDf)
+      .select(col("doc_id"), expr(hash60("sh")).as("h"))
     val aggs = (0 until nHash).map(i =>
-      min(expr(hash60(s"concat('$i', ':', sh)"))).as(s"h$i"))
-    val wide = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      min(expr(s"(h * ${mixA(i)}L + ${mixB(i)}L) & ${Mask60}L")).as(s"h$i"))
+    val wide = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until nBands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")
-      val sig = s"concat_ws(',', ${hs.map(h => s"cast($h as string)").mkString(", ")})"
-      s"cast($b as bigint), ${hash60(sig)}"
+      val terms = (0 until rowsPerBand)
+        .map(r => s"h${b * rowsPerBand + r} * ${bandP(r)}L").mkString(" + ")
+      s"cast($b as bigint), (($terms) & ${Mask60}L)"
     }
     wide.selectExpr("doc_id",
       s"stack($nBands, ${bandCols.mkString(", ")}) as (band, mh)")
@@ -314,21 +338,29 @@ object Dedup {
   )
 
   /** DuckDB minhash signature query (doc_id, band, mh) mirroring
-    * `signaturesOf`: per-shingle hash60(i || ':' || sh) minimized per
-    * (doc, i), then each band of `rowsPerBand` minhashes is re-hashed via
-    * the same comma-joined string in both engines. */
-  private lazy val minhashSigSql: String =
+    * `signaturesOf`: ONE md5-derived hash60 per shingle, the same affine
+    * family (h*A_i + B_i) mod 2^60 minimized per (doc, i), then the same
+    * linear band combination — HUGEINT keeps the arithmetic exact where
+    * Spark relies on 2^60 | 2^64 wrap-then-mask. */
+  private lazy val minhashSigSql: String = {
+    val mixValues = (0 until nHash).map(i =>
+      s"($i, ${mixA(i)}, ${mixB(i)}, ${bandP(i % rowsPerBand)})")
+      .mkString(", ")
     s"""WITH $docsTokCte,
         ${duckShingleCte("t")},
         e AS (SELECT doc_id, unnest(sh) AS sh FROM __s),
-        h AS (SELECT doc_id, r.i AS i,
-                min(${duckHash60("CAST(r.i AS VARCHAR) || ':' || sh")}) AS mh
-              FROM e CROSS JOIN range($nHash) r(i)
-              GROUP BY doc_id, r.i),
+        h0 AS (SELECT doc_id, ${duckHash60("sh")} AS h FROM e),
+        f(i, a, b, p) AS (VALUES $mixValues),
+        h AS (SELECT doc_id, f.i AS i, f.p AS p,
+                min(CAST((CAST(h AS HUGEINT) * f.a + f.b) % $Mod60
+                  AS BIGINT)) AS mh
+              FROM h0 CROSS JOIN f
+              GROUP BY doc_id, f.i, f.p),
         bb AS (SELECT doc_id, CAST(i // $rowsPerBand AS BIGINT) AS band,
-                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+                 CAST(sum(CAST(mh AS HUGEINT) * p) % $Mod60 AS BIGINT) AS mh
                FROM h GROUP BY doc_id, i // $rowsPerBand)
-        SELECT doc_id, band, ${duckHash60("sig")} AS mh FROM bb"""
+        SELECT doc_id, band, mh FROM bb"""
+  }
 
   /** DuckDB CTE chain from a (doc_id, tok) CTE `t` to `sh`
     * (doc_id, simhash): per-token hash60, per-bit +-1 votes over the
