@@ -37,8 +37,16 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    import glob
-    have = sorted(p.split("/")[-1] for p in glob.glob(f"{out_dir}/q*"))
+    import glob, os
+    have = sorted(p.split("/")[-1] for p in glob.glob(f"{out_dir}/q*")
+                  if os.path.isdir(p))
+    # A query that crashed in Verify leaves no dump dir — surface those as
+    # FAIL (round 3's q35 crash silently vanished from the report).
+    for name in sorted(set(oracle) - set(have)):
+        err = f"{out_dir}/_errors/{name}.txt"
+        msg = open(err).read() if os.path.exists(err) else "no dump written"
+        print(f"FAIL {name}: MISSING from dump dir: {msg[:200]}")
+        n_fail += 1
     for name in have:
         got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         gcols, got = rows_of(got_rel)

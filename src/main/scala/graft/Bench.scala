@@ -9,11 +9,21 @@ import org.apache.spark.sql.SparkSession
   * engine throughput (whole-stage-codegen compilation, JIT, and file
   * listing otherwise land entirely on whichever query happens to run
   * first — observed as ~12 s of noise on the first key).
+  *
+  * Each query then runs `reps` timed repetitions and reports the MEDIAN,
+  * damping scheduler/GC noise (round-2's driver tail showed phantom 6x
+  * regressions on single-shot timings that a clean rerun couldn't
+  * reproduce).
+  *
+  * A query that throws is recorded under "errors" — NOT under "queries"
+  * — because a time-to-exception reads as a (fast) success and masked a
+  * real crash in round 3. A clean run has no "errors" key.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,23 +45,45 @@ object Bench {
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
 
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val timings = Seq.newBuilder[(String, Double)]
+    val errors = Seq.newBuilder[(String, String)]
+    names.foreach { name =>
+      val secs = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errors += name -> s"${e.getClass.getName}: ${e.getMessage}"
+          None
+        }
+      }
+      if (secs.size == reps) timings += name -> secs.sorted.apply(reps / 2)
     }
+
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val results = timings.result()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val errs = errors.result().distinct
+    val errJson = if (errs.isEmpty) ""
+      else errs.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+        .mkString(""","errors":{""", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec,"queries":$qs$errJson,"sf":"$sfDir"}"""
     println(json)
     // the driver records only a truncated tail of stdout — persist the
     // full line so later rounds can diff per-query times without rerunning
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), json + "\n")
     catch { case _: Throwable => () }
+    if (errs.nonEmpty)
+      System.err.println(s"[bench] ${errs.size} queries FAILED: " +
+        errs.map(_._1).mkString(", "))
     spark.stop()
   }
 }

@@ -11,43 +11,71 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Unlike `collect_list` + a `size(...) <= cap` post-filter, the
   * aggregation buffer never grows past cap + 1 elements: once overflow is
-  * detected the buffer stops accepting ids, so one key shared by millions
-  * of rows (a boilerplate shingle at 100 TB) costs O(cap) reducer memory,
-  * not O(df). Overflow is encoded as length == cap + 1, which survives
-  * partial-aggregate merges by construction.
+  * detected the id array is dropped entirely, so one key shared by
+  * millions of rows (a boilerplate shingle at 100 TB) costs O(1) reducer
+  * memory, not O(df). Overflow is encoded as count == cap + 1, which
+  * survives partial-aggregate merges by construction.
+  *
+  * The buffer is (count, array) with capacity doubling, so each reduce
+  * is O(1) amortized — an earlier version did `arr :+ id` per row, a full
+  * copy that made hot groups O(count²). The array may have spare
+  * capacity; only the first `count` slots are meaningful.
   *
   * The returned array is sorted ascending, so downstream pair generation
   * gets a < b for free.
   */
 class CappedIdList(cap: Int)
-    extends Aggregator[Long, Array[Long], Array[Long]] {
+    extends Aggregator[Long, (Int, Array[Long]), Array[Long]] {
   require(cap >= 1, s"cap must be >= 1, got $cap")
 
-  override def zero: Array[Long] = Array.emptyLongArray
+  private val overflow: (Int, Array[Long]) = (cap + 1, Array.emptyLongArray)
 
-  override def reduce(b: Array[Long], a: Long): Array[Long] =
-    if (b.length > cap) b else b :+ a
+  override def zero: (Int, Array[Long]) = (0, Array.emptyLongArray)
 
-  override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
-    if (x.length > cap) x
-    else if (y.length > cap) y
+  override def reduce(b: (Int, Array[Long]), a: Long): (Int, Array[Long]) = {
+    val (n, arr) = b
+    if (n > cap) b
+    else if (n == cap) overflow
     else {
-      val m = new Array[Long](math.min(x.length + y.length, cap + 1))
-      System.arraycopy(x, 0, m, 0, x.length)
-      System.arraycopy(y, 0, m, x.length, m.length - x.length)
-      m
+      val dst =
+        if (n < arr.length) arr
+        else {
+          val grown = new Array[Long](
+            math.min(math.max(4, arr.length * 2), cap))
+          System.arraycopy(arr, 0, grown, 0, n)
+          grown
+        }
+      dst(n) = a
+      (n + 1, dst)
     }
+  }
 
-  override def finish(b: Array[Long]): Array[Long] =
-    if (b.length > cap) null
+  override def merge(x: (Int, Array[Long]),
+      y: (Int, Array[Long])): (Int, Array[Long]) = {
+    if (x._1 > cap) overflow
+    else if (y._1 > cap) overflow
     else {
-      val out = b.clone()
+      val total = x._1 + y._1
+      if (total > cap) overflow
+      else {
+        val m = new Array[Long](total)
+        System.arraycopy(x._2, 0, m, 0, x._1)
+        System.arraycopy(y._2, 0, m, x._1, y._1)
+        (total, m)
+      }
+    }
+  }
+
+  override def finish(b: (Int, Array[Long])): Array[Long] =
+    if (b._1 > cap) null
+    else {
+      val out = java.util.Arrays.copyOf(b._2, b._1)
       java.util.Arrays.sort(out)
       out
     }
 
-  override def bufferEncoder: Encoder[Array[Long]] =
-    ExpressionEncoder[Array[Long]]()
+  override def bufferEncoder: Encoder[(Int, Array[Long])] =
+    ExpressionEncoder[(Int, Array[Long])]()
   override def outputEncoder: Encoder[Array[Long]] =
     ExpressionEncoder[Array[Long]]()
 }

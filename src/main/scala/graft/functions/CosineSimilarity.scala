@@ -85,5 +85,7 @@ object GraftFunctions {
       "simhash_md5", exprs => SimhashMd5(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash60", exprs => Hash60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mix60", exprs => Mix60(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 }

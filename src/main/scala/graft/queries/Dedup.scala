@@ -32,15 +32,15 @@ object Dedup {
   // ---- cross-engine integer mixing over Z_2^60 -------------------------
   // The 16-member minhash family is derived from ONE hash60(sh) digest
   // per shingle via an affine multiply-shift: h_i = (h*A_i + B_i) mod 2^60
-  // (A_i odd => bijective on Z_2^60). Exactness in both engines:
-  //  - Spark Longs wrap mod 2^64; since 2^60 | 2^64,
-  //    ((h*A + B) wrapped) & (2^60-1) == (h*A + B) mod 2^60 exactly.
-  //  - DuckDB BIGINT arithmetic errors on overflow, so the twin computes
-  //    in HUGEINT (int128) and takes % 2^60 — same value, always positive.
+  // (A_i odd => bijective on Z_2^60). The mix runs in the native Mix60
+  // expression — NOT raw SQL arithmetic — because h*A overflows a signed
+  // Long and ANSI mode (the Spark 4 default) turns that into
+  // ARITHMETIC_OVERFLOW; JVM ops inside the expression wrap mod 2^64, and
+  // 2^60 | 2^64 makes wrapped-then-masked exact. The DuckDB twin computes
+  // in HUGEINT (int128) and takes % 2^60 — same value, always positive.
   // This replaced 16 md5 digests per shingle (plus a string re-hash per
   // band) after the round-2 bench regression: MD5 is ~10x xxhash-class
   // cost and the seed-by-string-prefix family multiplied it by nHash.
-  private val Mask60 = (1L << 60) - 1 // 1152921504606846975
   private val Mod60 = "1152921504606846976" // 2^60 (DuckDB modulus)
   private val mixA: IndexedSeq[Long] = // odd => bijection on Z_2^60
     (0 until nHash).map(i => ((0x9E3779B97F4A7C15L * (2 * i + 1)) >>> 4) | 1L)
@@ -77,12 +77,15 @@ object Dedup {
     val hashed = shingledOf(docsDf)
       .select(col("doc_id"), expr(hash60("sh")).as("h"))
     val aggs = (0 until nHash).map(i =>
-      min(expr(s"(h * ${mixA(i)}L + ${mixB(i)}L) & ${Mask60}L")).as(s"h$i"))
+      min(expr(s"mix60(h, ${mixA(i)}L, ${mixB(i)}L)")).as(s"h$i"))
     val wide = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // band fp = (sum_r h_r * p_r) mod 2^60 as chained mix60 accumulation:
+    // masking every step equals masking once (mod-2^60 is additive).
     val bandCols = (0 until nBands).map { b =>
-      val terms = (0 until rowsPerBand)
-        .map(r => s"h${b * rowsPerBand + r} * ${bandP(r)}L").mkString(" + ")
-      s"cast($b as bigint), (($terms) & ${Mask60}L)"
+      val fp = (0 until rowsPerBand).foldLeft("0L") { (acc, r) =>
+        s"mix60(h${b * rowsPerBand + r}, ${bandP(r)}L, $acc)"
+      }
+      s"cast($b as bigint), $fp"
     }
     wide.selectExpr("doc_id",
       s"stack($nBands, ${bandCols.mkString(", ")}) as (band, mh)")

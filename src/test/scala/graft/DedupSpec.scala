@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
-  private val base = "the quick brown fox jumps over the lazy dog " * 4
-  private val nearDup = base.replace("lazy", "sleepy")
-  private val disjoint =
-    "completely different words about spark catalyst tungsten codegen " * 4
+  // 60 distinct words -> 58 distinct 3-shingles; the near-dup changes one
+  // middle word, touching 3 shingles: jaccard = 55/61 ~ 0.90, where the
+  // 4x4 band S-curve gives P(share >= 1 band) ~ 0.99. (A borderline
+  // j ~ 0.6 doc would be a coin flip by design — the curve's midpoint —
+  // and any fixed hash family decides it arbitrarily.)
+  private val base = (1 to 60).map(i => s"w$i").mkString(" ")
+  private val nearDup = base.replace(" w30 ", " changed ")
+  private val disjoint = (1 to 60).map(i => s"z$i").mkString(" ")
 
   private def docsDf: DataFrame = Dedup.withTok(Seq(
     (1L, base), (2L, base), (3L, nearDup), (4L, disjoint)

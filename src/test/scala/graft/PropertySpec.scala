@@ -67,6 +67,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: CappedIdList partial-buffer merges around the cap boundary") {
+    // Split a random id list into random partials, reduce each, merge in
+    // a random fold order: finish must equal the unsplit result — sorted
+    // ids when total <= cap, null when total > cap — regardless of how
+    // partial aggregation slices the group.
+    val agg = new graft.functions.CappedIdList(8)
+    def runPartials(ids: List[Long], cuts: List[Int]): Array[Long] = {
+      val parts = if (cuts.isEmpty) List(ids)
+        else (List(0) ++ cuts.sorted ++ List(ids.size)).distinct
+          .sliding(2).map { case List(a, b) => ids.slice(a, b) }.toList
+      val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(bufs.foldLeft(agg.zero)(agg.merge))
+    }
+    val gen = for {
+      n <- Gen.choose(0, 20) // spans under, at, and over cap = 8
+      ids <- Gen.listOfN(n, Gen.choose(-100L, 100L))
+      cuts <- Gen.listOfN(3, Gen.choose(0, math.max(n, 1)))
+    } yield (ids, cuts)
+    forSamples(gen, 40) { case (ids, cuts) =>
+      val direct = agg.finish(ids.foldLeft(agg.zero)(agg.reduce))
+      val split = runPartials(ids, cuts)
+      if (ids.size > 8) {
+        assert(direct == null && split == null,
+          s"over-cap group must finish null (n=${ids.size})")
+      } else {
+        assert(direct != null && split != null)
+        assert(direct.toSeq == ids.sorted && split.toSeq == ids.sorted)
+      }
+    }
+  }
+
   test("property: session_window equals gaps-and-islands on random gaps") {
     val gapGen = Gen.listOfN(20, Gen.chooseNum(1L, 70L)) // minutes
     forSamples(gapGen, 5) { gaps =>
