@@ -1,9 +1,7 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -18,26 +16,34 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * only inside Spark. 60 bits (not 64) keeps the value positive in a
   * signed BIGINT in both engines. Same fused vote loop as Simhash64: one
   * digest + one 60-iteration loop per token, no per-bit lambdas.
+  *
+  * Codegen'd as a static call into the companion so the per-document
+  * projection stays inside whole-stage codegen.
   */
-case class SimhashMd5(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class SimhashMd5(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val md = SimhashMd5.digest.get()
+  override protected def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(SimhashMd5.simhash(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashMd5.simhash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object SimhashMd5 {
+  /** Per-bit +-1 votes over the token multiset's hash60 values; bit set
+    * when votes > 0. One digest + one 60-iteration loop per token. */
+  def simhash(arr: ArrayData): Long = {
     val votes = new Array[Int](60)
     var t = 0
     while (t < arr.numElements()) {
-      md.reset()
-      val d = md.digest(arr.getUTF8String(t).getBytes)
-      // big-endian first 8 digest bytes >>> 4 == first 15 hex chars
-      var top = 0L
-      var i = 0
-      while (i < 8) { top = (top << 8) | (d(i) & 0xffL); i += 1 }
-      val h = top >>> 4
+      val h = Hash60.eval60(arr.getUTF8String(t))
       var j = 0
       while (j < 60) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -48,14 +54,6 @@ case class SimhashMd5(child: Expression) extends UnaryExpression
     var fp = 0L
     var j = 0
     while (j < 60) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
-    java.lang.Long.valueOf(fp)
+    fp
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
-
-object SimhashMd5 {
-  private val digest: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }

@@ -12,9 +12,15 @@ import org.apache.spark.sql.types.DecimalType
   * Each iteration is one join + one min-aggregation (both shuffle on the
   * node key); labels only decrease, so the fixpoint is reached after
   * diameter(graph) iterations and the loop exits early via a cheap
-  * convergence count. Lineage is truncated with localCheckpoint so the
-  * plan does not double per iteration. This is the standard BSP/Pregel
-  * shape expressed in DataFrame operators.
+  * convergence count. Lineage is truncated per iteration so the plan
+  * does not double — with `reliable = false` via localCheckpoint
+  * (executor-block storage, fastest), with `reliable = true` via
+  * checkpoint() to the configured checkpoint dir, which survives
+  * executor loss: on a 1000-executor cluster a multi-hour BSP loop over
+  * localCheckpoint blocks dies with the first lost executor, so
+  * production runs at scale should pass `reliable = true` (and set
+  * `SparkContext.setCheckpointDir` to a durable FS). This is the
+  * standard BSP/Pregel shape expressed in DataFrame operators.
   */
 object ConnectedComponents {
 
@@ -26,17 +32,27 @@ object ConnectedComponents {
     * so returning the non-converged labels would silently mislabel long
     * chains. An empty edge set short-circuits to an empty result (the
     * potential-sum probe would otherwise NPE on sum-of-nothing = NULL).
+    *
+    * `reliable = true` requires `spark.sparkContext.setCheckpointDir` to
+    * be set (IllegalStateException otherwise, before any work runs).
     */
   def run(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
+      maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
+    if (reliable &&
+        edges.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "reliable = true needs SparkContext.setCheckpointDir(<durable fs>)")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
 
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+    val sym = truncate(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+
+    var labels = truncate(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")))
 
     // labels only decrease, so sum(lbl) is a strictly decreasing
     // potential function: an unchanged sum IS the fixpoint — one cheap
@@ -57,9 +73,9 @@ object ConnectedComponents {
       val nbrLabels = sym
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("lbl"))
-      val next = labels.union(nbrLabels)
-        .groupBy("node").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+      val next = truncate(
+        labels.union(nbrLabels)
+          .groupBy("node").agg(min(col("lbl")).as("lbl")))
       val s = lblSum(next)
       labels = next
       converged = s == prevSum

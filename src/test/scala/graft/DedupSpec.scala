@@ -105,6 +105,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: reliable=true checkpoints and still converges") {
+    // without a checkpoint dir it must fail fast, before any Spark jobs
+    val edges = Seq((5L, 3L), (3L, 9L)).toDF("a_id", "b_id")
+    spark.sparkContext.setCheckpointDir(null)
+    intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents
+        .run(edges, "a_id", "b_id", reliable = true)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val cc = graft.operators.ConnectedComponents
+        .run(edges, "a_id", "b_id", reliable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("jaccard dfCap: a viral stop-shingle cannot explode pair count") {
     // 300 docs share exactly one shingle ("h1 h2 h3"); every other
     // shingle is unique per doc. Uncapped this is 300*299/2 = 44850

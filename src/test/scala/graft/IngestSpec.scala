@@ -65,6 +65,63 @@ class IngestSpec extends AnyFunSuite {
     assert(!marker2.exists(), "marker must not exist after failed work")
   }
 
+  test("download: streams, resumes via Range, survives a flaky server") {
+    import com.sun.net.httpserver.HttpServer
+    val content = ("0123456789" * 500).getBytes // 5000 bytes
+    val rangesSeen = scala.collection.mutable.ArrayBuffer[String]()
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.bin", ex => {
+      val range = Option(ex.getRequestHeaders.getFirst("Range"))
+      range.foreach(rangesSeen += _)
+      range match {
+        case Some(r) => // honor bytes=N-
+          val from = r.stripPrefix("bytes=").stripSuffix("-").toInt
+          ex.getResponseHeaders.add("Content-Range",
+            s"bytes $from-${content.length - 1}/${content.length}")
+          ex.sendResponseHeaders(206, content.length - from)
+          ex.getResponseBody.write(content, from, content.length - from)
+          ex.close()
+        case None =>
+          ex.sendResponseHeaders(200, content.length)
+          ex.getResponseBody.write(content)
+          ex.close()
+      }
+    })
+    server.createContext("/gone", ex => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val dir = tmpDir()
+    try {
+      // plain download
+      val dest = new File(dir, "data.bin")
+      assert(Ingest.download(
+        java.net.URI.create(s"$base/data.bin"), dest) == 5000L)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(dest.toPath), content))
+
+      // resume: a pre-existing .part means the request carries Range and
+      // only the tail is transferred (server returns 206)
+      val dest2 = new File(dir, "resume.bin")
+      java.nio.file.Files.write(new File(dir, "resume.bin.part").toPath,
+        java.util.Arrays.copyOf(content, 2000))
+      assert(Ingest.download(
+        java.net.URI.create(s"$base/data.bin"), dest2) == 5000L)
+      assert(rangesSeen.lastOption.contains("bytes=2000-"))
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(dest2.toPath), content))
+
+      // hard failure surfaces after retries, no dest file appears
+      val dest3 = new File(dir, "gone.bin")
+      intercept[java.io.IOException] {
+        Ingest.download(java.net.URI.create(s"$base/gone"), dest3)
+      }
+      assert(!dest3.exists())
+    } finally server.stop(0)
+  }
+
   test("DAG runner: topo order, idempotent re-run, partial resume") {
     val dir = tmpDir()
     val log = scala.collection.mutable.ArrayBuffer[String]()

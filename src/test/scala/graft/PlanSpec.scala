@@ -14,7 +14,10 @@ class PlanSpec extends SparkSpec {
 
   private def finalPlan(name: String): String = {
     val df: DataFrame = SparkEntry.queries(name)(spark, sf)
-    df.count() // finalize AQE
+    // collect() executes THIS df's QueryExecution — df.count() would spin
+    // up a separate one and leave this plan un-finalized, so AQE-only
+    // facts (stage reuse, AQEShuffleRead) would never show up.
+    df.collect()
     def descend(p: SparkPlan): SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
@@ -54,6 +57,19 @@ class PlanSpec extends SparkSpec {
     val p = finalPlan("q34_cosine_topk")
     assert(p.contains("cosinesimilarity") || p.contains("CosineSimilarity"),
       "native expression expected in the plan")
+  }
+
+  test("q37/q45 shingle aggregate is computed once (exchange reuse)") {
+    // jaccardPairsOf feeds the grouped shingle aggregate to two consumers
+    // (per-doc counts and pair generation). The expensive part — scan,
+    // shingle explode, shuffle write on sh — must run ONCE, with the
+    // second consumer reading a ReusedExchange / reused shuffle stage,
+    // not re-deriving the whole subtree.
+    for (q <- Seq("q37_ngram_jaccard", "q45_curation")) {
+      val p = finalPlan(q)
+      assert(p.toLowerCase.contains("reused"),
+        s"$q must reuse the shingle-group exchange; plan:\n${p.take(800)}")
+    }
   }
 
   test("q12 bucketed twin stays a hash join (the scale-safe shape)") {

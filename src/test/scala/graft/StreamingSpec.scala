@@ -97,6 +97,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact-dedup: hash set and count match batch q32") {
+    // batch keeps min doc_id per hash; the stream keeps first arrival —
+    // parity is on the deduped hash universe and its size, plus every
+    // surviving doc must carry its hash's correct content (hash match).
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamingDedup.exactDedup(
+        graft.streaming.StreamingDedup.docsStream(spark, sf)), "dedup")
+    try {
+      val got = spark.table("dedup").collect()
+      val batch = SparkEntry.queries("q32_exact_dedup")(spark, sf)
+        .collect().map(_.getString(0)).toSet
+      assert(got.length == got.map(_.getString(0)).toSet.size,
+        "no hash may survive twice")
+      assert(got.map(_.getString(0)).toSet == batch,
+        "streaming dedup must keep exactly the batch hash universe")
+    } finally q.stop()
+  }
+
+  test("streaming watermarked dedup collapses in-horizon duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val df = graft.streaming.StreamingDedup.exactDedupWatermarked(
+      in.toDF().toDF("doc_id", "text", "ts")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en")),
+      "ts", "10 minutes")
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup").start()
+    try {
+      // same text twice within the 10-minute horizon -> one survivor
+      in.addData((1L, "same text", ts(0)), (2L, "same text", ts(5)),
+        (3L, "other", ts(5)))
+      q.processAllAvailable()
+      val got = spark.table("wm_dedup").as[(String, Long, String)].collect()
+      assert(got.length == 2, s"expected 2 survivors, got ${got.toSeq}")
+      assert(got.map(_._2).toSet == Set(1L, 3L), "first arrival survives")
+    } finally q.stop()
+  }
+
   test("session window: streaming parity with batch sessionization") {
     // session windows require watermark + append/update; update mode may
     // emit intermediate merged sessions, so compare the final state per
