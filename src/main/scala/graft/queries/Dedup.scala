@@ -162,8 +162,14 @@ object Dedup {
     val cappedIds =
       udaf(new graft.functions.CappedIdList(dfCap),
         org.apache.spark.sql.Encoders.scalaLong)
+    // The group key is xxhash64(sh), not the shingle string: the shuffle
+    // then moves 16 bytes/row instead of ~40 (the dominant cost at
+    // corpus scale). Results are identical unless two DISTINCT shingles
+    // collide in 64 bits (~n²/2^65 — negligible even at 10^12 shingles),
+    // so the DuckDB twin keeps grouping by the string itself.
     val grouped = shingledOf(docsDf)
-      .groupBy("sh")
+      .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+      .groupBy("shk")
       .agg(cappedIds(col("doc_id")).as("ids"))
       .filter(col("ids").isNotNull)
     val counts = grouped

@@ -173,7 +173,24 @@ object Similarity {
         .select(col("vec_id"), round(cosine("emb", "pe"), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(5)
-    })
+    }),
+
+    // q71: int8 symmetric quantization of embedding vectors — the
+    // storage/bandwidth step before shipping vectors to an ANN index.
+    // Map-only; all math is double with a floor(x + 0.5) round so both
+    // engines hit identical IEEE results (no round-half tie exposure),
+    // zero vectors quantize to zeros instead of dividing by zero.
+    "q71_embed_quantize" -> ((s, d) =>
+      emb(s, d)
+        .withColumn("maxabs",
+          array_max(expr("transform(embedding, v -> abs(v))")))
+        .select(col("vec_id"), col("maxabs").cast("double").as("maxabs"),
+          expr("""case when maxabs = cast(0 as float)
+              then transform(embedding, v -> 0)
+              else transform(embedding, v -> cast(floor(
+                cast(v as double) * (cast(127 as double) / cast(maxabs as double))
+                + 0.5d) as int)) end""").as("q"))
+        .orderBy("vec_id"))
   )
 
   private val duckBucket =
@@ -278,6 +295,17 @@ object Similarity {
             round(list_cosine_similarity(e.emb, p.pe), 4) AS sim
           FROM e JOIN p ON e.bucket = p.p_bucket
           WHERE e.vec_id <> 0
-          ORDER BY sim DESC, vec_id LIMIT 5"""
+          ORDER BY sim DESC, vec_id LIMIT 5""",
+
+    "q71_embed_quantize" ->
+      """WITH t AS (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, v -> abs(v))) AS maxabs
+            FROM embeddings)
+          SELECT vec_id, CAST(maxabs AS DOUBLE) AS maxabs,
+            CASE WHEN maxabs = 0 THEN list_transform(embedding, v -> 0)
+                 ELSE list_transform(embedding, v -> CAST(floor(
+                   CAST(v AS DOUBLE) * (127 / CAST(maxabs AS DOUBLE))
+                   + 0.5) AS INTEGER)) END AS q
+          FROM t ORDER BY vec_id"""
   )
 }

@@ -156,6 +156,26 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // q70: intra-document repetition (Gopher-style quality signal) —
+    // the fraction of 3-grams that are duplicates WITHIN the doc. Pure
+    // map-side; emitted as floored basis points (integer arithmetic)
+    // because (n3-d3)/n3 is a small-denominator rational that can land
+    // exactly on a rounding tie where Spark and DuckDB disagree.
+    "q70_repetition" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("sh3", expr(
+          """case when size(tok) < 3 then array()
+             else transform(sequence(1, size(tok) - 2),
+               i -> concat_ws(' ', element_at(tok, i), element_at(tok, i + 1),
+                              element_at(tok, i + 2))) end"""))
+        .select(col("doc_id"),
+          greatest(size(col("tok")) - 2, lit(0)).cast("long").as("n3"),
+          size(array_distinct(col("sh3"))).cast("long").as("d3"))
+        .withColumn("dup_bp",
+          when(col("n3") > 0,
+            expr("((n3 - d3) * 10000) div n3")).otherwise(lit(0L)))
+        .orderBy("doc_id")),
+
     // q43: order-sensitive document fingerprint (rolling polynomial hash
     // over per-token codes — a map-only, shuffle-free fold)
     "q43_fingerprint" -> ((s, d) =>
@@ -262,6 +282,22 @@ object TextOps {
           FROM fd
           WHERE fd.doc_id NOT IN (SELECT doc_id FROM drop_ids)
           ORDER BY fd.doc_id""",
+
+    "q70_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $duckTok AS tok FROM documents),
+          g AS (SELECT doc_id,
+                  CASE WHEN len(tok) < 3 THEN CAST([] AS VARCHAR[])
+                       ELSE list_transform(range(1, len(tok) - 1),
+                         i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+                  END AS sh3,
+                  GREATEST(len(tok) - 2, 0) AS n3
+                FROM t)
+          SELECT doc_id, CAST(n3 AS BIGINT) AS n3,
+            CAST(len(list_distinct(sh3)) AS BIGINT) AS d3,
+            CAST(CASE WHEN n3 > 0
+              THEN ((n3 - len(list_distinct(sh3))) * 10000) // n3
+              ELSE 0 END AS BIGINT) AS dup_bp
+          FROM g ORDER BY doc_id""",
 
     "q43_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $duckTok AS tok FROM documents)

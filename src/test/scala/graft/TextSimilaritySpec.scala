@@ -50,4 +50,26 @@ class TextSimilaritySpec extends SparkSpec {
     val q = SparkEntry.queries("q42_token_count")(spark, sf)
     assert(q.filter($"bpe_tokens" < $"ws_tokens").count() == 0)
   }
+
+  test("repetition: dup_bp is exact integer basis points, bounded") {
+    val q = SparkEntry.queries("q70_repetition")(spark, sf)
+    assert(q.filter($"dup_bp" < 0 || $"dup_bp" > 10000).count() == 0)
+    assert(q.filter($"d3" > $"n3").count() == 0)
+    // invariant: dup_bp == floor((n3 - d3) * 10000 / n3) for n3 > 0
+    assert(q.filter($"n3" > 0 &&
+      $"dup_bp" =!= expr("((n3 - d3) * 10000) div n3")).count() == 0)
+    // the fixture corpus has a 31-word vocab, so repetition must exist
+    assert(q.filter($"dup_bp" > 0).count() > 0)
+  }
+
+  test("int8 quantization: values in [-127, 127], max magnitude hit") {
+    val q = SparkEntry.queries("q71_embed_quantize")(spark, sf)
+    val bad = q.filter(expr(
+      "exists(q, v -> v < -127 OR v > 127)")).count()
+    assert(bad == 0, "quantized values must fit int8 symmetric range")
+    // the element at max |v| must quantize to exactly +-127
+    val noPeak = q.filter($"maxabs" > 0)
+      .filter(!expr("exists(q, v -> abs(v) = 127)")).count()
+    assert(noPeak == 0, "every nonzero vector must reach the scale peak")
+  }
 }
