@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, Mix60}
+import graft.functions.{CosineSimilarity, Mix61}
 
 /** Session-extensions installer: makes graft's native expressions
   * first-class SQL functions on any session built with
@@ -19,8 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       exprs => CosineSimilarity(exprs.head, exprs(1))))
     e.injectFunction((
-      FunctionIdentifier("mix60"),
-      new ExpressionInfo(classOf[Mix60].getName, "mix60"),
-      exprs => Mix60(exprs.head, exprs(1), exprs(2))))
+      FunctionIdentifier("mix61"),
+      new ExpressionInfo(classOf[Mix61].getName, "mix61"),
+      exprs => Mix61(exprs.head, exprs(1), exprs(2))))
   }
 }

@@ -86,6 +86,6 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash60", exprs => Hash60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mix60", exprs => Mix60(exprs.head, exprs(1), exprs(2)), "built-in")
+      "mix61", exprs => Mix61(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 }

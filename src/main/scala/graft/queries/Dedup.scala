@@ -29,28 +29,33 @@ object Dedup {
   private val rowsPerBand = 4
   private val nHash = nBands * rowsPerBand
 
-  // ---- cross-engine integer mixing over Z_2^60 -------------------------
+  // ---- cross-engine integer mixing over Z_M61 --------------------------
   // The 16-member minhash family is derived from ONE hash60(sh) digest
-  // per shingle via an affine multiply-shift: h_i = (h*A_i + B_i) mod 2^60
-  // (A_i odd => bijective on Z_2^60). The mix runs in the native Mix60
-  // expression — NOT raw SQL arithmetic — because h*A overflows a signed
-  // Long and ANSI mode (the Spark 4 default) turns that into
-  // ARITHMETIC_OVERFLOW; JVM ops inside the expression wrap mod 2^64, and
-  // 2^60 | 2^64 makes wrapped-then-masked exact. The DuckDB twin computes
-  // in HUGEINT (int128) and takes % 2^60 — same value, always positive.
-  // This replaced 16 md5 digests per shingle (plus a string re-hash per
-  // band) after the round-2 bench regression: MD5 is ~10x xxhash-class
-  // cost and the seed-by-string-prefix family multiplied it by nHash.
-  private val Mod60 = "1152921504606846976" // 2^60 (DuckDB modulus)
-  private val mixA: IndexedSeq[Long] = // odd => bijection on Z_2^60
-    (0 until nHash).map(i => ((0x9E3779B97F4A7C15L * (2 * i + 1)) >>> 4) | 1L)
-  private val mixB: IndexedSeq[Long] =
-    (0 until nHash).map(i => (0xC2B2AE3D27D4EB4FL * (i + 1)) >>> 4)
-  // band fingerprint = sum_r(minhash_r * bandP_r) mod 2^60 — a linear
-  // combination with odd weights; distinct signature tuples collide with
-  // probability ~2^-60, and both engines evaluate it exactly (above).
+  // per shingle via a Carter–Wegman affine hash over the Mersenne prime
+  // M61 = 2^61 - 1: h_i = (h*A_i + B_i) mod M61 with A_i != 0 — a proper
+  // universal family (a prime modulus mixes every bit; mod-2^k families
+  // leave low bits unmixed, weakening LSH independence). The mix runs in
+  // the native Mix61 expression — NOT raw SQL arithmetic — because h*A
+  // overflows a signed Long and ANSI mode (the Spark 4 default) turns
+  // that into ARITHMETIC_OVERFLOW; the expression computes the 122-bit
+  // product exactly (multiplyHigh + Mersenne folding). The DuckDB twin
+  // computes in HUGEINT (int128) and takes % M61 — identical values.
+  // The single-digest design replaced 16 md5 digests per shingle (plus a
+  // string re-hash per band) after the round-2 bench regression: MD5 is
+  // ~10x xxhash-class cost and the string-prefix family paid it 16x.
+  private val M61 = graft.functions.Mix61.M61
+  private val Mod61 = M61.toString // DuckDB modulus literal
+  private val mixA: IndexedSeq[Long] = // in [1, M61): nonzero multiplier
+    (0 until nHash).map(i =>
+      (((0x9E3779B97F4A7C15L * (2 * i + 1)) >>> 3) % M61) max 1L)
+  private val mixB: IndexedSeq[Long] = // in [0, M61)
+    (0 until nHash).map(i => ((0xC2B2AE3D27D4EB4FL * (i + 1)) >>> 3) % M61)
+  // band fingerprint = sum_r(minhash_r * bandP_r) mod M61 — a nonzero-
+  // weight linear combination over the field Z_M61, so distinct signature
+  // tuples collide with probability 1/M61 (exact, not heuristic).
   private val bandP: IndexedSeq[Long] =
-    (0 until rowsPerBand).map(r => ((0x2545F4914F6CDD1DL * (2 * r + 3)) >>> 4) | 1L)
+    (0 until rowsPerBand).map(r =>
+      (((0x2545F4914F6CDD1DL * (2 * r + 3)) >>> 3) % M61) max 1L)
 
   /** Adds the whitespace-token column to any (doc_id, text, ...) frame. */
   def withTok(df: DataFrame): DataFrame =
@@ -77,13 +82,13 @@ object Dedup {
     val hashed = shingledOf(docsDf)
       .select(col("doc_id"), expr(hash60("sh")).as("h"))
     val aggs = (0 until nHash).map(i =>
-      min(expr(s"mix60(h, ${mixA(i)}L, ${mixB(i)}L)")).as(s"h$i"))
+      min(expr(s"mix61(h, ${mixA(i)}L, ${mixB(i)}L)")).as(s"h$i"))
     val wide = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    // band fp = (sum_r h_r * p_r) mod 2^60 as chained mix60 accumulation:
-    // masking every step equals masking once (mod-2^60 is additive).
+    // band fp = (sum_r h_r * p_r) mod M61 as chained mix61 accumulation:
+    // reducing every step equals reducing once (mod is additive).
     val bandCols = (0 until nBands).map { b =>
       val fp = (0 until rowsPerBand).foldLeft("0L") { (acc, r) =>
-        s"mix60(h${b * rowsPerBand + r}, ${bandP(r)}L, $acc)"
+        s"mix61(h${b * rowsPerBand + r}, ${bandP(r)}L, $acc)"
       }
       s"cast($b as bigint), $fp"
     }
@@ -347,10 +352,10 @@ object Dedup {
   )
 
   /** DuckDB minhash signature query (doc_id, band, mh) mirroring
-    * `signaturesOf`: ONE md5-derived hash60 per shingle, the same affine
-    * family (h*A_i + B_i) mod 2^60 minimized per (doc, i), then the same
-    * linear band combination — HUGEINT keeps the arithmetic exact where
-    * Spark relies on 2^60 | 2^64 wrap-then-mask. */
+    * `signaturesOf`: ONE md5-derived hash60 per shingle, the same
+    * Carter–Wegman family (h*A_i + B_i) mod M61 minimized per (doc, i),
+    * then the same linear band combination — HUGEINT keeps the 122-bit
+    * products exact where Spark uses multiplyHigh + Mersenne folding. */
   private lazy val minhashSigSql: String = {
     val mixValues = (0 until nHash).map(i =>
       s"($i, ${mixA(i)}, ${mixB(i)}, ${bandP(i % rowsPerBand)})")
@@ -361,12 +366,12 @@ object Dedup {
         h0 AS (SELECT doc_id, ${duckHash60("sh")} AS h FROM e),
         f(i, a, b, p) AS (VALUES $mixValues),
         h AS (SELECT doc_id, f.i AS i, f.p AS p,
-                min(CAST((CAST(h AS HUGEINT) * f.a + f.b) % $Mod60
+                min(CAST((CAST(h AS HUGEINT) * f.a + f.b) % $Mod61
                   AS BIGINT)) AS mh
               FROM h0 CROSS JOIN f
               GROUP BY doc_id, f.i, f.p),
         bb AS (SELECT doc_id, CAST(i // $rowsPerBand AS BIGINT) AS band,
-                 CAST(sum(CAST(mh AS HUGEINT) * p) % $Mod60 AS BIGINT) AS mh
+                 CAST(sum(CAST(mh AS HUGEINT) * p) % $Mod61 AS BIGINT) AS mh
                FROM h GROUP BY doc_id, i // $rowsPerBand)
         SELECT doc_id, band, mh FROM bb"""
   }

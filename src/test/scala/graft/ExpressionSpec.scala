@@ -62,31 +62,45 @@ class ExpressionSpec extends SparkSpec {
     assert(diff.count() == 0, "native simhash must equal the HOF fold")
   }
 
-  test("mix60: exact residues mod 2^60 under ANSI mode (BigInt reference)") {
+  test("mix61: exact residues mod M61 under ANSI mode (BigInt reference)") {
     GraftFunctions.register(spark)
     assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
-      "this test must run under ANSI mode — the whole point of mix60")
+      "this test must run under ANSI mode — the whole point of mix61")
+    val M61 = graft.functions.Mix61.M61
     // h and a both ~2^60: the raw SQL h*a would throw ARITHMETIC_OVERFLOW
     val rows = Seq(
       (0x0FEDCBA987654321L, 0x0123456789ABCDEFL, 0x0ABCDEF012345678L),
-      ((1L << 60) - 1, (1L << 60) - 1, (1L << 60) - 1),
-      (0L, 5L, 7L), (1L, 1L, 0L))
+      (M61 - 1, M61 - 1, M61 - 1),
+      (0L, 5L, 7L), (1L, 1L, 0L), (M61 - 1, 2L, 3L))
     val df = rows.toDF("h", "a", "b")
-    val got = df.select(expr("mix60(h, a, b)")).as[Long].collect().toSeq
+    val got = df.select(expr("mix61(h, a, b)")).as[Long].collect().toSeq
     val want = rows.map { case (h, a, b) =>
-      ((BigInt(h) * BigInt(a) + BigInt(b)).mod(BigInt(1) << 60)).toLong
+      ((BigInt(h) * BigInt(a) + BigInt(b)).mod(BigInt(M61))).toLong
     }
     assert(got == want)
   }
 
-  test("mix60: null propagation and type check") {
+  test("mix61: companion matches BigInt on random 61-bit inputs") {
+    val M61 = graft.functions.Mix61.M61
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val h = rnd.nextLong().abs % M61
+      val a = rnd.nextLong().abs % M61
+      val b = rnd.nextLong().abs % M61
+      val want = ((BigInt(h) * BigInt(a) + BigInt(b)) mod BigInt(M61)).toLong
+      assert(graft.functions.Mix61.mix(h, a, b) == want,
+        s"mix61($h, $a, $b)")
+    }
+  }
+
+  test("mix61: null propagation and type check") {
     GraftFunctions.register(spark)
     val df = Seq((Some(1L), None: Option[Long])).toDF("h", "a")
-    assert(df.select(expr("mix60(h, a, 3L)")).head().isNullAt(0))
+    assert(df.select(expr("mix61(h, a, 3L)")).head().isNullAt(0))
     val err = intercept[Exception] {
-      Seq(("x", 1L)).toDF("s", "a").select(expr("mix60(s, a, 0L)")).collect()
+      Seq(("x", 1L)).toDF("s", "a").select(expr("mix61(s, a, 0L)")).collect()
     }
-    assert(err.getMessage.toLowerCase.contains("mix60"))
+    assert(err.getMessage.toLowerCase.contains("mix61"))
   }
 
   test("GraftExtensions installs into SparkSessionExtensions") {
