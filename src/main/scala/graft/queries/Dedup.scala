@@ -247,6 +247,30 @@ object Dedup {
         .orderBy("a_id", "b_id")
     }),
 
+    // q72: benchmark decontamination — training docs whose 3-shingle
+    // sets overlap an evaluation set (here: doc_id < 50 plays the role
+    // of the benchmark corpus). The eval shingle set is DISTINCT + tiny
+    // by construction (benchmarks are small), so it broadcasts; the
+    // train side stays map-local until the per-doc count — the shape
+    // that holds when the train corpus is 100 TB and the eval set is MBs.
+    // Overlap is exact integer basis points (no FP ties).
+    "q72_contamination" -> ((s, d) => {
+      val sh = shingledOf(docs(s, d))
+      val evalSet = sh.filter(col("doc_id") < 50).select("sh").distinct()
+      val train = sh.filter(col("doc_id") >= 50)
+      val hits = train.join(broadcast(evalSet), Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("hit_shingles"))
+      shingleCounts(train)
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("hit_shingles",
+          coalesce(col("hit_shingles"), lit(0L)))
+        .withColumn("contam_bp",
+          expr("(hit_shingles * 10000) div ns"))
+        .filter(col("contam_bp") >= 2500)
+        .select("doc_id", "ns", "hit_shingles", "contam_bp")
+        .orderBy("doc_id")
+    }),
+
     // q67: near-dup CLUSTERS — connected components over the jaccard
     // pair graph (min-label propagation), giving each near-duplicate
     // group a canonical representative. Oracle: DuckDB recursive-CTE
@@ -317,6 +341,23 @@ object Dedup {
                 round(inter / (na + nb - inter), 4) AS jac
          FROM p WHERE inter / (na + nb - inter) >= 0.5
          ORDER BY a_id, b_id""",
+
+    "q72_contamination" ->
+      s"""WITH $docsTokCte,
+          ${duckShingleCte("t")},
+          n0 AS (SELECT doc_id, unnest(sh) AS s FROM __s),
+          ev AS (SELECT DISTINCT s FROM n0 WHERE doc_id < 50),
+          tr AS (SELECT doc_id, s FROM n0 WHERE doc_id >= 50),
+          tot AS (SELECT doc_id, count(*) AS ns FROM tr GROUP BY doc_id),
+          hit AS (SELECT doc_id, count(*) AS hit_shingles
+                  FROM tr WHERE s IN (SELECT s FROM ev)
+                  GROUP BY doc_id)
+          SELECT tot.doc_id, tot.ns,
+            coalesce(hit.hit_shingles, 0) AS hit_shingles,
+            (coalesce(hit.hit_shingles, 0) * 10000) // tot.ns AS contam_bp
+          FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+          WHERE (coalesce(hit.hit_shingles, 0) * 10000) // tot.ns >= 2500
+          ORDER BY tot.doc_id""",
 
     "q35_minhash_sig" -> (minhashSigSql + " ORDER BY doc_id, band"),
 

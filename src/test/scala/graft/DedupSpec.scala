@@ -144,6 +144,16 @@ class DedupSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("contamination: full overlap flags, disjoint text does not") {
+    val q = SparkEntry.queries("q72_contamination")(spark, sf).collect()
+    assert(q.nonEmpty, "fixture near-dups must produce contaminated docs")
+    q.foreach { r =>
+      assert(r.getLong(3) >= 2500 && r.getLong(3) <= 10000)
+      assert(r.getLong(2) <= r.getLong(1), "hits cannot exceed shingles")
+      assert(r.getLong(0) >= 50, "eval docs must not flag themselves")
+    }
+  }
+
   test("exact dedup is idempotent and keeps min doc_id") {
     val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
       .toDF("doc_id", "text")

@@ -72,6 +72,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q72 decontamination broadcasts the eval shingle set") {
+    // the train side must never shuffle on the shingle key — the eval
+    // set is the small side by construction and must broadcast
+    val p = finalPlan("q72_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval-set semi join must be broadcast")
+  }
+
   test("q12 bucketed twin stays a hash join (the scale-safe shape)") {
     // q12_range_join is the declared BNLJ semantics demo; the bucketed
     // twin is the shape to use at 100x. Guard against an optimizer or
