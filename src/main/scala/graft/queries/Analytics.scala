@@ -109,8 +109,14 @@ object Analytics {
         .select(col("doc_id"),
           explode(expr("split(trim(text), '\\\\s+')")).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.distinct().groupBy("term")
-        .agg(count(lit(1)).as("df_t"))
+      // df derives from tf (one row per (doc, term) => row count per term
+      // IS the document frequency): the corpus is scanned, exploded and
+      // shuffled ONCE, and the df pass shuffles only the already-tiny tf
+      // aggregate on term — a second full scan+explode+shuffle of every
+      // token (the previous toks.distinct() formulation) would be the
+      // dominant cost at corpus scale. AQE reuses the tf stage for both
+      // consumers.
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
       val nDocs = Tables.load(s, d, "documents")
         .agg(count(lit(1)).as("n_docs"))
       tf.filter(col("doc_id") < 5)
