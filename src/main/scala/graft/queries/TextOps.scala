@@ -146,9 +146,19 @@ object TextOps {
         .withColumn("pr", length(regexp_replace(col("text"), "[\\w\\s]", ""))
           / length(col("text")))
       val f = q.filter(col("nt") >= 30 && col("pr") <= 0.1)
-      val keepIds = f.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val fd = f.join(keepIds, Seq("doc_id"), "left_semi")
+      // exact dedup via rank-1-per-hash (the q62 shape) instead of
+      // agg-then-semi-join: the agg+join formulation cost three scans of
+      // documents; this costs two (the shingle pipeline and the final
+      // anti-join left re-derive fd with DIFFERENT pruned schemas, which
+      // is the right trade — forcing one shared subtree would read the
+      // union of columns in both). The expensive shingle-group exchange
+      // is still executed once via AQE stage reuse (PlanSpec).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id")
+      val fd = f.withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("h", "rn")
       val nearDupDrop = graft.queries.Dedup.jaccardPairsOf(fd, 0.5)
         .select(col("b_id").as("doc_id")).distinct()
       fd.join(nearDupDrop, Seq("doc_id"), "left_anti")
