@@ -87,5 +87,9 @@ object GraftFunctions {
       "hash60", exprs => Hash60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mix61", exprs => Mix61(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles3", exprs => Shingles3(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pair_combos", exprs => PairCombinations(exprs.head), "built-in")
   }
 }

@@ -96,12 +96,15 @@ object Dedup {
       s"stack($nBands, ${bandCols.mkString(", ")}) as (band, mh)")
   }
 
-  /** (doc_id, sh): the doc's distinct 3-token shingles, exploded.
+  /** (doc_id, sh): the doc's distinct 3-token shingles, exploded, via
+    * the native Shingles3 expression (one fused loop; the HOF transform/
+    * array_distinct chain is CodegenFallback and interpreted ~4 nodes
+    * per token).
     *
     * Two optimizer traps are deliberately sidestepped here (both inline
-    * the full shingle-construction expression — split + transform +
-    * array_distinct — into per-row scan filters, a ~10x slowdown at
-    * sf0.1):
+    * the full shingle-construction expression into per-row scan filters,
+    * a ~10x slowdown at sf0.1 when it was the HOF chain and still a
+    * per-row re-evaluation as a native call):
     *  - plain explode lets InferFiltersFromGenerate derive
     *    `size(sh3) > 0 AND isnotnull(sh3)` and push it below the
     *    projection -> use explode_outer + a cheap attribute filter;
@@ -110,15 +113,13 @@ object Dedup {
     *    aliased expression -> per-doc counts come from shingleCounts()
     *    (an aggregation boundary) instead.
     */
-  def shingledOf(docsDf: DataFrame): DataFrame =
+  def shingledOf(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
     docsDf
-      .withColumn("sh3", expr(
-        """case when size(tok) < 3 then array()
-           else array_distinct(transform(sequence(1, size(tok) - 2),
-             i -> concat_ws(' ', element_at(tok, i), element_at(tok, i + 1),
-                            element_at(tok, i + 2)))) end"""))
+      .withColumn("sh3", expr("shingles3(tok)"))
       .select(col("doc_id"), explode_outer(col("sh3")).as("sh"))
       .filter(col("sh").isNotNull)
+  }
 
   /** (doc_id, ns): distinct-shingle count per document — tiny (one row
     * per doc), broadcast into the pair join. */
@@ -180,11 +181,11 @@ object Dedup {
     val counts = grouped
       .select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    // native pair generation (ids arrive sorted from CappedIdList, so
+    // a_id < b_id by construction); the nested-transform HOF equivalent
+    // interpreted O(c²) lambda trees per group
     grouped.filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-             i -> transform(sequence(i + 1, size(ids) - 1),
-               j -> struct(ids[i] AS a_id, ids[j] AS b_id))))""")).as("p"))
+      .select(explode(expr("pair_combos(ids)")).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))

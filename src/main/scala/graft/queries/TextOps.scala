@@ -171,20 +171,19 @@ object TextOps {
     // map-side; emitted as floored basis points (integer arithmetic)
     // because (n3-d3)/n3 is a small-denominator rational that can land
     // exactly on a rounding tie where Spark and DuckDB disagree.
-    "q70_repetition" -> ((s, d) =>
+    "q70_repetition" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       docs(s, d)
-        .withColumn("sh3", expr(
-          """case when size(tok) < 3 then array()
-             else transform(sequence(1, size(tok) - 2),
-               i -> concat_ws(' ', element_at(tok, i), element_at(tok, i + 1),
-                              element_at(tok, i + 2))) end"""))
         .select(col("doc_id"),
           greatest(size(col("tok")) - 2, lit(0)).cast("long").as("n3"),
-          size(array_distinct(col("sh3"))).cast("long").as("d3"))
+          // total 3-grams minus DISTINCT 3-grams (native Shingles3 —
+          // the count doesn't need the non-distinct list materialized)
+          size(expr("shingles3(tok)")).cast("long").as("d3"))
         .withColumn("dup_bp",
           when(col("n3") > 0,
             expr("((n3 - d3) * 10000) div n3")).otherwise(lit(0L)))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // q43: order-sensitive document fingerprint (rolling polynomial hash
     // over per-token codes — a map-only, shuffle-free fold)

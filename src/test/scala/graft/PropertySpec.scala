@@ -74,9 +74,9 @@ class PropertySpec extends SparkSpec {
     // partial aggregation slices the group.
     val agg = new graft.functions.CappedIdList(8)
     def runPartials(ids: List[Long], cuts: List[Int]): Array[Long] = {
-      val parts = if (cuts.isEmpty) List(ids)
-        else (List(0) ++ cuts.sorted ++ List(ids.size)).distinct
-          .sliding(2).map { case List(a, b) => ids.slice(a, b) }.toList
+      val bounds = (List(0) ++ cuts ++ List(ids.size)).distinct.sorted
+      val parts = if (bounds.size < 2) List(ids)
+        else bounds.zip(bounds.tail).map { case (a, b) => ids.slice(a, b) }
       val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
       agg.finish(bufs.foldLeft(agg.zero)(agg.merge))
     }
