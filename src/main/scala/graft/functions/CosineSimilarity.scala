@@ -73,23 +73,32 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+  /** The single source of truth for graft's native SQL functions:
+    * name -> (expression class, builder). Both registration surfaces —
+    * per-session [[register]] and the `spark.sql.extensions` installer
+    * (graft.GraftExtensions) — iterate this table, so they can never
+    * drift apart. */
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity],
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))),
+    ("simhash64", classOf[Simhash64],
+      (exprs: Seq[Expression]) => Simhash64(exprs.head)),
+    ("simhash_md5", classOf[SimhashMd5],
+      (exprs: Seq[Expression]) => SimhashMd5(exprs.head)),
+    ("hash60", classOf[Hash60],
+      (exprs: Seq[Expression]) => Hash60(exprs.head)),
+    ("mix61", classOf[Mix61],
+      (exprs: Seq[Expression]) => Mix61(exprs.head, exprs(1), exprs(2))),
+    ("shingles3", classOf[Shingles3],
+      (exprs: Seq[Expression]) => Shingles3(exprs.head)),
+    ("pair_combos", classOf[PairCombinations],
+      (exprs: Seq[Expression]) => PairCombinations(exprs.head)))
+
   /** Idempotently register graft's native expressions on a session, so
     * `expr("cosine_sim(a, b)")` etc. resolve (SQL + DataFrame surfaces). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => Simhash64(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_md5", exprs => SimhashMd5(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hash60", exprs => Hash60(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mix61", exprs => Mix61(exprs.head, exprs(1), exprs(2)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingles3", exprs => Shingles3(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pair_combos", exprs => PairCombinations(exprs.head), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

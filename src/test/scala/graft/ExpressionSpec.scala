@@ -103,9 +103,49 @@ class ExpressionSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("mix61"))
   }
 
+  test("shingles3: bit-identical to the HOF formulation on real data") {
+    GraftFunctions.register(spark)
+    val docs = graft.queries.Dedup.withTok(
+      Tables.load(spark, sf, "documents"))
+    val hof =
+      """case when size(tok) < 3 then array()
+         else array_distinct(transform(sequence(1, size(tok) - 2),
+           i -> concat_ws(' ', element_at(tok, i), element_at(tok, i + 1),
+                          element_at(tok, i + 2)))) end"""
+    val diff = docs
+      .select(expr("shingles3(tok)").as("a"), expr(hof).as("b"))
+      .filter($"a" =!= $"b")
+    assert(diff.count() == 0, "native shingles must equal the HOF chain")
+  }
+
+  test("pair_combos: equals the nested-transform formulation + edge cases") {
+    GraftFunctions.register(spark)
+    val df = Seq(Seq(1L, 2L, 3L), Seq(7L, 9L), Seq(4L), Seq.empty[Long])
+      .toDF("ids")
+    val hof =
+      """flatten(transform(sequence(0, size(ids) - 2),
+           i -> transform(sequence(i + 1, size(ids) - 1),
+             j -> struct(ids[i] AS a_id, ids[j] AS b_id))))"""
+    // HOF yields NULL for size < 2 (sequence(0, -1) errors are avoided
+    // by flatten of empty); compare only where both defined, and pin
+    // the native behavior on tiny arrays explicitly
+    val both = df.filter(size($"ids") >= 2)
+      .select(expr("pair_combos(ids)").as("a"), expr(hof).as("b"))
+      .filter($"a" =!= $"b")
+    assert(both.count() == 0)
+    val tiny = df.filter(size($"ids") < 2)
+      .select(size(expr("pair_combos(ids)")).as("n")).as[Int].collect()
+    assert(tiny.toSeq == Seq(0, 0), "singleton/empty arrays yield no pairs")
+  }
+
   test("GraftExtensions installs into SparkSessionExtensions") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)  // must register without throwing
+    // both surfaces iterate GraftFunctions.all — pin the full set here
+    // so adding an expression without registering it fails a test
+    assert(GraftFunctions.all.map(_._1).toSet == Set("cosine_sim",
+      "simhash64", "simhash_md5", "hash60", "mix61", "shingles3",
+      "pair_combos"))
   }
 
   test("cosine_sim: null propagation") {
