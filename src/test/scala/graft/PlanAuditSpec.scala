@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Whole-inventory plan audit: no accidental cartesian/nested-loop
+  * joins anywhere. BNLJ is tolerated only where it is the declared
+  * semantics (non-equi demo) or a 1-row-broadcast cross (scalar
+  * aggregate fanned out to every row) — each allowlisted entry is a
+  * deliberate, documented choice, so a refactor that degrades any other
+  * query to a nested loop fails here rather than at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // q11: declared cross-join semantics (bounded tiny side)
+  // q12_range_join: declared non-equi BNLJ demo (bucketed twin is the
+  //   scale shape and is PlanSpec-guarded)
+  // q61/q50/q53/q57/q60: 1-row scalar-aggregate broadcast cross
+  //   (n_docs, total counts, funnel numerator/denominator) — constant
+  //   fan-out, not a pair explosion
+  // q34: the top-k probe is ONE broadcast row against the corpus
+  // q58: the 48-hour x 5-type grid cross — both sides constants
+  private val bnljAllowed = Set("q11_cross_join", "q12_range_join",
+    "q61_tfidf", "q50_ivf_kmeans", "q53_profile", "q57_stats",
+    "q60_funnel", "q34_cosine_topk", "q58_gap_fill")
+
+  test("no CartesianProduct anywhere; BNLJ only where declared") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = (df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case o => o
+      }).toString
+      val cart = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") &&
+        !bnljAllowed.contains(name)
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
