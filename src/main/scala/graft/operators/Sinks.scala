@@ -32,4 +32,22 @@ object Sinks {
   def readJson(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC round-trip — the built-in columnar alternative to parquet,
+    * with the same predicate-pushdown/partition-pruning story (the
+    * reader applies search arguments from row-group statistics). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Text-lines round-trip (single `value` STRING column) — raw-corpus
+    * ingest/export; one line per document, so the writer rejects
+    * multi-column frames at plan time rather than corrupting output. */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
 }

@@ -82,8 +82,10 @@ object TextOps {
         .withColumn("hits_en", expr(hitsExpr(profiles.head._2)))
         .select(col("doc_id"),
           size(col("tok")).cast("long").as("n_tokens"),
-          round(expr("aggregate(transform(tok, t -> cast(length(t) as double))," +
-            " cast(0.0 as double), (a, x) -> a + x)") / size(col("tok")), 4)
+          // sum of token lengths == length of the zero-separator join —
+          // a codegen'd builtin; the aggregate/transform HOF chain this
+          // replaces was CodegenFallback (interpreted per token)
+          round(length(array_join(col("tok"), "")) / size(col("tok")), 4)
             .as("avg_tok_len"),
           round(length(regexp_replace(col("text"), "[\\w\\s]", ""))
             / length(col("text")), 6).as("punct_ratio"),

@@ -70,6 +70,16 @@ class BucketingSpec extends SparkSpec {
     graft.operators.Sinks.writeJson(docs, s"$dir/json")
     val jsonBack = graft.operators.Sinks.readJson(spark, s"$dir/json", docs.schema)
     assert(jsonBack.collect().toSet == docs.collect().toSet)
+    graft.operators.Sinks.writeOrc(docs, s"$dir/orc")
+    val orcBack = graft.operators.Sinks.readOrc(spark, s"$dir/orc")
+    assert(orcBack.schema.fieldNames.toSeq == docs.schema.fieldNames.toSeq)
+    assert(orcBack.collect().toSet == docs.collect().toSet)
+    val lines = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("text"))
+    graft.operators.Sinks.writeText(lines, s"$dir/text")
+    val textBack = graft.operators.Sinks.readText(spark, s"$dir/text")
+    assert(textBack.collect().map(_.getString(0)).toSet ==
+      lines.collect().map(_.getString(0)).toSet)
   }
 
   test("aggregation on the bucket key also skips the shuffle") {
