@@ -97,6 +97,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming parquet sink: checkpointed append lands finalized windows") {
+    // the production path — writeStream to a parquet directory with a
+    // checkpoint — not just the memory sink the parity tests use
+    val out = java.nio.file.Files.createTempDirectory("ssink").toString
+    val q = StreamingWindows.tumbling(spark, sf)
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$out/data").collect().toSet
+    val batch = batchRows("q29_tumbling_window")
+    assert(got.nonEmpty && got.subsetOf(batch),
+      "file-sink rows must be finalized batch rows")
+  }
+
   test("streaming exact-dedup: hash set and count match batch q32") {
     // batch keeps min doc_id per hash; the stream keeps first arrival —
     // parity is on the deduped hash universe and its size, plus every
