@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the formatted physical plan of one or more queries.
   * Usage: runMain graft.Explain <queryName>... [-sf <dir>]
@@ -10,9 +9,7 @@ object Explain {
     val sfIdx = args.indexOf("-sf")
     val sfDir = if (sfIdx >= 0) args(sfIdx + 1) else "/root/testdata/sf0.01"
     val names = args.filterNot(Seq("-sf", sfDir).contains)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = GraftSession.builder("local[8]", 8)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
