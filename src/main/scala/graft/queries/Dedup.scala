@@ -272,6 +272,31 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // q73: INCREMENTAL dedup — a new batch (doc_id >= 250) deduped
+    // against the existing corpus (doc_id < 250): exact-hash anti-join
+    // first, then a minhash band-bucket anti-join for near-dups. This is
+    // the recurring-ingest production pattern: in deployment the corpus
+    // hash/band tables are PRECOMPUTED incremental state (bucketed on
+    // their keys — operators/Bucketing — so these joins co-locate with
+    // zero shuffle of the corpus); both joins here stay shuffle joins
+    // keyed on (h) / (band, mh) because at 100 TB the corpus side is the
+    // big one and must never be broadcast.
+    "q73_incremental_dedup" -> ((s, d) => {
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") < 250)
+      val batch = all.filter(col("doc_id") >= 250)
+      val corpusHash = corpus.select(md5(col("text")).as("h")).distinct()
+      val exactNew = batch.withColumn("h", md5(col("text")))
+        .join(corpusHash, Seq("h"), "left_anti")
+      val corpusBands = signaturesOf(corpus).select("band", "mh").distinct()
+      val nearDupIds = signaturesOf(exactNew)
+        .join(corpusBands, Seq("band", "mh"), "left_semi")
+        .select("doc_id").distinct()
+      exactNew.join(nearDupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // q67: near-dup CLUSTERS — connected components over the jaccard
     // pair graph (min-label propagation), giving each near-duplicate
     // group a canonical representative. Oracle: DuckDB recursive-CTE
@@ -361,6 +386,23 @@ object Dedup {
           ORDER BY tot.doc_id""",
 
     "q35_minhash_sig" -> (minhashSigSql + " ORDER BY doc_id, band"),
+
+    "q73_incremental_dedup" ->
+      s"""WITH sig AS ($minhashSigSql),
+          hh AS (SELECT doc_id, md5(text) AS h FROM documents),
+          corpus_h AS (SELECT DISTINCT h FROM hh WHERE doc_id < 250),
+          exact_new AS (SELECT doc_id FROM hh WHERE doc_id >= 250
+                        AND h NOT IN (SELECT h FROM corpus_h)),
+          corpus_bands AS (SELECT DISTINCT band, mh FROM sig
+                           WHERE doc_id < 250),
+          near_dup AS (SELECT DISTINCT s.doc_id FROM sig s
+                       JOIN corpus_bands cb
+                         ON s.band = cb.band AND s.mh = cb.mh
+                       WHERE s.doc_id >= 250)
+          SELECT e.doc_id, d.lang
+          FROM exact_new e JOIN documents d USING (doc_id)
+          WHERE e.doc_id NOT IN (SELECT doc_id FROM near_dup)
+          ORDER BY doc_id""",
 
     "q35_minhash_pairs" ->
       s"""WITH sig AS ($minhashSigSql)

@@ -154,6 +154,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: survivors are batch-only, and some are dropped") {
+    val got = SparkEntry.queries("q73_incremental_dedup")(spark, sf)
+      .collect().map(_.getLong(0))
+    val batchSize = Tables.load(spark, sf, "documents")
+      .filter($"doc_id" >= 250).count()
+    assert(got.forall(_ >= 250), "corpus docs must never appear")
+    assert(got.length < batchSize,
+      "the fixture's cross-split duplicates must be dropped")
+    assert(got.nonEmpty, "unique batch docs must survive")
+  }
+
   test("exact dedup is idempotent and keeps min doc_id") {
     val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
       .toDF("doc_id", "text")
