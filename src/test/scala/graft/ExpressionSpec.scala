@@ -118,6 +118,33 @@ class ExpressionSpec extends SparkSpec {
     assert(diff.count() == 0, "native shingles must equal the HOF chain")
   }
 
+  test("shingles3 + simhash_md5 + hash60: unicode/multibyte parity") {
+    GraftFunctions.register(spark)
+    // multibyte tokens (accents, CJK, emoji) must hash/shingle exactly
+    // like the SQL formulations — both paths operate on UTF-8 bytes
+    val docs = Seq(
+      (1L, "café naïve 東京 こんにちは café über 東京 emoji🎉 mix"),
+      (2L, "ASCII only words here for contrast with the rest of them")
+    ).toDF("doc_id", "text")
+    val tokked = graft.queries.Dedup.withTok(docs)
+    val hofShingles =
+      """case when size(tok) < 3 then array()
+         else array_distinct(transform(sequence(1, size(tok) - 2),
+           i -> concat_ws(' ', element_at(tok, i), element_at(tok, i + 1),
+                          element_at(tok, i + 2)))) end"""
+    assert(tokked.select(expr("shingles3(tok)").as("a"),
+        expr(hofShingles).as("b"))
+      .filter($"a" =!= $"b").count() == 0)
+    val sqlHash60 =
+      "cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)"
+    assert(docs.select(expr("hash60(text)").as("a"),
+        expr(sqlHash60).as("b"))
+      .filter($"a" =!= $"b").count() == 0)
+    // simhash must be deterministic + content-sensitive on unicode
+    val sh = tokked.select(expr("simhash_md5(tok)")).as[Long].collect()
+    assert(sh(0) != sh(1) && sh.forall(v => v >= 0 && v < (1L << 60)))
+  }
+
   test("pair_combos: equals the nested-transform formulation + edge cases") {
     GraftFunctions.register(spark)
     val df = Seq(Seq(1L, 2L, 3L), Seq(7L, 9L), Seq(4L), Seq.empty[Long])
