@@ -4,23 +4,33 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** Distributed connected components via min-label propagation — the
-  * canonical "beyond plain SQL" dedup operator: near-duplicate PAIRS
-  * only become removable once they are grouped into clusters with a
-  * canonical representative (the minimum doc id).
+/** Distributed connected components via min-label propagation with
+  * pointer doubling — the canonical "beyond plain SQL" dedup operator:
+  * near-duplicate PAIRS only become removable once they are grouped
+  * into clusters with a canonical representative (the minimum doc id).
   *
-  * Each iteration is one join + one min-aggregation (both shuffle on the
-  * node key); labels only decrease, so the fixpoint is reached after
-  * diameter(graph) iterations and the loop exits early via a cheap
-  * convergence count. Lineage is truncated per iteration so the plan
-  * does not double — with `reliable = false` via localCheckpoint
-  * (executor-block storage, fastest), with `reliable = true` via
-  * checkpoint() to the configured checkpoint dir, which survives
-  * executor loss: on a 1000-executor cluster a multi-hour BSP loop over
-  * localCheckpoint blocks dies with the first lost executor, so
-  * production runs at scale should pass `reliable = true` (and set
-  * `SparkContext.setCheckpointDir` to a durable FS). This is the
-  * standard BSP/Pregel shape expressed in DataFrame operators.
+  * Each iteration is a neighbor-min step (one join + one
+  * min-aggregation, both shuffling on the node key) followed by a
+  * pointer-doubling step (lbl <- lbl(lbl), one self-join on the label):
+  * the neighbor step extends a label's reach by one hop, the jump then
+  * doubles it, so the fixpoint arrives in O(log diameter) rounds
+  * instead of O(diameter) — a 1000-node path converges in ~10 rounds
+  * where plain min-label propagation needs 1000. At 100 TB graph scale
+  * the round count is the dominant cost (each round is a full shuffle +
+  * checkpoint + driver-blocking aggregate), which makes the logarithmic
+  * bound the difference between minutes and hours on long-chain
+  * components. Labels only decrease, so convergence is detected by an
+  * unchanged label-sum potential.
+  *
+  * Lineage is truncated per iteration so the plan does not double —
+  * with `reliable = false` via localCheckpoint (executor-block storage,
+  * fastest), with `reliable = true` via checkpoint() to the configured
+  * checkpoint dir, which survives executor loss: on a 1000-executor
+  * cluster a multi-hour BSP loop over localCheckpoint blocks dies with
+  * the first lost executor, so production runs at scale should pass
+  * `reliable = true` (and set `SparkContext.setCheckpointDir` to a
+  * durable FS). This is the standard BSP/Pregel shape expressed in
+  * DataFrame operators.
   */
 object ConnectedComponents {
 
@@ -28,16 +38,25 @@ object ConnectedComponents {
     * (node, cluster_id = smallest reachable node id).
     *
     * Throws IllegalStateException if maxIter is reached before the
-    * fixpoint — min-label propagation needs diameter(graph) iterations,
-    * so returning the non-converged labels would silently mislabel long
-    * chains. An empty edge set short-circuits to an empty result (the
-    * potential-sum probe would otherwise NPE on sum-of-nothing = NULL).
+    * fixpoint — returning non-converged labels would silently mislabel
+    * long chains. With pointer doubling the required round count is
+    * ~log2(diameter) + 2, so the default maxIter = 20 covers graphs up
+    * to diameter ~2^18. An empty edge set short-circuits to an empty
+    * result (the potential-sum probe would otherwise NPE on
+    * sum-of-nothing = NULL).
     *
     * `reliable = true` requires `spark.sparkContext.setCheckpointDir` to
     * be set (IllegalStateException otherwise, before any work runs).
     */
   def run(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
+      maxIter: Int = 20, reliable: Boolean = false): DataFrame =
+    runWithStats(edges, aCol, bCol, maxIter, reliable)._1
+
+  /** As [[run]], and also returns the number of BSP rounds executed
+    * (including the final unchanged-potential confirmation round) —
+    * observable so tests can pin the O(log diameter) bound. */
+  def runWithStats(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20, reliable: Boolean = false): (DataFrame, Int) = {
     if (reliable &&
         edges.sparkSession.sparkContext.getCheckpointDir.isEmpty)
       throw new IllegalStateException(
@@ -65,7 +84,7 @@ object ConnectedComponents {
 
     var prevSum = lblSum(labels)
     if (prevSum.isEmpty) // no edges -> no nodes -> no clusters
-      return labels.select(col("node"), col("lbl").as("cluster_id"))
+      return (labels.select(col("node"), col("lbl").as("cluster_id")), 0)
 
     var converged = false
     var i = 0
@@ -73,9 +92,22 @@ object ConnectedComponents {
       val nbrLabels = sym
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("lbl"))
+      val minned = labels.union(nbrLabels)
+        .groupBy("node").agg(min(col("lbl")).as("lbl"))
+      // pointer-doubling step: lbl <- min(lbl, lbl(lbl)). Every label IS
+      // a node id present in `minned` (labels are always reachable node
+      // ids), so the lookup matches every row; left + coalesce keeps the
+      // step total even if that invariant were perturbed. The two sides
+      // of the self-join are the identical aggregate, so the exchange is
+      // planned once and reused (ReuseExchange).
       val next = truncate(
-        labels.union(nbrLabels)
-          .groupBy("node").agg(min(col("lbl")).as("lbl")))
+        minned
+          .join(
+            minned.select(col("node").as("lbl"), col("lbl").as("lbl2")),
+            Seq("lbl"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("lbl2"), col("lbl")))
+              .as("lbl")))
       val s = lblSum(next)
       labels = next
       converged = s == prevSum
@@ -85,7 +117,8 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter iterations; " +
-          "raise maxIter above the graph diameter")
-    labels.select(col("node"), col("lbl").as("cluster_id"))
+          "the pointer-doubling bound is ~log2(diameter) + 2 rounds — " +
+          "raise maxIter accordingly")
+    (labels.select(col("node"), col("lbl").as("cluster_id")), i)
   }
 }

@@ -180,16 +180,20 @@ object Similarity {
     // Map-only; all math is double with a floor(x + 0.5) round so both
     // engines hit identical IEEE results (no round-half tie exposure),
     // zero vectors quantize to zeros instead of dividing by zero.
+    // The quantized vector is emitted as a CSV string (q_csv), not an
+    // ARRAY<INT>: the driver's pandas compare lexsorts every output
+    // column, and numpy arrays are unhashable there — oracled outputs
+    // must be scalar-typed (ContractSpec pins this inventory-wide).
     "q71_embed_quantize" -> ((s, d) =>
       emb(s, d)
         .withColumn("maxabs",
           array_max(expr("transform(embedding, v -> abs(v))")))
         .select(col("vec_id"), col("maxabs").cast("double").as("maxabs"),
-          expr("""case when maxabs = cast(0 as float)
-              then transform(embedding, v -> 0)
-              else transform(embedding, v -> cast(floor(
+          expr("""array_join(case when maxabs = cast(0 as float)
+              then transform(embedding, v -> '0')
+              else transform(embedding, v -> cast(cast(floor(
                 cast(v as double) * (cast(127 as double) / cast(maxabs as double))
-                + 0.5d) as int)) end""").as("q"))
+                + 0.5d) as int) as string)) end, ',')""").as("q_csv"))
         .orderBy("vec_id"))
   )
 
@@ -302,10 +306,11 @@ object Similarity {
               list_max(list_transform(embedding, v -> abs(v))) AS maxabs
             FROM embeddings)
           SELECT vec_id, CAST(maxabs AS DOUBLE) AS maxabs,
-            CASE WHEN maxabs = 0 THEN list_transform(embedding, v -> 0)
-                 ELSE list_transform(embedding, v -> CAST(floor(
-                   CAST(v AS DOUBLE) * (127 / CAST(maxabs AS DOUBLE))
-                   + 0.5) AS INTEGER)) END AS q
+            array_to_string(
+              CASE WHEN maxabs = 0 THEN list_transform(embedding, v -> 0)
+                   ELSE list_transform(embedding, v -> CAST(floor(
+                     CAST(v AS DOUBLE) * (127 / CAST(maxabs AS DOUBLE))
+                     + 0.5) AS INTEGER)) END, ',') AS q_csv
           FROM t ORDER BY vec_id"""
   )
 }

@@ -18,4 +18,22 @@ class ContractSpec extends SparkSpec {
     val empty = SparkEntry.queries.keys.filter(rows(_) == 0)
     assert(empty.isEmpty, s"empty results: ${empty.toList.sorted}")
   }
+
+  test("oracled query outputs are scalar-typed (driver-sortable)") {
+    // The driver's pandas-based oracle compare lexsorts every output
+    // column; array/map/binary cells are unhashable there and crash the
+    // compare (the r4 q71 failure class). Nested types must be flattened
+    // (array_join / explode-to-long) before the final projection.
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType}
+    val offenders = SparkEntry.oracleSql.keys.toList.sorted.flatMap { k =>
+      val bad = SparkEntry.queries(k)(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType == BinaryType => f.name
+      }
+      if (bad.isEmpty) None else Some(s"$k(${bad.mkString(",")})")
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar columns in oracled outputs: $offenders")
+  }
 }

@@ -86,7 +86,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connected components: long chain converges; short maxIter throws") {
-    // path graph 0-1-2-...-12: diameter 12, so label 0 needs 12 rounds
+    // path graph 0-1-2-...-12: diameter 12; pointer doubling needs
+    // ~log2(12)+2 = 5 rounds (plain min-label would need 13)
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val cc = graft.operators.ConnectedComponents
       .run(chain, "a_id", "b_id", maxIter = 20)
@@ -98,11 +99,24 @@ class DedupSpec extends SparkSpec {
       .run(star, "a_id", "b_id", maxIter = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(sc.length == 31 && sc.forall(_._2 == 0L))
-    // a maxIter below the diameter must fail loudly, not mislabel
+    // a maxIter below the convergence bound must fail loudly, not
+    // mislabel (diameter-12 doubling needs 5 rounds; 2 is too few)
     intercept[IllegalStateException] {
       graft.operators.ConnectedComponents
-        .run(chain, "a_id", "b_id", maxIter = 3).collect()
+        .run(chain, "a_id", "b_id", maxIter = 2).collect()
     }
+  }
+
+  test("connected components: 1000-node path converges in O(log n) rounds") {
+    // plain min-label propagation needs 1000 rounds here; pointer
+    // doubling's reach recurrence r' = 2(r + 1) covers 999 hops by
+    // round 9, +1 confirmation round => 10. Pin the log bound at <= 12.
+    val path = (0L until 999L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labelsDf, iters) = graft.operators.ConnectedComponents
+      .runWithStats(path, "a_id", "b_id", maxIter = 15)
+    val labels = labelsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 1000 && labels.forall(_._2 == 0L))
+    assert(iters <= 12, s"expected O(log n) convergence, took $iters rounds")
   }
 
   test("connected components: reliable=true checkpoints and still converges") {
