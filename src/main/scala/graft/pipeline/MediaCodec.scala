@@ -1,0 +1,56 @@
+package graft.pipeline
+
+/** The compressed-media decode seam: everything this container cannot do
+  * for real (mp3/ogg/aac audio decode, video demux/frame decode) sits
+  * behind this ONE injectable value, mirroring the `util.Ingest`
+  * HTTP-client seam. The Spark-side plumbing — schema, batch shape,
+  * partitioning, drop-undecodable policy — is identical whichever
+  * implementation is plugged in, so a codec-equipped deploy swaps
+  * [[MediaCodec.Stub]] for a real decoder without touching any pipeline
+  * code. Implementations must be Serializable (they ship inside task
+  * closures) and should be deterministic per byte-input so reruns and
+  * retried tasks agree.
+  */
+trait MediaCodec extends Serializable {
+
+  /** Compressed-audio decode + feature step: `nMel` energies per clip,
+    * or None when the bytes cannot be decoded — the row is dropped,
+    * matching the image pipeline's drop-undecodable policy. (WAV/PCM
+    * needs no codec: use [[Multimodal.audioFeatures]], which decodes
+    * for real via javax.sound.) */
+  def audioFeatures(bytes: Array[Byte], nMel: Int): Option[Array[Float]]
+
+  /** Video demux + frame sampling: one (tsMs, frameBytes) pair per
+    * sampled frame — at most `maxFrames`, one every `everyMs`. */
+  def sampleFrames(bytes: Array[Byte], everyMs: Long,
+      maxFrames: Int): Seq[(Long, Array[Byte])]
+}
+
+object MediaCodec {
+
+  /** STUB — deterministic fakes, honestly marked: this container ships
+    * no mp3/ogg/aac or video codecs, so decode is faked while the
+    * distributed plumbing stays real and tested. Pseudo-mel energies
+    * are a byte-stride hash of the content; pseudo-frames are byte
+    * slices, preserving the one-row-per-frame output shape. */
+  object Stub extends MediaCodec {
+
+    override def audioFeatures(bytes: Array[Byte],
+        nMel: Int): Option[Array[Float]] =
+      Some(Array.tabulate(nMel) { m =>
+        var acc = 0L
+        var i = m
+        while (i < bytes.length) { acc = acc * 31 + (bytes(i) & 0xff); i += nMel }
+        (acc & 0xffff).toFloat / 0xffff
+      })
+
+    override def sampleFrames(bytes: Array[Byte], everyMs: Long,
+        maxFrames: Int): Seq[(Long, Array[Byte])] = {
+      val n = math.min(maxFrames, math.max(1, bytes.length / 16))
+      (0 until n).map { f =>
+        val start = f * (bytes.length / n)
+        (f.toLong * everyMs, bytes.slice(start, start + 16))
+      }
+    }
+  }
+}

@@ -11,10 +11,11 @@ import org.apache.spark.sql.types._
   * Image decode is REAL (JDK ImageIO via graft.pipeline.ImageOps —
   * jpeg/png/bmp/gif). Audio decode is REAL for WAV/PCM (JDK
   * javax.sound.sampled via graft.pipeline.AudioOps). Compressed audio
-  * codecs and video frame extraction are STUBBED with deterministic
-  * fakes (this container ships no mp3/ogg/aac/video codecs); the
-  * Spark-side plumbing — schema, batch shape, partitioning — is real and
-  * tested, and a production deploy swaps only the marked functions.
+  * codecs and video frame extraction go through the injectable
+  * [[MediaCodec]] seam, whose default is a documented deterministic
+  * stub (this container ships no mp3/ogg/aac/video codecs); the
+  * Spark-side plumbing — schema, batch shape, partitioning — is real
+  * and tested, and a production deploy swaps only the codec value.
   */
 object Multimodal {
 
@@ -60,7 +61,7 @@ object Multimodal {
     * energies. Rows whose bytes javax.sound cannot parse (compressed
     * codecs) are dropped, mirroring the image pipeline's
     * drop-undecodable policy — route those through
-    * [[audioFeaturesStub]] until a codec-equipped deploy swaps it out. */
+    * [[compressedAudioFeatures]] with a real [[MediaCodec]]. */
   def audioFeatures(spark: SparkSession, media: DataFrame,
       nSeg: Int = 16): DataFrame = {
     import spark.implicits._
@@ -74,44 +75,36 @@ object Multimodal {
       }.toDF("media_id", "features")
   }
 
-  /** STUB — compressed-codec audio fallback. A real deploy decodes
-    * mp3/ogg/aac and computes e.g. mel filterbanks; here a deterministic
-    * fake derives `nMel` pseudo-energies from content bytes so schema,
-    * determinism and partitioning are exercised end-to-end. WAV/PCM
-    * content should use the real [[audioFeatures]] instead. */
-  def audioFeaturesStub(spark: SparkSession, media: DataFrame,
-      nMel: Int = 16): DataFrame = {
+  /** Compressed-audio feature extraction through the [[MediaCodec]]
+    * seam (default: the documented deterministic [[MediaCodec.Stub]] —
+    * this container ships no mp3/ogg/aac codecs). Undecodable rows
+    * (codec returns None) are dropped. WAV/PCM content should use the
+    * real [[audioFeatures]] instead. */
+  def compressedAudioFeatures(spark: SparkSession, media: DataFrame,
+      nMel: Int = 16, codec: MediaCodec = MediaCodec.Stub): DataFrame = {
     import spark.implicits._
     media.filter(col("kind") === "audio")
       .select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val feats = Array.tabulate(nMel) { m =>
-          var acc = 0L
-          var i = m
-          while (i < bytes.length) { acc = acc * 31 + (bytes(i) & 0xff); i += nMel }
-          (acc & 0xffff).toFloat / 0xffff
-        }
-        (id, feats)
+      .flatMap { case (id, bytes) =>
+        codec.audioFeatures(bytes, nMel).map(f => (id, f))
       }.toDF("media_id", "features")
   }
 
-  /** STUB — video frame sampling. A real deploy demuxes and decodes every
-    * `everyMs` frame; the fake emits one pseudo-frame record per sampled
-    * timestamp with bytes sliced from content, preserving the
-    * one-row-per-frame output shape of a real sampler. */
-  def sampleFramesStub(spark: SparkSession, media: DataFrame,
-      everyMs: Long = 1000, maxFrames: Int = 4): DataFrame = {
+  /** Video frame sampling through the [[MediaCodec]] seam (default:
+    * [[MediaCodec.Stub]] — no video codecs in this container). A real
+    * deploy demuxes and decodes one frame every `everyMs`; output is
+    * one row per sampled frame either way. */
+  def sampleVideoFrames(spark: SparkSession, media: DataFrame,
+      everyMs: Long = 1000, maxFrames: Int = 4,
+      codec: MediaCodec = MediaCodec.Stub): DataFrame = {
     import spark.implicits._
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val n = math.min(maxFrames, math.max(1, bytes.length / 16))
-        (0 until n).map { f =>
-          val start = f * (bytes.length / n)
-          (id, f.toLong * everyMs, bytes.slice(start, start + 16))
-        }
+        codec.sampleFrames(bytes, everyMs, maxFrames)
+          .map { case (ts, fb) => (id, ts, fb) }
       }.toDF("media_id", "frame_ts_ms", "frame_bytes")
   }
 }

@@ -96,6 +96,39 @@ object Dedup {
       s"stack($nBands, ${bandCols.mkString(", ")}) as (band, mh)")
   }
 
+  /** Number of LSH bands in the minhash scheme (shared with the
+    * streaming twin so its per-band probe count stays in sync). */
+  def numBands: Int = nBands
+
+  /** Map-only per-document band fingerprints as `nBands` columns
+    * (mh0..mh3) appended to the input — the array-expression twin of
+    * [[signaturesOf]] with bit-identical values: each minhash is an
+    * array_min over the document's OWN shingle set instead of a
+    * grouped min over exploded shingle rows (min is duplicate- and
+    * order-insensitive, so the two formulations agree exactly).
+    *
+    * Because it needs no aggregation it is usable on an unbounded
+    * stream (signaturesOf's groupBy is not): this is what the streaming
+    * incremental-dedup twin runs per micro-batch. Documents with fewer
+    * than 3 tokens get NULL fingerprints — the same documents simply
+    * have no band rows in the batch shape, and NULL never equi-joins,
+    * so both shapes treat them as near-dup-immune. */
+  def withBandFingerprints(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val bandCols = (0 until nBands).map { b =>
+      val fp = (0 until rowsPerBand).foldLeft("0L") { (acc, r) =>
+        val i = b * rowsPerBand + r
+        val mh = s"array_min(transform(__sh3, x -> " +
+          s"mix61(hash60(x), ${mixA(i)}L, ${mixB(i)}L)))"
+        s"mix61($mh, ${bandP(r)}L, $acc)"
+      }
+      expr(fp).as(s"mh$b")
+    }
+    docsDf.withColumn("__sh3", expr("shingles3(tok)"))
+      .select(col("*") +: bandCols: _*)
+      .drop("__sh3")
+  }
+
   /** (doc_id, sh): the doc's distinct 3-token shingles, exploded, via
     * the native Shingles3 expression (one fused loop; the HOF transform/
     * array_distinct chain is CodegenFallback and interpreted ~4 nodes

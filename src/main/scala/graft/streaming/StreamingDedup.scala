@@ -55,4 +55,47 @@ object StreamingDedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("h")
       .select("h", "doc_id", "lang")
+
+  /** Static corpus dedup state for [[nearDupNew]]: the corpus's distinct
+    * exact content hashes and distinct minhash band fingerprints. In
+    * production these are incrementally-maintained tables bucketed on
+    * their join keys (operators/Bucketing), so the per-micro-batch
+    * probes co-locate without reshuffling the corpus. */
+  def corpusState(corpus: DataFrame): (DataFrame, DataFrame) = (
+    corpus.select(md5(col("text")).as("h")).distinct(),
+    graft.queries.Dedup.signaturesOf(graft.queries.Dedup.withTok(corpus))
+      .select("band", "mh").distinct())
+
+  /** Streaming NEAR-duplicate dedup of an incoming document stream
+    * against a static corpus — the streaming twin of batch
+    * q73_incremental_dedup, with identical per-document decisions:
+    * drop exact dupes (content-hash anti-join), then drop docs any of
+    * whose minhash band fingerprints appears in the corpus band table.
+    *
+    * The whole plan is STATELESS streaming: fingerprints are map-side
+    * array expressions (Dedup.withBandFingerprints — no aggregation),
+    * and each band is one stream-static probe against the distinct
+    * corpus band set, so there is no watermark, no state store, and
+    * nothing grows with stream length. The corpus side is never
+    * broadcast and never re-shuffled per batch when bucketed — the
+    * direction that holds when the corpus is 100 TB and each
+    * micro-batch is MBs. corpusBands must be distinct on (band, mh)
+    * (corpusState guarantees it) so the outer probes cannot multiply
+    * rows. */
+  def nearDupNew(stream: DataFrame, corpusHash: DataFrame,
+      corpusBands: DataFrame): DataFrame = {
+    val dd = graft.queries.Dedup
+    val exactNew = stream.withColumn("h", md5(col("text")))
+      .join(corpusHash, Seq("h"), "left_anti")
+    val sig = dd.withBandFingerprints(dd.withTok(exactNew))
+    val probed = (0 until dd.numBands).foldLeft(sig) { (df, b) =>
+      df.join(
+        corpusBands.filter(col("band") === b).select(col("mh").as(s"__c$b")),
+        col(s"mh$b") === col(s"__c$b"), "left_outer")
+    }
+    probed
+      .filter((0 until dd.numBands).map(b => col(s"__c$b").isNull)
+        .reduce(_ && _))
+      .select("doc_id", "lang")
+  }
 }

@@ -107,6 +107,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("map-side band fingerprints equal grouped signaturesOf exactly") {
+    // withBandFingerprints (array_min per doc, stream-safe) must be
+    // bit-identical to signaturesOf (grouped min over exploded rows)
+    val src = Dedup.withTok(Tables.load(spark, sf, "documents"))
+    val grouped = Dedup.signaturesOf(src)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mapSide = Dedup.withBandFingerprints(src)
+      .select("doc_id", "mh0", "mh1", "mh2", "mh3").collect()
+    assert(mapSide.nonEmpty)
+    mapSide.foreach { r =>
+      val id = r.getLong(0)
+      (0 until 4).foreach { b =>
+        if (r.isNullAt(b + 1))
+          assert(!grouped.contains((id, b.toLong)),
+            s"doc $id band $b: null map-side but present grouped")
+        else
+          assert(grouped((id, b.toLong)) == r.getLong(b + 1),
+            s"doc $id band $b fingerprint mismatch")
+      }
+    }
+  }
+
   test("connected components: 1000-node path converges in O(log n) rounds") {
     // plain min-label propagation needs 1000 rounds here; pointer
     // doubling's reach recurrence r' = 2(r + 1) covers 999 hops by

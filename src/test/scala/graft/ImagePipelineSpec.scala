@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{ImageOps, ImagePipeline, ImageRecord, Multimodal}
+import graft.pipeline.{ImageOps, ImagePipeline, ImageRecord, MediaCodec, Multimodal}
 import org.apache.spark.sql.functions._
 
 /** Typed/image pipeline tests on <=8x8 synthetic fixtures (FIXTURES.md
@@ -209,14 +209,42 @@ class ImagePipelineSpec extends SparkSpec {
     val audio = Multimodal.asMediaFrame(
       Seq((2L, Array.tabulate(64)(_.toByte))).toDF("id", "bytes"),
       "id", "audio", "bytes")
-    val a1 = Multimodal.audioFeaturesStub(spark, audio).head().getSeq[Float](1)
-    val a2 = Multimodal.audioFeaturesStub(spark, audio).head().getSeq[Float](1)
+    val a1 = Multimodal.compressedAudioFeatures(spark, audio)
+      .head().getSeq[Float](1)
+    val a2 = Multimodal.compressedAudioFeatures(spark, audio)
+      .head().getSeq[Float](1)
     assert(a1 == a2 && a1.length == 16)
 
     val video = Multimodal.asMediaFrame(
       Seq((3L, Array.tabulate(64)(_.toByte))).toDF("id", "bytes"),
       "id", "video", "bytes")
-    assert(Multimodal.sampleFramesStub(spark, video).count() == 4)
+    assert(Multimodal.sampleVideoFrames(spark, video).count() == 4)
+  }
+
+  test("multimodal: a custom MediaCodec swaps in without pipeline changes") {
+    // the production swap point: one injectable value, everything else
+    // (schema, drop policy, frame shape) unchanged
+    object FixedCodec extends MediaCodec {
+      override def audioFeatures(bytes: Array[Byte], nMel: Int) =
+        if (bytes.isEmpty) None else Some(Array.fill(nMel)(0.5f))
+      override def sampleFrames(bytes: Array[Byte], everyMs: Long,
+          maxFrames: Int) = Seq((0L, bytes.take(4)), (everyMs, bytes.take(4)))
+    }
+    val audio = Multimodal.asMediaFrame(
+      Seq((1L, Array[Byte](1, 2, 3)), (2L, Array.empty[Byte]))
+        .toDF("id", "bytes"), "id", "audio", "bytes")
+    val feats = Multimodal.compressedAudioFeatures(
+      spark, audio, nMel = 4, codec = FixedCodec).collect()
+    assert(feats.map(_.getLong(0)).toSeq == Seq(1L),
+      "undecodable (None) rows must be dropped")
+    assert(feats.head.getSeq[Float](1) == Seq(0.5f, 0.5f, 0.5f, 0.5f))
+
+    val video = Multimodal.asMediaFrame(
+      Seq((3L, Array.tabulate(8)(_.toByte))).toDF("id", "bytes"),
+      "id", "video", "bytes")
+    val frames = Multimodal.sampleVideoFrames(
+      spark, video, everyMs = 40, codec = FixedCodec).collect()
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 40L))
   }
 
   private def wavBytes(samples: Array[Double], rate: Float): Array[Byte] = {

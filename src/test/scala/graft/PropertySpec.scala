@@ -121,8 +121,14 @@ class PropertySpec extends SparkSpec {
       val bounds = (List(0) ++ cuts ++ List(terms.size)).distinct.sorted
       val parts = bounds.zip(bounds.tail).map { case (a, b) =>
         terms.slice(a, b) }
-      val sketch = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
-        .foldLeft(agg.zero)(agg.merge)
+      val partials = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      // the amortized-offset buffer must keep <= k live counters and
+      // purge dead entries before the map doubles past k
+      partials.foreach { b =>
+        assert(b.live <= k && b.counts.size <= 2 * k,
+          s"buffer bounds violated: live=${b.live} size=${b.counts.size}")
+      }
+      val sketch = agg.finish(partials.foldLeft(agg.zero)(agg.merge))
       val truth = terms.groupBy(identity).view.mapValues(_.size.toLong)
       val slack = terms.size.toLong / (k + 1)
       truth.foreach { case (t, c) =>

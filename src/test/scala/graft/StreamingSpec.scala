@@ -154,6 +154,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup matches batch q73 survivors exactly") {
+    import org.apache.spark.sql.functions.col
+    // same corpus/batch split as q73: corpus = doc_id < 250 (static
+    // precomputed state), stream = the arriving batch (doc_id >= 250)
+    val corpus = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 250)
+    val (corpusHash, corpusBands) =
+      graft.streaming.StreamingDedup.corpusState(corpus)
+    val stream = graft.streaming.StreamingDedup.docsStream(spark, sf)
+      .filter(col("doc_id") >= 250)
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamingDedup.nearDupNew(
+        stream, corpusHash, corpusBands), "neardup")
+    try {
+      val got = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = SparkEntry.queries("q73_incremental_dedup")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == batch,
+        s"streaming ${got.size} vs batch ${batch.size} survivors")
+    } finally q.stop()
+  }
+
   test("session window: streaming parity with batch sessionization") {
     // session windows require watermark + append/update; update mode may
     // emit intermediate merged sessions, so compare the final state per

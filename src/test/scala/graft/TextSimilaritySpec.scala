@@ -63,13 +63,16 @@ class TextSimilaritySpec extends SparkSpec {
   }
 
   test("int8 quantization: values in [-127, 127], max magnitude hit") {
+    // q_csv is the driver-sortable CSV form; reparse it for the checks
     val q = SparkEntry.queries("q71_embed_quantize")(spark, sf)
+      .withColumn("qv",
+        expr("transform(split(q_csv, ','), s -> cast(s as int))"))
     val bad = q.filter(expr(
-      "exists(q, v -> v < -127 OR v > 127)")).count()
+      "exists(qv, v -> v IS NULL OR v < -127 OR v > 127)")).count()
     assert(bad == 0, "quantized values must fit int8 symmetric range")
     // the element at max |v| must quantize to exactly +-127
     val noPeak = q.filter($"maxabs" > 0)
-      .filter(!expr("exists(q, v -> abs(v) = 127)")).count()
+      .filter(!expr("exists(qv, v -> abs(v) = 127)")).count()
     assert(noPeak == 0, "every nonzero vector must reach the scale peak")
   }
 }
