@@ -15,6 +15,8 @@ object Analytics {
   type Q = (SparkSession, String) => DataFrame
   private val fmtS = "yyyy-MM-dd HH:mm:ss"
 
+  private val fmtU = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
   val queries: Map[String, Q] = Map(
     // q58: hourly resample WITH gap filling over a fixed 2-day span —
     // empty hours must appear with zero counts
@@ -101,6 +103,29 @@ object Analytics {
           round(sum(col("norm").cast("decimal(38,12)")).cast("double")
             / count(lit(1)), 4).as("avg_norm"))
         .orderBy("lang")
+    }),
+
+    // q63: as-of join — each purchase enriched with the latest signup
+    // burst at-or-before it for the same user (null when none). Runs
+    // through operators/AsOfJoin: tag-union + carry-forward window, one
+    // shuffle on the key, no per-key loops — the time-series enrichment
+    // shape (trade-vs-quote, event-vs-config) that a naive range join
+    // turns into a BNLJ. The right side is pre-aggregated to one row
+    // per (user, ts), so the as-of match is total-order deterministic.
+    "q63_asof_join" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("s_ts"))
+        .agg(count(lit(1)).as("s_cnt"))
+      graft.operators.AsOfJoin
+        .asofJoin(purchases, signups, "user_id", "p_ts", "s_ts")
+        .select(col("user_id"),
+          date_format(col("p_ts"), fmtU).as("p_ts"),
+          date_format(col("s_ts"), fmtU).as("s_ts"),
+          col("s_cnt"))
+        .orderBy("user_id", "p_ts", "s_ts")
     }),
 
     // q61: corpus TF-IDF (smoothed idf), reported for the first 5 docs
@@ -190,6 +215,19 @@ object Analytics {
                   / count(*), 4) AS avg_norm
          FROM documents JOIN v USING (doc_id)
          GROUP BY lang ORDER BY lang""",
+
+    "q63_asof_join" ->
+      """WITH p AS (SELECT user_id, ts AS p_ts FROM events
+                    WHERE event_type = 'purchase'),
+          s AS (SELECT user_id, ts AS s_ts, count(*) AS s_cnt
+                FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+          SELECT p.user_id,
+            strftime(p.p_ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+            strftime(s.s_ts, '%Y-%m-%d %H:%M:%S.%f') AS s_ts,
+            s.s_cnt
+          FROM p ASOF LEFT JOIN s
+            ON p.user_id = s.user_id AND p.p_ts >= s.s_ts
+          ORDER BY 1, 2, 3""",
 
     "q61_tfidf" ->
       """WITH toks AS (SELECT doc_id,

@@ -73,11 +73,29 @@ object Dedup {
   private def hash60(e: String): String = s"hash60($e)"
 
   /** (doc_id, band, mh): banded minhash over the doc's distinct 3-shingle
-    * set. ONE hash60 digest per shingle; the nHash-member family is the
-    * affine mix above (min is map-side partial), and each band value is a
-    * linear combination of its `rowsPerBand` minhashes — all pure integer
-    * arithmetic after the single digest, with an exact DuckDB twin. */
+    * set — MAP-ONLY: every minhash is an array_min over the document's
+    * own digest array, so signature computation needs ZERO shuffle (the
+    * round-4 formulation exploded shingles and grouped per doc, which
+    * shuffled one (doc_id, hash) row per shingle — at 100 TB that is
+    * hundreds of billions of rows of exchange for a value each mapper
+    * can compute locally). ONE hash60 digest per shingle (hoisted — see
+    * [[withBandFingerprints]]); each band value is a linear combination
+    * of its `rowsPerBand` minhashes, all pure integer arithmetic with an
+    * exact DuckDB twin. Documents with no shingles emit no rows (the
+    * NULL-fingerprint rows are dropped on the post-Generate attribute,
+    * which the optimizer cannot re-inline below the stack). */
   def signaturesOf(docsDf: DataFrame): DataFrame = {
+    val bandCols = (0 until nBands)
+      .map(b => s"cast($b as bigint), mh$b").mkString(", ")
+    withBandFingerprints(docsDf)
+      .selectExpr("doc_id", s"stack($nBands, $bandCols) as (band, mh)")
+      .filter(col("mh").isNotNull)
+  }
+
+  /** The round-4 explode + groupBy formulation of [[signaturesOf]],
+    * kept ONLY as the differential-test reference (DedupSpec pins the
+    * two bit-identical); production paths use the map-only version. */
+  def signaturesOfGrouped(docsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
     val hashed = shingledOf(docsDf)
       .select(col("doc_id"), expr(hash60("sh")).as("h"))
@@ -101,32 +119,36 @@ object Dedup {
   def numBands: Int = nBands
 
   /** Map-only per-document band fingerprints as `nBands` columns
-    * (mh0..mh3) appended to the input — the array-expression twin of
-    * [[signaturesOf]] with bit-identical values: each minhash is an
-    * array_min over the document's OWN shingle set instead of a
-    * grouped min over exploded shingle rows (min is duplicate- and
-    * order-insensitive, so the two formulations agree exactly).
+    * (mh0..mh3) appended to the input: each minhash is an array_min
+    * over the document's OWN shingle-digest array instead of a grouped
+    * min over exploded shingle rows (min is duplicate- and
+    * order-insensitive, so the two formulations agree exactly —
+    * DedupSpec pins bit-parity against [[signaturesOfGrouped]]).
     *
-    * Because it needs no aggregation it is usable on an unbounded
-    * stream (signaturesOf's groupBy is not): this is what the streaming
-    * incremental-dedup twin runs per micro-batch. Documents with fewer
-    * than 3 tokens get NULL fingerprints — the same documents simply
-    * have no band rows in the batch shape, and NULL never equi-joins,
-    * so both shapes treat them as near-dup-immune. */
+    * Because it needs no aggregation it runs on an unbounded stream
+    * (a groupBy would not) and shuffles nothing in batch. The hash60
+    * digest array is hoisted into its own projection (`__hs`) so md5
+    * runs ONCE per shingle, not once per family member; CollapseProject
+    * will not re-inline it into the 16 consumers because the expression
+    * is non-cheap and multiply-referenced. Documents with fewer than 3
+    * tokens get NULL fingerprints — they have no band rows in the
+    * exploded shape either, and NULL never equi-joins, so both shapes
+    * treat them as near-dup-immune. */
   def withBandFingerprints(docsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
     val bandCols = (0 until nBands).map { b =>
       val fp = (0 until rowsPerBand).foldLeft("0L") { (acc, r) =>
         val i = b * rowsPerBand + r
-        val mh = s"array_min(transform(__sh3, x -> " +
-          s"mix61(hash60(x), ${mixA(i)}L, ${mixB(i)}L)))"
+        val mh = s"array_min(transform(__hs, h -> " +
+          s"mix61(h, ${mixA(i)}L, ${mixB(i)}L)))"
         s"mix61($mh, ${bandP(r)}L, $acc)"
       }
       expr(fp).as(s"mh$b")
     }
-    docsDf.withColumn("__sh3", expr("shingles3(tok)"))
+    docsDf
+      .withColumn("__hs", expr("transform(shingles3(tok), x -> hash60(x))"))
       .select(col("*") +: bandCols: _*)
-      .drop("__sh3")
+      .drop("__hs")
   }
 
   /** (doc_id, sh): the doc's distinct 3-token shingles, exploded, via

@@ -108,10 +108,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("map-side band fingerprints equal grouped signaturesOf exactly") {
-    // withBandFingerprints (array_min per doc, stream-safe) must be
-    // bit-identical to signaturesOf (grouped min over exploded rows)
+    // withBandFingerprints (array_min per doc, stream-safe, shuffle-
+    // free) must be bit-identical to the explode + groupBy reference
     val src = Dedup.withTok(Tables.load(spark, sf, "documents"))
-    val grouped = Dedup.signaturesOf(src)
+    val grouped = Dedup.signaturesOfGrouped(src)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val mapSide = Dedup.withBandFingerprints(src)
       .select("doc_id", "mh0", "mh1", "mh2", "mh3").collect()
