@@ -209,6 +209,54 @@ object TextOps {
         .limit(10)
     }),
 
+    // q75: sequence packing — documents concatenated in doc_id order
+    // and cut into fixed 1024-token context windows; each doc is
+    // assigned to the window where it STARTS (bin = tokens-before-doc
+    // div budget), the GPT-style pack-then-chunk shape. The global
+    // running total comes from operators/PrefixSum — the two-phase
+    // range-partitioned prefix sum — because the naive global-order
+    // window is a single task (the 100 TB killer). size(tok) >= 1
+    // always (split of a trimmed string yields at least one element),
+    // so the cumulative sum is total.
+    "q75_token_packing" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        size(col("tok")).cast("long").as("n_tok"))
+      graft.operators.PrefixSum
+        .withRunningTotal(toks, "doc_id", "n_tok", "cum")
+        .withColumn("bin", expr("(cum - n_tok) div 1024L"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin")
+    }),
+
+    // q77: corpus-level chunk dedup — the line/paragraph-dedup stage of
+    // web-corpus curation, on fixed 10-token chunks (the synthetic text
+    // has no line structure): a chunk instance survives iff it is the
+    // corpus-wide FIRST occurrence (min (doc_id, position)), then docs
+    // are reconstructed from their surviving chunks in order. One
+    // shuffle on the chunk key (the dedup decision) + one on doc_id
+    // (reconstruction) — both linear in corpus size. Docs whose every
+    // chunk appeared earlier elsewhere vanish, like boilerplate-only
+    // pages. sequence(0, ceil(size/10) - 1) is safe: size(tok) >= 1.
+    "q77_chunk_dedup" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("chunk").orderBy("doc_id", "p")
+      docs(s, d)
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(tok) / 10.0) as int) - 1),
+               i -> concat_ws(' ', slice(tok, i * 10 + 1, 10)))"""))
+          .as(Seq("p", "chunk")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(p, chunk))), x -> x.chunk)"))
+            .as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // q43: order-sensitive document fingerprint (rolling polynomial hash
     // over per-token codes — a map-only, shuffle-free fold)
     "q43_fingerprint" -> ((s, d) =>
@@ -336,6 +384,37 @@ object TextOps {
               THEN ((n3 - len(list_distinct(sh3))) * 10000) // n3
               ELSE 0 END AS BIGINT) AS dup_bp
           FROM g ORDER BY doc_id""",
+
+    "q75_token_packing" ->
+      s"""WITH t AS (SELECT doc_id,
+              CAST(len($duckTok) AS BIGINT) AS n_tok FROM documents),
+          c AS (SELECT doc_id, n_tok,
+                  sum(n_tok) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t)
+          SELECT CAST((cum - n_tok) // 1024 AS BIGINT) AS bin,
+            count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+            min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM c GROUP BY 1 ORDER BY bin""",
+
+    "q77_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $duckTok AS tok FROM documents),
+          ch0 AS (SELECT doc_id,
+                    list_transform(range(CAST(ceil(len(tok) / 10.0) AS BIGINT)),
+                      i -> array_to_string(list_slice(tok,
+                        i * 10 + 1, i * 10 + 10), ' ')) AS chunks
+                  FROM t),
+          ch AS (SELECT doc_id,
+                   CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS p,
+                   unnest(chunks) AS chunk
+                 FROM ch0),
+          k AS (SELECT doc_id, p, chunk,
+                  row_number() OVER (PARTITION BY chunk
+                    ORDER BY doc_id, p) AS rn
+                FROM ch)
+          SELECT doc_id, count(*) AS n_chunks,
+            string_agg(chunk, ' ' ORDER BY p) AS clean_text
+          FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
 
     "q43_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $duckTok AS tok FROM documents)

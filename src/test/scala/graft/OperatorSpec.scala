@@ -9,6 +9,21 @@ import org.apache.spark.sql.expressions.Window
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("prefix sum matches scanLeft for any partition count") {
+    // the two-phase distributed running total must equal the sequential
+    // fold, and must be invariant to how many range partitions it uses
+    val vals = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L, 5L, 8L, 9L, 7L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("k", "v")
+    val expect = vals.scanLeft(0L)(_ + _).tail
+    for (nParts <- Seq(1, 3, 32)) {
+      val got = graft.operators.PrefixSum
+        .withRunningTotal(df, "k", "v", "cum", nParts)
+        .orderBy("k").select("cum").as[Long].collect().toSeq
+      assert(got == expect, s"nParts=$nParts")
+    }
+  }
+
   test("join shapes preserve expected rows (left/semi/anti/full)") {
     val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "lv")
     val r = Seq((2, "x"), (2, "y"), (4, "z")).toDF("k", "rv")
