@@ -175,6 +175,26 @@ object Similarity {
         .limit(5)
     }),
 
+    // q76: embedding normalization + matryoshka truncation — the
+    // dimension-reduction step before indexing: per-vector L2 norm and
+    // the fraction of that norm retained by the first 8 dimensions
+    // (the metric that decides how far a matryoshka-style index can
+    // truncate). Map-only; zero vectors report zero retained mass
+    // instead of dividing by zero.
+    "q76_embed_normalize" -> ((s, d) =>
+      emb(s, d)
+        .select(col("vec_id"),
+          expr("""sqrt(aggregate(embedding, cast(0.0 as double),
+                    (a, x) -> a + cast(x as double) * cast(x as double)))""")
+            .as("norm"),
+          expr("""sqrt(aggregate(slice(embedding, 1, 8), cast(0.0 as double),
+                    (a, x) -> a + cast(x as double) * cast(x as double)))""")
+            .as("tnorm"))
+        .select(col("vec_id"), round(col("norm"), 4).as("norm"),
+          when(col("norm") > 0, round(col("tnorm") / col("norm"), 4))
+            .otherwise(lit(0.0)).as("mass8"))
+        .orderBy("vec_id")),
+
     // q71: int8 symmetric quantization of embedding vectors — the
     // storage/bandwidth step before shipping vectors to an ANN index.
     // Map-only; all math is double with a floor(x + 0.5) round so both
@@ -300,6 +320,18 @@ object Similarity {
           FROM e JOIN p ON e.bucket = p.p_bucket
           WHERE e.vec_id <> 0
           ORDER BY sim DESC, vec_id LIMIT 5""",
+
+    "q76_embed_normalize" ->
+      """WITH t AS (SELECT vec_id,
+              sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+              sqrt(list_sum(list_transform(list_slice(embedding, 1, 8),
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS tnorm
+            FROM embeddings)
+          SELECT vec_id, round(norm, 4) AS norm,
+            CASE WHEN norm > 0 THEN round(tnorm / norm, 4)
+                 ELSE 0.0 END AS mass8
+          FROM t ORDER BY vec_id""",
 
     "q71_embed_quantize" ->
       """WITH t AS (SELECT vec_id, embedding,
