@@ -252,6 +252,19 @@ object Relational {
           round(var_samp(col("l_discount")), 6).as("disc_var"))
         .orderBy("l_returnflag")),
 
+    // q78: equi-width histogram of a measure — bins via floor division
+    // (bin arithmetic is identical IEEE ops in both engines; the
+    // per-bin sum follows the Det decimal-exact policy). Two-phase
+    // partial aggregation on a handful of bin keys: the profiling
+    // shape that stays O(bins) no matter the row count.
+    "q78_histogram" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(expr("cast(floor(l_extendedprice / 5000) as bigint)")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"),
+          graft.Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("bin")),
+
     // q13: hash aggregate, TPC-H Q1 shape (flagship)
     "q13_hash_agg" -> ((s, d) => q13(s, d)),
 
@@ -550,6 +563,11 @@ object Relational {
                round(stddev_samp(l_quantity), 4) AS qty_sd,
                round(var_samp(l_discount), 6) AS disc_var
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q78_histogram" ->
+      s"""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+            count(*) AS n, ${sqlDsum("l_extendedprice")} AS sum_price
+          FROM lineitem GROUP BY 1 ORDER BY bin""",
 
     "q13_hash_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

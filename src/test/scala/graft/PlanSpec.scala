@@ -89,4 +89,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "bucketed twin must not fall back to BNLJ")
   }
+
+  test("q35 signatures are map-only: one exchange (presentation sort)") {
+    // signature computation must never shuffle per-shingle rows — the
+    // only exchange allowed is the final orderBy of the query itself,
+    // and md5 must run once per shingle (hoisted digest array), not
+    // once per family member
+    val p = finalPlan("q35_minhash_sig")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the orderBy exchange, got:\n$p")
+    val md5s = "hash60".r.findAllIn(p).size
+    assert(md5s == 1, s"hash60 must appear once (hoisted), got $md5s")
+  }
 }
