@@ -257,6 +257,26 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // q80: deterministic mixture sampling — the train-mix construction
+    // step: each language is downsampled at its own rate, with the
+    // keep/drop decision a pure function of the CONTENT hash (hash60 %
+    // 100 < rate), so the sample is reproducible across runs, engines
+    // and repartitions — no RNG, no seed plumbing, and exact duplicates
+    // always land on the same side. Map-only + one tiny per-lang agg.
+    "q80_mixture_sample" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.load(s, d, "documents")
+        .withColumn("keep", expr(
+          """hash60(text) % 100 < CASE lang
+               WHEN 'en' THEN 100 WHEN 'es' THEN 50
+               WHEN 'de' THEN 25 ELSE 10 END"""))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total"),
+          expr("count_if(keep)").as("kept"))
+        .withColumn("kept_bp", expr("(kept * 10000) div total"))
+        .orderBy("lang")
+    }),
+
     // q43: order-sensitive document fingerprint (rolling polynomial hash
     // over per-token codes — a map-only, shuffle-free fold)
     "q43_fingerprint" -> ((s, d) =>
@@ -415,6 +435,18 @@ object TextOps {
           SELECT doc_id, count(*) AS n_chunks,
             string_agg(chunk, ' ' ORDER BY p) AS clean_text
           FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+
+    "q80_mixture_sample" ->
+      """WITH t AS (SELECT lang,
+              CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+                AS BIGINT) % 100 <
+              CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 50
+                WHEN 'de' THEN 25 ELSE 10 END AS keep
+            FROM documents)
+          SELECT lang, count(*) AS total,
+            count(*) FILTER (WHERE keep) AS kept,
+            (count(*) FILTER (WHERE keep) * 10000) // count(*) AS kept_bp
+          FROM t GROUP BY lang ORDER BY lang""",
 
     "q43_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $duckTok AS tok FROM documents)

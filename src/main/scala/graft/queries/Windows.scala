@@ -44,6 +44,19 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // q79: distribution windows — percent_rank / cume_dist. Both are
+    // integer-ratio doubles ((rank-1)/(n-1), peers/n), so the same
+    // integer inputs give bit-identical IEEE results in both engines;
+    // ties contribute identical values regardless of intra-tie order.
+    "q79_dist_windows" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+      Tables.load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q19_analytic_windows" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -79,6 +92,14 @@ object Windows {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q79_dist_windows" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
          ORDER BY o_custkey, o_orderkey""",
 
     "q19_analytic_windows" ->
