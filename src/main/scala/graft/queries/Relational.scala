@@ -265,6 +265,25 @@ object Relational {
           graft.Det.dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("bin")),
 
+    // q81: top-3 orders per customer via the bounded TopKAgg aggregator
+    // — NOT the row_number window (q17/q18 cover that shape): the
+    // window shuffles and sorts every row of every group, while the
+    // aggregator keeps O(k) state per group, partially aggregates
+    // map-side, and merges associatively — the per-group analog of
+    // TakeOrderedAndProject. PlanSpec asserts the plan has no Window.
+    "q81_group_topk" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKAgg(3),
+        org.apache.spark.sql.Encoders.product[graft.functions.TopKEntry])
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+          col("col.v").as("o_totalprice"),
+          (col("pos") + 1).cast("long").as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
     // q13: hash aggregate, TPC-H Q1 shape (flagship)
     "q13_hash_agg" -> ((s, d) => q13(s, d)),
 
@@ -563,6 +582,14 @@ object Relational {
                round(stddev_samp(l_quantity), 4) AS qty_sd,
                round(var_samp(l_discount), 6) AS disc_var
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q81_group_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
 
     "q78_histogram" ->
       s"""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,

@@ -90,6 +90,14 @@ class PlanSpec extends SparkSpec {
       "bucketed twin must not fall back to BNLJ")
   }
 
+  test("q81 group top-k aggregates with no Window operator") {
+    // the bounded aggregator must plan as a (partial) aggregate, never
+    // degrade to the all-rows window sort it replaces
+    val p = finalPlan("q81_group_topk")
+    assert(!p.contains("Window"), s"expected no Window:\n$p")
+    assert(p.contains("Aggregate"), "expected an aggregate plan")
+  }
+
   test("q35 signatures are map-only: one exchange (presentation sort)") {
     // signature computation must never shuffle per-shingle rows — the
     // only exchange allowed is the final orderBy of the query itself,

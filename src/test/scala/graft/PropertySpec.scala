@@ -143,6 +143,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bounded top-k equals full sort-take under any split") {
+    val k = 3
+    val agg = new graft.functions.TopKAgg(k)
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-50, 50))
+      cuts <- Gen.listOfN(3, Gen.choose(0, n))
+    } yield (vs.zipWithIndex.map { case (v, i) =>
+      graft.functions.TopKEntry(v.toDouble, i.toLong) }, cuts)
+    forSamples(gen, 25) { case (entries, cuts) =>
+      val bounds = (List(0) ++ cuts ++ List(entries.size)).distinct.sorted
+      val parts = bounds.zip(bounds.tail).map { case (a, b) =>
+        entries.slice(a, b) }
+      val got = agg.finish(parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge))
+      val expect = entries.sortBy(e => (-e.v, e.id)).take(k)
+      assert(got == expect, s"got $got expect $expect")
+    }
+  }
+
   test("property: session_window equals gaps-and-islands on random gaps") {
     val gapGen = Gen.listOfN(20, Gen.chooseNum(1L, 70L)) // minutes
     forSamples(gapGen, 5) { gaps =>
