@@ -177,6 +177,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries candidates honor the batch MG guarantee") {
+    import org.apache.spark.sql.functions.col
+    // O(k) streaming state: every term with true frequency > n/(k+1)
+    // (computed from the batch twin) must appear among the streamed
+    // candidates, and no estimate may exceed its true count
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamingSketches.heavyHitterCandidates(
+        graft.streaming.StreamingDedup.docsStream(spark, sf), k = 50),
+      "mg_stream", mode = "complete")
+    try {
+      val got = spark.table("mg_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val truth = Tables.load(spark, sf, "documents")
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr(
+            "split(trim(text), '\\\\s+')")).as("term"))
+        .groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = truth.values.sum
+      val slack = n / 51
+      truth.foreach { case (t, c) =>
+        if (c > slack) assert(got.contains(t), s"$t freq=$c must survive")
+      }
+      got.foreach { case (t, est) =>
+        assert(est <= truth.getOrElse(t, 0L), s"$t over-counted")
+      }
+    } finally q.stop()
+  }
+
   test("session window: streaming parity with batch sessionization") {
     // session windows require watermark + append/update; update mode may
     // emit intermediate merged sessions, so compare the final state per
