@@ -69,9 +69,15 @@ object ConnectedComponents {
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
 
+    // initial labels already fold in the first neighbor-min round:
+    // lbl(v) = min(v, min over neighbors) is one aggregate over the
+    // symmetric edge list (initial neighbor labels ARE neighbor ids),
+    // saving a full join+union+agg round — for the shallow graphs that
+    // near-dup clustering produces, that is a third of the loop.
     var labels = truncate(
-      sym.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")))
+      sym.groupBy("src")
+        .agg(least(col("src"), min(col("dst"))).as("lbl"))
+        .withColumnRenamed("src", "node"))
 
     // labels only decrease, so sum(lbl) is a strictly decreasing
     // potential function: an unchanged sum IS the fixpoint — one cheap
