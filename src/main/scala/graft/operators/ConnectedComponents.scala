@@ -105,7 +105,12 @@ object ConnectedComponents {
       // ids), so the lookup matches every row; left + coalesce keeps the
       // step total even if that invariant were perturbed. The two sides
       // of the self-join are the identical aggregate, so the exchange is
-      // planned once and reused (ReuseExchange).
+      // planned once and reused (ReuseExchange). The probe side of this
+      // join is keyed on lbl, which skews as a giant component's labels
+      // coalesce onto its minimum — that is the equi-join skew AQE's
+      // OptimizeSkewedJoin splits at runtime (regression-covered by
+      // SkewJoinSpec); the lookup side stays one row per node. If a
+      // deployment must run with AQE off, salt this probe.
       val next = truncate(
         minned
           .join(

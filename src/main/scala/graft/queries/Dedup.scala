@@ -181,6 +181,19 @@ object Dedup {
   def shingleCounts(shingles: DataFrame): DataFrame =
     shingles.groupBy("doc_id").agg(count(lit(1)).as("ns"))
 
+  /** The incremental-dedup corpus state: (distinct exact content hashes
+    * `h`, distinct minhash band fingerprints (band, mh)) of a corpus
+    * frame with a `text` column. The SINGLE source for both the batch
+    * q73 anti-joins and the streaming twin
+    * (streaming.StreamingDedup.corpusState) — the streaming-batch
+    * survivor-parity guarantee depends on the two sides deriving this
+    * state identically, so neither inlines its own copy. In production
+    * these are incrementally-maintained tables bucketed on their join
+    * keys (operators/Bucketing). */
+  def dedupState(corpus: DataFrame): (DataFrame, DataFrame) = (
+    corpus.select(md5(col("text")).as("h")).distinct(),
+    signaturesOf(withTok(corpus)).select("band", "mh").distinct())
+
   /** 60-bit simhash per document (expects a `tok` column), via the
     * native SimhashMd5 expression (graft.functions) — one fused
     * digest+vote loop per document instead of per-bit lambdas, with an
@@ -340,10 +353,9 @@ object Dedup {
       val all = docs(s, d)
       val corpus = all.filter(col("doc_id") < 250)
       val batch = all.filter(col("doc_id") >= 250)
-      val corpusHash = corpus.select(md5(col("text")).as("h")).distinct()
+      val (corpusHash, corpusBands) = dedupState(corpus)
       val exactNew = batch.withColumn("h", md5(col("text")))
         .join(corpusHash, Seq("h"), "left_anti")
-      val corpusBands = signaturesOf(corpus).select("band", "mh").distinct()
       val nearDupIds = signaturesOf(exactNew)
         .join(corpusBands, Seq("band", "mh"), "left_semi")
         .select("doc_id").distinct()

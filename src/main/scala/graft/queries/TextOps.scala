@@ -234,28 +234,39 @@ object TextOps {
     // web-corpus curation, on fixed 10-token chunks (the synthetic text
     // has no line structure): a chunk instance survives iff it is the
     // corpus-wide FIRST occurrence (min (doc_id, position)), then docs
-    // are reconstructed from their surviving chunks in order. One
-    // shuffle on the chunk key (the dedup decision) + one on doc_id
-    // (reconstruction) — both linear in corpus size. Docs whose every
-    // chunk appeared earlier elsewhere vanish, like boilerplate-only
-    // pages. sequence(0, ceil(size/10) - 1) is safe: size(tok) >= 1.
-    "q77_chunk_dedup" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("chunk").orderBy("doc_id", "p")
+    // are reconstructed from their surviving chunks in order.
+    //
+    // Keep-first is min(struct(doc_id, p, chunk)) per chunk — an
+    // AGGREGATE, not a row_number window: partial aggregation collapses
+    // a billion-way repeated boilerplate chunk to one row per map
+    // partition before the exchange, where the window formulation would
+    // shuffle + sort every instance into a single reducer task (the
+    // q17-argmax-vs-window lesson). The shuffle key is xxhash64(chunk)
+    // (16 B/row, not the ~40-byte string — jaccardPairsOf's convention;
+    // distinct-chunk collisions are ~n²/2^65, and the DuckDB twin
+    // groups by the string itself). (doc_id, p) is unique per instance,
+    // so the struct min is total-order deterministic and the winning
+    // chunk string rides along. One shuffle on the chunk hash + one on
+    // doc_id (reconstruction) — both linear in corpus size. Docs whose
+    // every chunk appeared earlier elsewhere vanish, like
+    // boilerplate-only pages. sequence(0, ceil(size/10) - 1) is safe:
+    // size(tok) >= 1.
+    "q77_chunk_dedup" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"), posexplode(expr(
           """transform(sequence(0, cast(ceil(size(tok) / 10.0) as int) - 1),
                i -> concat_ws(' ', slice(tok, i * 10 + 1, 10)))"""))
           .as(Seq("p", "chunk")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(xxhash64(col("chunk")).as("ck"))
+        .agg(min(struct(col("doc_id"), col("p"), col("chunk"))).as("f"))
+        .select(col("f.doc_id").as("doc_id"), col("f.p").as("p"),
+          col("f.chunk").as("chunk"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           concat_ws(" ", expr(
             "transform(array_sort(collect_list(struct(p, chunk))), x -> x.chunk)"))
             .as("clean_text"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // q80: deterministic mixture sampling — the train-mix construction
     // step: each language is downsampled at its own rate, with the

@@ -56,15 +56,21 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("h")
       .select("h", "doc_id", "lang")
 
-  /** Static corpus dedup state for [[nearDupNew]]: the corpus's distinct
-    * exact content hashes and distinct minhash band fingerprints. In
-    * production these are incrementally-maintained tables bucketed on
-    * their join keys (operators/Bucketing), so the per-micro-batch
-    * probes co-locate without reshuffling the corpus. */
-  def corpusState(corpus: DataFrame): (DataFrame, DataFrame) = (
-    corpus.select(md5(col("text")).as("h")).distinct(),
-    graft.queries.Dedup.signaturesOf(graft.queries.Dedup.withTok(corpus))
-      .select("band", "mh").distinct())
+  /** Static corpus dedup state for [[nearDupNew]] — derived by the SAME
+    * builder as batch q73 (graft.queries.Dedup.dedupState; the parity
+    * guarantee depends on one source) and PERSISTED here: the streaming
+    * query references the hash set once and the band set in four probe
+    * branches, every micro-batch — unpersisted, the full corpus scan +
+    * shingle + hash pipeline would re-execute five times per batch.
+    * Computed lazily on the first batch, reused after; callers that
+    * finish with the stream may unpersist both frames. In production
+    * these are incrementally-maintained tables bucketed on their join
+    * keys (operators/Bucketing), so the probes co-locate without
+    * reshuffling the corpus at all. */
+  def corpusState(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val (h, bands) = graft.queries.Dedup.dedupState(corpus)
+    (h.persist(), bands.persist())
+  }
 
   /** Streaming NEAR-duplicate dedup of an incoming document stream
     * against a static corpus — the streaming twin of batch

@@ -21,16 +21,20 @@ class ContractSpec extends SparkSpec {
 
   test("oracled query outputs are scalar-typed (driver-sortable)") {
     // The driver's pandas-based oracle compare lexsorts every output
-    // column; array/map/binary cells are unhashable there and crash the
-    // compare (the r4 q71 failure class). Nested types must be flattened
-    // (array_join / explode-to-long) before the final projection.
-    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType}
+    // column; array/map/binary/struct cells are unhashable there and
+    // crash the compare (the r4 q71 failure class). Nested types must
+    // be flattened (array_join / explode-to-long / field projection)
+    // before the final projection — checked recursively so a struct
+    // wrapping an array cannot slip through either.
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType,
+      MapType, StructType}
+    def nonScalar(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => true
+      case _ => false
+    }
     val offenders = SparkEntry.oracleSql.keys.toList.sorted.flatMap { k =>
-      val bad = SparkEntry.queries(k)(spark, sf).schema.fields.collect {
-        case f if f.dataType.isInstanceOf[ArrayType] ||
-          f.dataType.isInstanceOf[MapType] ||
-          f.dataType == BinaryType => f.name
-      }
+      val bad = SparkEntry.queries(k)(spark, sf).schema.fields
+        .collect { case f if nonScalar(f.dataType) => f.name }
       if (bad.isEmpty) None else Some(s"$k(${bad.mkString(",")})")
     }
     assert(offenders.isEmpty,
