@@ -105,6 +105,52 @@ object Analytics {
         .orderBy("lang")
     }),
 
+    // q82: cohort retention matrix — users bucketed by first-seen day,
+    // crossed with activity day, distinct actives per cell. The classic
+    // product-analytics shape: one agg on user (first seen), one
+    // shuffle join back on user, one two-key distinct agg — all keyed
+    // on user/day, nothing quadratic. Days not months: the events
+    // fixture spans ~2 weeks.
+    "q82_cohort_retention" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      ev.join(first, Seq("user_id"))
+        .groupBy("cohort", "day")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("active_users"))
+        .orderBy("cohort", "day")
+    }),
+
+    // q83: three-step sequential funnel (signup -> click -> purchase,
+    // each step strictly at-or-after the previous step's FIRST
+    // occurrence) — the step decision per user is a min-aggregate
+    // chain, not a window over all events: three per-user aggregates +
+    // broadcast-scale joins on user_id, conversion reported in integer
+    // basis points (tie-free).
+    "q83_funnel_steps" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
+        .select(col("n_signup"), col("n_click"), col("n_purchase"),
+          expr("(n_click * 10000) div n_signup").as("step2_bp"),
+          expr("(n_purchase * 10000) div n_signup").as("step3_bp"))
+    }),
+
     // q63: as-of join — each purchase enriched with the latest signup
     // burst at-or-before it for the same user (null when none). Runs
     // through operators/AsOfJoin: tag-union + carry-forward window, one
@@ -215,6 +261,36 @@ object Analytics {
                   / count(*), 4) AS avg_norm
          FROM documents JOIN v USING (doc_id)
          GROUP BY lang ORDER BY lang""",
+
+    "q82_cohort_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('day', ts) AS day
+                    FROM events),
+          f AS (SELECT user_id, min(day) AS cohort FROM e
+                GROUP BY user_id)
+          SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+            strftime(e.day, '%Y-%m-%d') AS day,
+            count(DISTINCT e.user_id) AS active_users
+          FROM e JOIN f USING (user_id)
+          GROUP BY f.cohort, e.day ORDER BY cohort, day""",
+
+    "q83_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                 FROM events e JOIN s1 USING (user_id)
+                 WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                 GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                 FROM events e JOIN s2 USING (user_id)
+                 WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                 GROUP BY e.user_id)
+          SELECT (SELECT count(*) FROM s1) AS n_signup,
+                 (SELECT count(*) FROM s2) AS n_click,
+                 (SELECT count(*) FROM s3) AS n_purchase,
+                 ((SELECT count(*) FROM s2) * 10000)
+                   // (SELECT count(*) FROM s1) AS step2_bp,
+                 ((SELECT count(*) FROM s3) * 10000)
+                   // (SELECT count(*) FROM s1) AS step3_bp""",
 
     "q63_asof_join" ->
       """WITH p AS (SELECT user_id, ts AS p_ts FROM events

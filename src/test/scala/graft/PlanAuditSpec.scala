@@ -14,14 +14,14 @@ class PlanAuditSpec extends SparkSpec {
   // q11: declared cross-join semantics (bounded tiny side)
   // q12_range_join: declared non-equi BNLJ demo (bucketed twin is the
   //   scale shape and is PlanSpec-guarded)
-  // q61/q50/q53/q57/q60: 1-row scalar-aggregate broadcast cross
+  // q61/q50/q53/q57/q60/q83: 1-row scalar-aggregate broadcast cross
   //   (n_docs, total counts, funnel numerator/denominator) — constant
   //   fan-out, not a pair explosion
   // q34: the top-k probe is ONE broadcast row against the corpus
   // q58: the 48-hour x 5-type grid cross — both sides constants
   private val bnljAllowed = Set("q11_cross_join", "q12_range_join",
     "q61_tfidf", "q50_ivf_kmeans", "q53_profile", "q57_stats",
-    "q60_funnel", "q34_cosine_topk", "q58_gap_fill")
+    "q60_funnel", "q83_funnel_steps", "q34_cosine_topk", "q58_gap_fill")
 
   test("no CartesianProduct anywhere; BNLJ only where declared") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
