@@ -14,9 +14,12 @@ object Bucketing {
   /** Write `df` as a bucketed+sorted managed parquet table
     * (idempotent: drops the table and any orphaned location first — the
     * in-memory catalog forgets tables across sessions but their files
-    * survive in the warehouse dir). */
+    * survive in the warehouse dir). `moreKeys` extends the bucket/sort
+    * spec to composite join keys — e.g. the (band, mh) dedup state,
+    * where exact bucket-key/join-key agreement is what lets the probe
+    * join elide the corpus-side exchange. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit = {
+      buckets: Int, moreKeys: String*): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new java.io.File(
@@ -29,8 +32,8 @@ object Bucketing {
       rm(loc)
     }
     df.write.format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
       .mode("overwrite")
       .saveAsTable(table)
   }

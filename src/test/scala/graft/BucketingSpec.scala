@@ -10,12 +10,22 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 class BucketingSpec extends SparkSpec {
 
   private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    val plan = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan  // descend into the final adaptive plan
-      case p => p
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    // materialized AQE stages (QueryStageExec) report no children, so a
+    // plain collect() sees zero exchanges once stages have executed —
+    // descend into them explicitly
+    def walk(p: SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(walk).sum
     }
-    plan.collect { case e: ShuffleExchangeLike => e }.size
+    walk(df.queryExecution.executedPlan)
   }
 
   test("join of two same-key bucketed tables plans zero shuffles") {
@@ -41,6 +51,37 @@ class BucketingSpec extends SparkSpec {
       val unbucketed = li.join(o, Seq("l_orderkey"))
       unbucketed.count()
       assert(countShuffles(unbucketed) > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed corpus band state: probe never reshuffles the corpus") {
+    // the q73/streaming incremental-dedup production claim, executable:
+    // persist the corpus (band, mh) state bucketed on exactly the probe
+    // join keys, and the arriving batch's band anti-probe shuffles ONLY
+    // the (small) batch side — the 100 TB corpus is read co-located.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf, "documents")
+    val (_, corpusBands) = graft.queries.Dedup
+      .dedupState(docs.filter(col("doc_id") < 250))
+    Bucketing.writeBucketed(corpusBands, "b_corpus_bands", "band", 4, "mh")
+
+    val batchSig = graft.queries.Dedup.signaturesOf(
+      graft.queries.Dedup.withTok(docs.filter(col("doc_id") >= 250)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = batchSig.join(Bucketing.read(spark, "b_corpus_bands"),
+        Seq("band", "mh"), "left_semi")
+      probe.collect()
+      assert(countShuffles(probe) == 1,
+        "only the batch side may shuffle; the bucketed corpus must not")
+      assert(probe.queryExecution.executedPlan.toString
+        .contains("Bucketed: true"), "corpus must come from a bucketed scan")
+
+      val unbucketed = batchSig.join(corpusBands,
+        Seq("band", "mh"), "left_semi")
+      unbucketed.collect()
+      assert(countShuffles(unbucketed) > 1, "sanity: unbucketed shuffles both")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
