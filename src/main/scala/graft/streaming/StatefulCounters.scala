@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Per-key running event count on the Spark 4 arbitrary-state API
+  * (`transformWithState` + [[StatefulProcessor]]): one ValueState[Long]
+  * per user in the RocksDB state store, updated once per micro-batch
+  * per key — O(users) state like the flatMapGroupsWithState
+  * sessionizer, but on the new typed-state surface (named state
+  * variables, per-state TTL, timers) that replaces GroupState for new
+  * code. TTLConfig.NONE here because the count is a forever-total; a
+  * bounded-retention deployment passes a TTL and lets the store expire
+  * idle users instead of growing without bound.
+  */
+class RunningCountProcessor
+    extends StatefulProcessor[Long, Long, (Long, Long)] {
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long](
+      "count", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Long],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val next = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(next)
+    Iterator.single((key, next))
+  }
+}
+
+object StatefulCounters {
+
+  /** transformWithState needs the RocksDB state store provider — set
+    * this on the session before starting the query (and revert after
+    * in tests; the default HDFS-backed provider rejects the operator). */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** (user_id, running_count) updates over a streaming events frame —
+    * run in update mode; the latest row per user equals the batch
+    * per-user count once all input is processed. */
+  def runningCounts(spark: SparkSession,
+      events: DataFrame): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}

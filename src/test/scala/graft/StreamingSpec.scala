@@ -177,6 +177,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running counts converge to batch counts") {
+    import org.apache.spark.sql.functions.col
+    // the Spark 4 arbitrary-state API needs the RocksDB provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.streaming.StatefulCounters.RocksDbProvider)
+    try {
+      val q = StreamingWindows.runToMemory(
+        graft.streaming.StatefulCounters.runningCounts(
+          spark, StreamingWindows.eventsStream(spark, sf)).toDF(),
+        "twscount", mode = "update")
+      try {
+        // latest update per user == the batch per-user count
+        val got = spark.table("twscount").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
+        val batch = Tables.load(spark, sf, "events")
+          .groupBy("user_id").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == batch,
+          s"running counts must converge (got ${got.size} users, " +
+            s"batch ${batch.size})")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming Misra-Gries candidates honor the batch MG guarantee") {
     import org.apache.spark.sql.functions.col
     // O(k) streaming state: every term with true frequency > n/(k+1)
