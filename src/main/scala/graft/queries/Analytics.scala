@@ -151,6 +151,43 @@ object Analytics {
           expr("(n_purchase * 10000) div n_signup").as("step3_bp"))
     }),
 
+    // q84: RFM customer segmentation — recency / frequency / monetary
+    // quartile scores. Deliberately NOT ntile over a global-order
+    // window (one task at scale): quartile CUTPOINTS are one tiny
+    // percentile aggregate broadcast to every row, and scoring is a
+    // map-side comparison — the formulation that survives a 100x
+    // customer count. Cutpoint comparisons are IEEE-identical
+    // cross-engine (q46 pinned percentile_cont parity); monetary uses
+    // the Det decimal-exact sum.
+    "q84_rfm_segments" -> ((s, d) => {
+      val base = Tables.load(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(datediff(to_date(lit("2001-12-31")),
+            to_date(max(col("o_orderdate")))).cast("long").as("rec"),
+          count(lit(1)).as("freq"),
+          graft.Det.dsum(col("o_totalprice")).as("mon"))
+      def qs(c: String, p: String) =
+        expr(s"percentile_cont($p) WITHIN GROUP (ORDER BY $c)")
+      val th = base.agg(
+        qs("rec", "0.25").as("r1"), qs("rec", "0.5").as("r2"),
+        qs("rec", "0.75").as("r3"),
+        qs("freq", "0.25").as("f1"), qs("freq", "0.5").as("f2"),
+        qs("freq", "0.75").as("f3"),
+        qs("mon", "0.25").as("m1"), qs("mon", "0.5").as("m2"),
+        qs("mon", "0.75").as("m3"))
+      def up(v: String, t: Seq[String]) = t.map(x =>
+        s"(case when $v > $x then 1 else 0 end)").mkString(" + ")
+      base.crossJoin(broadcast(th))
+        .selectExpr("o_custkey",
+          // smaller recency-gap = better: invert the bucket
+          s"cast(4 - (${up("rec", Seq("r1", "r2", "r3"))}) as bigint) as r_score",
+          s"cast(1 + ${up("freq", Seq("f1", "f2", "f3"))} as bigint) as f_score",
+          s"cast(1 + ${up("mon", Seq("m1", "m2", "m3"))} as bigint) as m_score")
+        .withColumn("rfm", concat(col("r_score").cast("string"),
+          col("f_score").cast("string"), col("m_score").cast("string")))
+        .orderBy("o_custkey")
+    }),
+
     // q63: as-of join — each purchase enriched with the latest signup
     // burst at-or-before it for the same user (null when none). Runs
     // through operators/AsOfJoin: tag-union + carry-forward window, one
@@ -261,6 +298,40 @@ object Analytics {
                   / count(*), 4) AS avg_norm
          FROM documents JOIN v USING (doc_id)
          GROUP BY lang ORDER BY lang""",
+
+    "q84_rfm_segments" ->
+      """WITH base AS (SELECT o_custkey,
+              date_diff('day', CAST(max(o_orderdate) AS DATE),
+                DATE '2001-12-31') AS rec,
+              count(*) AS freq,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS mon
+            FROM orders GROUP BY o_custkey),
+          th AS (SELECT
+              quantile_cont(rec, 0.25) AS r1, quantile_cont(rec, 0.5) AS r2,
+              quantile_cont(rec, 0.75) AS r3,
+              quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+              quantile_cont(freq, 0.75) AS f3,
+              quantile_cont(mon, 0.25) AS m1, quantile_cont(mon, 0.5) AS m2,
+              quantile_cont(mon, 0.75) AS m3
+            FROM base),
+          sc AS (SELECT o_custkey,
+              4 - ((CASE WHEN rec > r1 THEN 1 ELSE 0 END)
+                + (CASE WHEN rec > r2 THEN 1 ELSE 0 END)
+                + (CASE WHEN rec > r3 THEN 1 ELSE 0 END)) AS r_score,
+              1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END)
+                + (CASE WHEN freq > f2 THEN 1 ELSE 0 END)
+                + (CASE WHEN freq > f3 THEN 1 ELSE 0 END) AS f_score,
+              1 + (CASE WHEN mon > m1 THEN 1 ELSE 0 END)
+                + (CASE WHEN mon > m2 THEN 1 ELSE 0 END)
+                + (CASE WHEN mon > m3 THEN 1 ELSE 0 END) AS m_score
+            FROM base, th)
+          SELECT o_custkey, CAST(r_score AS BIGINT) AS r_score,
+            CAST(f_score AS BIGINT) AS f_score,
+            CAST(m_score AS BIGINT) AS m_score,
+            CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+              || CAST(m_score AS VARCHAR) AS rfm
+          FROM sc ORDER BY o_custkey""",
 
     "q82_cohort_retention" ->
       """WITH e AS (SELECT user_id, date_trunc('day', ts) AS day

@@ -21,7 +21,8 @@ class PlanAuditSpec extends SparkSpec {
   // q58: the 48-hour x 5-type grid cross — both sides constants
   private val bnljAllowed = Set("q11_cross_join", "q12_range_join",
     "q61_tfidf", "q50_ivf_kmeans", "q53_profile", "q57_stats",
-    "q60_funnel", "q83_funnel_steps", "q34_cosine_topk", "q58_gap_fill")
+    "q60_funnel", "q83_funnel_steps", "q84_rfm_segments",
+    "q34_cosine_topk", "q58_gap_fill")
 
   test("no CartesianProduct anywhere; BNLJ only where declared") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
