@@ -40,4 +40,21 @@ object Bucketing {
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Append rows to an existing bucketed table with the SAME bucket
+    * spec (bucket spec must be restated on every append; Spark rejects
+    * a mismatched spec rather than silently corrupting co-location).
+    * This is the incremental-state maintenance step: after a batch is
+    * deduped against the corpus state (shuffle-free probe, see
+    * BucketingSpec), the batch's own hashes/bands are appended here so
+    * the next batch probes the grown state — the corpus is never
+    * rewritten, and each appended file lands pre-bucketed on the probe
+    * keys. */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, moreKeys: String*): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
+      .mode("append")
+      .saveAsTable(table)
 }

@@ -85,6 +85,43 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("appended bucketed state serves the next batch shuffle-free") {
+    // the full incremental-ingest cycle: build state from the corpus,
+    // append batch-1's bands, and batch-2's probe against the GROWN
+    // state must (a) detect batch-1 near-dups and (b) still plan a
+    // bucketed corpus scan with only the probe side shuffling
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf, "documents")
+    def bands(pred: org.apache.spark.sql.Column) =
+      graft.queries.Dedup.signaturesOf(
+        graft.queries.Dedup.withTok(docs.filter(pred)))
+        .select("band", "mh").distinct()
+    Bucketing.writeBucketed(bands(col("doc_id") < 200),
+      "b_state", "band", 4, "mh")
+    Bucketing.appendBucketed(bands(col("doc_id") >= 200 &&
+      col("doc_id") < 350), "b_state", "band", 4, "mh")
+
+    val batch2 = graft.queries.Dedup.signaturesOf(
+      graft.queries.Dedup.withTok(docs.filter(col("doc_id") >= 350)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hits = batch2.join(Bucketing.read(spark, "b_state"),
+        Seq("band", "mh"), "left_semi")
+      val hitIds = hits.select("doc_id").distinct().collect()
+        .map(_.getLong(0)).toSet
+      // fixture ground truth: batch-2 docs band-matching doc_id < 350
+      val expect = batch2.join(bands(col("doc_id") < 350),
+        Seq("band", "mh"), "left_semi")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(hitIds == expect && hitIds.nonEmpty,
+        "grown state must equal corpus+batch1 band union")
+      hits.collect()
+      assert(countShuffles(hits) == 1,
+        "appended state must stay co-located (probe-side shuffle only)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned sink: reads prune partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("psink").toString
     val docs = Tables.load(spark, sf, "documents")
