@@ -35,7 +35,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = CosineSimilarity.requireSameLength(
+      x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -57,7 +58,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        int $n = graft.functions.CosineSimilarity.requireSameLength(
+          $x.numElements(), $y.numElements());
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           double $xi = (double) $x.getFloat($i);
@@ -70,6 +72,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Mismatched vector lengths are a data bug — failing loudly beats
+    * silently truncating to the shorter array and returning a
+    * plausible-looking similarity (and matches DuckDB
+    * list_cosine_similarity, which also rejects them). Zero vectors
+    * still yield NaN (0/0), the cross-engine-consistent result; callers
+    * that need a guard handle it (q76's zero-norm CASE). */
+  def requireSameLength(nx: Int, ny: Int): Int = {
+    if (nx != ny) throw new IllegalArgumentException(
+      s"cosine_sim: vector length mismatch ($nx vs $ny)")
+    nx
+  }
 }
 
 object GraftFunctions {

@@ -32,9 +32,17 @@ class TopKAgg(k: Int)
     extends Aggregator[TopKEntry, TopKBuf, Seq[TopKEntry]] {
   require(k >= 1, s"k must be >= 1, got $k")
 
-  // best first: v desc, then id asc
-  private val ord: Ordering[TopKEntry] =
-    Ordering.by((e: TopKEntry) => (-e.v, e.id))
+  // best first: v desc, then id asc — via Double.compare with -0.0
+  // normalized to 0.0, matching SQL ORDER BY semantics exactly: NaN
+  // sorts as the LARGEST value (key negation would send NaN last
+  // instead), and 0.0/-0.0 tie on the id rather than on sign
+  private val ord: Ordering[TopKEntry] = new Ordering[TopKEntry] {
+    private def norm(v: Double) = if (v == 0.0) 0.0 else v
+    override def compare(a: TopKEntry, b: TopKEntry): Int = {
+      val c = java.lang.Double.compare(norm(b.v), norm(a.v))
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+  }
 
   private def compact(b: TopKBuf): Unit =
     if (b.entries.length > k) {

@@ -20,11 +20,18 @@ object Bucketing {
     * join elide the corpus-side exchange. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, moreKeys: String*): Unit = {
+    // these helpers target simple names in the default database — a
+    // qualified name would put files under <db>.db/<t>, which the
+    // orphan cleanup below would miss
+    require(!table.contains("."),
+      s"use a simple (unqualified) table name, got: $table")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // the catalog lowercases managed-table directories — clean up the
+    // path Spark actually uses, not the identifier as typed
     val loc = new java.io.File(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-        .getPath, table)
+        .getPath, table.toLowerCase(java.util.Locale.ROOT))
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

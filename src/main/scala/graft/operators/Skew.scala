@@ -26,19 +26,23 @@ object Skew {
     * Results are identical to the direct aggregation (asserted in
     * SkewSpec); only the shuffle distribution changes.
     *
-    * The salt is derived from ROW CONTENT (xxhash64 over every input
-    * column plus the seed), never from a non-deterministic expression
-    * like monotonically_increasing_id: when a lost shuffle partition
-    * forces a map-task recompute, content-hash salts reproduce exactly,
-    * so reducers that already fetched the first attempt's output agree
-    * with the retry (the SPARK-23207 failure class). The trade-off is
-    * that byte-identical duplicate rows share a salt — aggregation stays
-    * correct (phase 2 merges all salts), only duplicate-heavy hot keys
-    * spread across fewer than saltBuckets reducers. */
+    * The salt is derived from ROW CONTENT (xxhash64 over the key and
+    * aggregate-input columns plus the seed — not every column, which
+    * would crash on unhashable MapType payload columns and pay a
+    * full-row hash for nothing), never from a non-deterministic
+    * expression like monotonically_increasing_id: when a lost shuffle
+    * partition forces a map-task recompute, content-hash salts
+    * reproduce exactly, so reducers that already fetched the first
+    * attempt's output agree with the retry (the SPARK-23207 failure
+    * class). The trade-off is that rows identical on (keys, inputs)
+    * share a salt — aggregation stays correct (phase 2 merges all
+    * salts), only duplicate-heavy hot keys spread across fewer than
+    * saltBuckets reducers. */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       specs: Seq[AggSpec], seed: Long = 42L): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64((df.columns.map(col) :+ lit(seed)).toSeq: _*),
+      pmod(xxhash64(
+        (keys.map(col) ++ specs.map(_.input) :+ lit(seed)): _*),
         lit(saltBuckets)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)

@@ -101,10 +101,16 @@ object ImageOps {
     rec.copy(height = th, width = tw, data = out)
   }
 
-  /** A10: seeded random flip — horizontal, vertical, or both, chosen by a
-    * seeded RNG (reference seeds 42 => deterministic). */
+  /** A10: seeded random flip — horizontal, vertical, or both. The seed
+    * is MIXED with the record's origin so a corpus-wide augmentation run
+    * picks a different (but run-deterministic and retry-stable) flip per
+    * image: seeding the RNG with the bare run seed would give every
+    * record in the corpus the identical flip — zero augmentation
+    * diversity (reference seeds 42 => deterministic per record). */
   def flipSeeded(rec: ImageRecord, seed: Long): ImageRecord =
-    new scala.util.Random(seed).nextInt(3) match {
+    new scala.util.Random(
+      seed * 0x9E3779B97F4A7C15L ^ rec.origin.hashCode.toLong)
+      .nextInt(3) match {
       case 0 => flip(rec, horizontal = true, vertical = false)
       case 1 => flip(rec, horizontal = false, vertical = true)
       case _ => flip(rec, horizontal = true, vertical = true)

@@ -214,8 +214,7 @@ object Analytics {
     // q61: corpus TF-IDF (smoothed idf), reported for the first 5 docs
     "q61_tfidf" -> ((s, d) => {
       val toks = Tables.load(s, d, "documents")
-        .select(col("doc_id"),
-          explode(expr("split(trim(text), '\\\\s+')")).as("term"))
+        .select(col("doc_id"), explode(expr(Dedup.TokExpr)).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // df derives from tf (one row per (doc, term) => row count per term
       // IS the document frequency): the corpus is scanned, exploded and

@@ -57,9 +57,16 @@ object Dedup {
     (0 until rowsPerBand).map(r =>
       (((0x2545F4914F6CDD1DL * (2 * r + 3)) >>> 3) % M61) max 1L)
 
+  /** THE canonical whitespace tokenizer over `text` — every batch and
+    * streaming text op shares this one definition (cross-query results
+    * and streaming/batch parity depend on all sites tokenizing
+    * identically; the DuckDB twin is the literal
+    * `string_split_regex(trim(text), '\s+')` in the oracle SQL). */
+  val TokExpr: String = "split(trim(text), '\\\\s+')"
+
   /** Adds the whitespace-token column to any (doc_id, text, ...) frame. */
   def withTok(df: DataFrame): DataFrame =
-    df.withColumn("tok", expr("split(trim(text), '\\\\s+')"))
+    df.withColumn("tok", expr(TokExpr))
 
   private def docs(s: SparkSession, d: String) =
     withTok(Tables.load(s, d, "documents"))

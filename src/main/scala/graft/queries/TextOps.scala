@@ -14,11 +14,8 @@ import graft.Tables
 object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Whitespace tokens of `text` (trimmed so no empty tokens). */
-  private val tokExpr = "split(trim(text), '\\\\s+')"
-
   private def docs(s: SparkSession, d: String) =
-    Tables.load(s, d, "documents").withColumn("tok", expr(tokExpr))
+    Dedup.withTok(Tables.load(s, d, "documents"))
 
   // per-language stopword profiles for the langid heuristic
   private val profiles: Seq[(String, Seq[String])] = Seq(

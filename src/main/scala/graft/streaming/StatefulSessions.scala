@@ -17,6 +17,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * *within* a batch are emitted immediately. Emission format matches the
   * batch q31 output exactly, so parity is assertable row-for-row.
   *
+  * Cross-batch out-of-order semantics: a late event INSIDE the open
+  * session's merge window [start - gap, last + gap] merges exactly
+  * (extending the start downward when earlier than it); a late event
+  * OLDER than start - gap cannot belong to the open session and is
+  * emitted immediately as its own session — an approximation (two such
+  * stragglers that would have merged are emitted separately; exact
+  * handling needs a session list per key). Pipelines needing exact
+  * late-merge semantics use the built-in session_window path
+  * (StreamingWindows.session), which q31-parity covers.
+  *
   * Scale: state is O(users), partitioned by the group key; timeouts are
   * driven by the event-time watermark, so state cannot grow unboundedly.
   */
@@ -55,10 +65,14 @@ object StatefulSessions {
       cur match {
         case None => cur = Some(OpenSession(t, t, 1))
         case Some(s) =>
-          if (t - s.lastUs > gapUs) {
+          if (t - s.lastUs > gapUs) { // next session begins
             out += close(userId, s)
             cur = Some(OpenSession(t, t, 1))
-          } else cur = Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1))
+          } else if (s.startUs - t > gapUs) { // straggler before the
+            // session's merge window: emit standalone (see scaladoc)
+            out += close(userId, OpenSession(t, t, 1))
+          } else cur = Some(OpenSession(math.min(s.startUs, t),
+            math.max(s.lastUs, t), s.n + 1))
       }
     }
     cur.foreach { s =>

@@ -23,7 +23,7 @@ object StreamingSketches {
     val mg = udaf(new graft.functions.MisraGries(k),
       org.apache.spark.sql.Encoders.STRING)
     docs
-      .select(explode(expr("split(trim(text), '\\\\s+')")).as("term"))
+      .select(explode(expr(graft.queries.Dedup.TokExpr)).as("term"))
       .agg(mg(col("term")).as("sketch"))
       .select(explode(col("sketch")).as(Seq("term", "est")))
   }

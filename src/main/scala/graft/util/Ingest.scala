@@ -32,8 +32,13 @@ object Ingest {
         val rel = if (hasSingleRoot) e.getName.drop(roots.head.length + 1)
                   else e.getName
         val out = new File(dest, rel)
-        // zip-slip guard: resolved path must stay under dest
-        require(out.getCanonicalPath.startsWith(dest.getCanonicalPath),
+        // zip-slip guard: resolved path must stay under dest. The
+        // trailing separator matters — a bare prefix check would admit
+        // escapes into SIBLING dirs sharing the prefix (dest=/data/out
+        // vs entry resolving to /data/out2/evil).
+        require(out.getCanonicalPath == dest.getCanonicalPath ||
+          out.getCanonicalPath.startsWith(
+            dest.getCanonicalPath + File.separator),
           s"zip entry escapes destination: ${e.getName}")
         out.getParentFile.mkdirs()
         val in = zf.getInputStream(e)

@@ -58,6 +58,12 @@ class ImagePipelineSpec extends SparkSpec {
       .data.sameElements(g.data), "double flip = identity")
     // horizontal flip reverses the gradient row
     assert((h.data(0) & 0xff) == 255)
+    // the per-record seed mix must give DIFFERENT records different
+    // flips — a run-seed-only RNG degenerates to one corpus-wide flip
+    val variants = (0 until 8).map { i =>
+      ImageOps.flipSeeded(g.copy(origin = s"img$i"), seed = 42).data.toSeq
+    }
+    assert(variants.distinct.size >= 2, "per-record flips must vary")
   }
 
   test("rotate: 0 deg = identity; 15 deg keeps solid interior solid") {
