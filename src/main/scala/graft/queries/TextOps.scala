@@ -238,10 +238,13 @@ object TextOps {
     // a billion-way repeated boilerplate chunk to one row per map
     // partition before the exchange, where the window formulation would
     // shuffle + sort every instance into a single reducer task (the
-    // q17-argmax-vs-window lesson). The shuffle key is xxhash64(chunk)
-    // (16 B/row, not the ~40-byte string — jaccardPairsOf's convention;
-    // distinct-chunk collisions are ~n²/2^65, and the DuckDB twin
-    // groups by the string itself). (doc_id, p) is unique per instance,
+    // q17-argmax-vs-window lesson). The shuffle key is
+    // (xxhash64(chunk), length(chunk)) (~24 B/row, not the ~40-byte
+    // string — jaccardPairsOf's convention; the length component means a
+    // collision needs BOTH a 64-bit hash collision AND equal lengths,
+    // pushing the corpus-wide false-merge odds well below the bare
+    // ~n²/2^65 — the DuckDB twin groups by the string itself).
+    // (doc_id, p) is unique per instance,
     // so the struct min is total-order deterministic and the winning
     // chunk string rides along. One shuffle on the chunk hash + one on
     // doc_id (reconstruction) — both linear in corpus size. Docs whose
@@ -254,7 +257,8 @@ object TextOps {
           """transform(sequence(0, cast(ceil(size(tok) / 10.0) as int) - 1),
                i -> concat_ws(' ', slice(tok, i * 10 + 1, 10)))"""))
           .as(Seq("p", "chunk")))
-        .groupBy(xxhash64(col("chunk")).as("ck"))
+        .groupBy(xxhash64(col("chunk")).as("ck"),
+          length(col("chunk")).as("clen"))
         .agg(min(struct(col("doc_id"), col("p"), col("chunk"))).as("f"))
         .select(col("f.doc_id").as("doc_id"), col("f.p").as("p"),
           col("f.chunk").as("chunk"))

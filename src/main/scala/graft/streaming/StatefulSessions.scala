@@ -17,14 +17,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * *within* a batch are emitted immediately. Emission format matches the
   * batch q31 output exactly, so parity is assertable row-for-row.
   *
-  * Cross-batch out-of-order semantics: a late event INSIDE the open
-  * session's merge window [start - gap, last + gap] merges exactly
-  * (extending the start downward when earlier than it); a late event
-  * OLDER than start - gap cannot belong to the open session and is
-  * emitted immediately as its own session — an approximation (two such
-  * stragglers that would have merged are emitted separately; exact
-  * handling needs a session list per key). Pipelines needing exact
-  * late-merge semantics use the built-in session_window path
+  * Cross-batch out-of-order semantics: within a batch, ALL events plus
+  * the open state session are interval-merged together (standard
+  * gap-merge over the time-sorted sequence), so same-batch stragglers
+  * that belong together form one session and a straggler within gap of
+  * the (possibly extended) open session merges into it exactly. Only the
+  * LAST merged session stays open in state; earlier ones are emitted at
+  * batch end. The remaining approximation is cross-batch only: a
+  * straggler in a LATER batch cannot rejoin a session already emitted in
+  * an earlier one (exact handling needs a bounded session list per key
+  * held until the watermark passes). Pipelines needing exact late-merge
+  * semantics use the built-in session_window path
   * (StreamingWindows.session), which q31-parity covers.
   *
   * Scale: state is O(users), partitioned by the group key; timeouts are
@@ -58,24 +61,26 @@ object StatefulSessions {
       state.remove()
       return out
     }
-    val out = scala.collection.mutable.Buffer[SessionOut]()
-    var cur = state.getOption
-    // micro-batch delivery order is not time order — sort within batch
-    events.toSeq.map(micros _ compose (_.ts)).sorted.foreach { t =>
-      cur match {
-        case None => cur = Some(OpenSession(t, t, 1))
-        case Some(s) =>
-          if (t - s.lastUs > gapUs) { // next session begins
-            out += close(userId, s)
-            cur = Some(OpenSession(t, t, 1))
-          } else if (s.startUs - t > gapUs) { // straggler before the
-            // session's merge window: emit standalone (see scaladoc)
-            out += close(userId, OpenSession(t, t, 1))
-          } else cur = Some(OpenSession(math.min(s.startUs, t),
-            math.max(s.lastUs, t), s.n + 1))
+    // Interval-merge the batch's events (sorted — micro-batch delivery
+    // order is not time order) together with the open state session:
+    // consecutive items <= gap apart coalesce. This makes same-batch
+    // stragglers merge with EACH OTHER and with the open session even
+    // when a later event first pulls the session's start down (the
+    // one-pass version emitted them standalone — see scaladoc).
+    val items = (events.toSeq.map { e =>
+      val t = micros(e.ts); OpenSession(t, t, 1)
+    } ++ state.getOption).sortBy(s => (s.startUs, s.lastUs))
+    val merged = items.foldLeft(List.empty[OpenSession]) { (acc, s) =>
+      acc match {
+        case h :: t if s.startUs - h.lastUs <= gapUs =>
+          OpenSession(h.startUs, math.max(h.lastUs, s.lastUs), h.n + s.n) :: t
+        case _ => s :: acc
       }
-    }
-    cur.foreach { s =>
+    }.reverse
+    // all but the time-wise last are > gap before a newer session and
+    // close now; the last stays open awaiting its event-time timeout
+    val out = merged.dropRight(1).map(close(userId, _))
+    merged.lastOption.foreach { s =>
       state.update(s)
       state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
     }

@@ -40,6 +40,20 @@ class ExpressionSpec extends SparkSpec {
     assert(diff.count() == 0, "native and HOF cosine must agree bit-for-bit")
   }
 
+  test("cosine_sim: length mismatch fails loudly through the SQL/codegen path") {
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1f, 0f), Array(1f))).toDF("a", "b")
+    val ex = intercept[Throwable] {
+      df.select(expr("cosine_sim(a, b)")).collect()
+    }
+    val chain = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(e => e.getClass.getName + ": " + String.valueOf(e.getMessage))
+      .toSeq
+    assert(chain.exists(m => m.contains("IllegalArgumentException") &&
+      m.contains("vector length mismatch")),
+      s"expected requireSameLength to throw; got:\n${chain.mkString("\n")}")
+  }
+
   test("native simhash64 equals the HOF formulation (same hash, seed 42)") {
     GraftFunctions.register(spark)
     val hofSimhash =

@@ -97,6 +97,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessions: same-batch stragglers merge with each other") {
+    // Two events older than the open session's merge window but within
+    // gap of each other must emit as ONE session, and the in-window
+    // event must extend the open session — pinning the interval-merge
+    // upgrade over the old emit-each-straggler-standalone behavior.
+    import graft.streaming.StatefulSessions.{Ev, OpenSession, sessionFn}
+    val mi = 60L * 1000000L // one minute in micros
+    def ev(m: Long) = Ev(7L, new java.sql.Timestamp(m * 60L * 1000L))
+    val state = org.apache.spark.sql.streaming.TestGroupState.create[OpenSession](
+      org.apache.spark.api.java.Optional.of(
+        OpenSession(100 * mi, 100 * mi, 1)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val out = sessionFn(30 * mi)(7L, Iterator(ev(110), ev(10), ev(20)), state)
+      .toList
+    assert(out.map(s => (s.sstart, s.n_events, s.dur_us)) ==
+      List(("1970-01-01 00:10:00.000000", 2L, 10 * mi)),
+      s"stragglers at 10' and 20' must merge into one emitted session: $out")
+    assert(state.get == OpenSession(100 * mi, 110 * mi, 2),
+      "the in-window event must extend the open session in state")
+  }
+
   test("streaming parquet sink: checkpointed append lands finalized windows") {
     // the production path — writeStream to a parquet directory with a
     // checkpoint — not just the memory sink the parity tests use
