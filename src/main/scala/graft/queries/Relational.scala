@@ -418,6 +418,77 @@ object Relational {
           FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
           WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY o.o_orderkey""")
+    }),
+
+    // q87: winsorized robust stats — per-group p05/p95 cutpoints via
+    // percentile_disc (an ACTUAL data value, no interpolation: the
+    // cross-engine-exact choice; DuckDB twin is the literal SQL-standard
+    // definition, min(x) where cume_dist >= p), then the mean of the
+    // clamped column. Each clamped price converts to exact integer
+    // CENTS per row (decimal(18,2) * 100 -> bigint), so the sum is
+    // order-independent and the mean is a floored integer division —
+    // no double summation, no decimal-division scale rules. The
+    // cutpoint aggregate holds per-group sorted state like q46; the
+    // clamp+sum pass is map-side partial aggregation after a 3-row
+    // broadcast join.
+    "q87_winsorize" -> ((s, d) => {
+      val cut = t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p05"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p95"))
+      t(s, d, "lineitem")
+        .join(broadcast(cut), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p05"), col("p95"),
+          expr("""cast(cast(least(greatest(l_extendedprice, p05), p95)
+                   as decimal(18,2)) * 100 as bigint)""").as("wc"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), min("p05").as("p05"),
+          min("p95").as("p95"), sum("wc").as("sw"))
+        .select(col("l_returnflag"), col("n"), col("p05"), col("p95"),
+          expr("sw div n").as("wmean_cents"))
+        .orderBy("l_returnflag")
+    }),
+
+    // q88: equi-depth (decile) histogram — the complement of q78's
+    // equi-width bins and the shape behind learned range partitioners.
+    // All nine decile cutpoints (percentile_disc semantics: min value
+    // with cume_dist >= p, an ACTUAL data value) come from ONE pass over
+    // a VALUE-DOMAIN-bounded counts table: groupBy(value) shrinks the
+    // corpus map-side to distinct prices (a 2-decimal money domain tops
+    // out at ~10M rows no matter the corpus size), a running-count
+    // window over that small table yields cume_dist, and one tiny
+    // aggregate picks all 9 cutpoints. This replaces 9 percentile_disc
+    // aggregates, each of which buffers the ENTIRE column into a
+    // single-task object buffer — 3.5s at sf0.1 and corpus-sized
+    // reducer state at 100 TB, vs domain-sized here (1.4s). Cutpoints
+    // broadcast as ONE row (BNLJ allowlisted); bin assignment is the
+    // map-side count-of-cutpoints-below (q84's no-global-ntile trick);
+    // per-bin money sums decimal-exact.
+    "q88_equidepth_hist" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val cuts = (1 to 9).map(i =>
+        s"min(CASE WHEN cast(run as double) / cast(tot as double) >= 0.$i " +
+          s"THEN x END)").mkString(",\n            ")
+      s.sql(s"""
+        WITH vc AS (SELECT o_totalprice AS x, count(*) AS cnt
+                    FROM orders GROUP BY o_totalprice),
+        cume AS (SELECT x,
+                   sum(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                     AS run,
+                   sum(cnt) OVER () AS tot
+                 FROM vc),
+        cut AS (SELECT array(
+            $cuts) AS cuts
+          FROM cume)
+        SELECT cast(size(filter(c.cuts, v -> o.o_totalprice > v)) as bigint)
+                 AS bin,
+               count(*) AS n,
+               cast(sum(cast(o.o_totalprice as decimal(18,2))) as double)
+                 AS sum_price
+        FROM orders o CROSS JOIN cut c
+        GROUP BY 1 ORDER BY bin""")
     })
   )
 
@@ -693,6 +764,40 @@ object Relational {
            SELECT avg(o2.o_totalprice)
            FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
            WHERE c2.c_nationkey = c.c_nationkey)
-         ORDER BY o.o_orderkey"""
+         ORDER BY o.o_orderkey""",
+
+    "q87_winsorize" ->
+      """WITH r AS (SELECT l_returnflag AS rf, l_extendedprice AS x,
+               cume_dist() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice) AS cd
+             FROM lineitem),
+          cut AS (SELECT rf, min(x) FILTER (WHERE cd >= 0.05) AS p05,
+                    min(x) FILTER (WHERE cd >= 0.95) AS p95
+                  FROM r GROUP BY rf),
+          w AS (SELECT l.l_returnflag, c.p05, c.p95,
+                  CAST(CAST(least(greatest(l.l_extendedprice, c.p05), c.p95)
+                    AS DECIMAL(18,2)) * 100 AS BIGINT) AS wc
+                FROM lineitem l JOIN cut c ON l.l_returnflag = c.rf)
+          SELECT l_returnflag, count(*) AS n, min(p05) AS p05,
+            min(p95) AS p95,
+            CAST(sum(wc) AS BIGINT) // count(*) AS wmean_cents
+          FROM w GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q88_equidepth_hist" -> {
+      val bins = (1 to 9).map(i =>
+        s"(CASE WHEN o.o_totalprice > c.c$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val cuts = (1 to 9).map(i =>
+        s"min(x) FILTER (WHERE cd >= 0.$i) AS c$i").mkString(", ")
+      s"""WITH r AS (SELECT o_totalprice AS x,
+               cume_dist() OVER (ORDER BY o_totalprice) AS cd FROM orders),
+          cut AS (SELECT $cuts FROM r),
+          b AS (SELECT o.o_totalprice, CAST($bins AS BIGINT) AS bin
+                FROM orders o CROSS JOIN cut c)
+          SELECT bin, count(*) AS n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price
+          FROM b GROUP BY bin ORDER BY bin"""
+    }
   )
 }

@@ -214,7 +214,32 @@ object Similarity {
               else transform(embedding, v -> cast(cast(floor(
                 cast(v as double) * (cast(127 as double) / cast(maxabs as double))
                 + 0.5d) as int) as string)) end, ',')""").as("q_csv"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // q89: ANN quality metric — recall@5 of the IVF probe (q39) against
+    // the brute-force top-5 (q34 shape). "Measure, don't guess": the
+    // recall a bucketed index actually delivers is the number that sets
+    // the bucket/nprobe knobs at scale, so the engine computes it as a
+    // query. Both top-5 sides are TakeOrdered over one broadcast-probe
+    // pass; the intersection is a 5-row semi join; output is a single
+    // integer-basis-points row (no FP in the result).
+    "q89_ann_recall" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"),
+        col("embedding").as("emb"))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("bucket").as("p_bucket"), col("emb").as("pe"))
+      val brute = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), round(cosine("emb", "pe"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      val ivf = e.join(broadcast(probe), col("bucket") === col("p_bucket"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(cosine("emb", "pe"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      brute.join(ivf.select("vec_id"), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(col("hits"), (col("hits") * 2000).as("recall_bp"))
+    })
   )
 
   private val duckBucket =
@@ -343,6 +368,21 @@ object Similarity {
                    ELSE list_transform(embedding, v -> CAST(floor(
                      CAST(v AS DOUBLE) * (127 / CAST(maxabs AS DOUBLE))
                      + 0.5) AS INTEGER)) END, ',') AS q_csv
-          FROM t ORDER BY vec_id"""
+          FROM t ORDER BY vec_id""",
+
+    "q89_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, $duckBucket AS bucket,
+              CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          p AS (SELECT bucket AS p_bucket, emb AS pe FROM e
+                WHERE vec_id = 0),
+          brute AS (SELECT e.vec_id FROM e, p WHERE e.vec_id <> 0
+                    ORDER BY round(list_cosine_similarity(e.emb, p.pe), 4)
+                      DESC, e.vec_id LIMIT 5),
+          ivf AS (SELECT e.vec_id FROM e JOIN p ON e.bucket = p.p_bucket
+                  WHERE e.vec_id <> 0
+                  ORDER BY round(list_cosine_similarity(e.emb, p.pe), 4)
+                    DESC, e.vec_id LIMIT 5)
+          SELECT count(*) AS hits, count(*) * 2000 AS recall_bp
+          FROM brute JOIN ivf USING (vec_id)"""
   )
 }

@@ -298,7 +298,52 @@ object TextOps {
             cast(0 as bigint),
             (a, x) -> (a * 31 + x) % 1000000007)""").as("fp"),
         size(col("tok")).cast("long").as("ntok"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // q85: bigram collocation strength (Dice coefficient) — the
+    // PMI-family collocation measure, in INTEGER arithmetic only:
+    // dice_bp = 20000*n(w1,w2) div (n(w1)+n(w2)) ranks the same pairs
+    // PMI would surface without any cross-engine log()/double drift.
+    // Bigram and unigram counts are both two-phase hash aggregates
+    // (map-side combine collapses repeats before the exchange), and the
+    // unigram table is VOCABULARY-bounded — a few million rows for any
+    // real corpus — so it broadcasts to the bigram side at 100 TB too.
+    "q85_bigram_dice" -> ((s, d) => {
+      val dd = docs(s, d).filter(size(col("tok")) >= 2)
+      val big = dd
+        .select(explode(expr(
+          """transform(sequence(0, size(tok) - 2),
+               i -> struct(tok[i] AS w1, tok[i+1] AS w2))""")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
+      val uni = docs(s, d).select(explode(col("tok")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("nw"))
+      big
+        .join(broadcast(uni.select(col("w").as("w1"), col("nw").as("n1"))),
+          Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("nw").as("n2"))),
+          Seq("w2"))
+        .filter(col("nb") >= 5)
+        .select(col("w1"), col("w2"), col("nb"),
+          expr("(20000 * nb) div (n1 + n2)").as("dice_bp"))
+        .orderBy(col("dice_bp").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    // q86: per-language vocabulary statistics — vocab size, hapax count
+    // (terms seen exactly once: the OOV/noise signal curation dashboards
+    // watch), total tokens, and type-token ratio in basis points. Two
+    // stacked hash aggregates; intermediate state is vocabulary-bounded
+    // per language, never corpus-sized.
+    "q86_vocab_stats" -> ((s, d) =>
+      docs(s, d).select(col("lang"), explode(col("tok")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("vocab"),
+          expr("count_if(cnt = 1)").as("hapax"),
+          sum("cnt").as("tokens"))
+        .withColumn("ttr_bp", expr("(vocab * 10000) div tokens"))
+        .orderBy("lang"))
   )
 
   private val duckTok = "string_split_regex(trim(text), '\\s+')"
@@ -469,6 +514,30 @@ object TextOps {
                   t -> CAST(length(t) * 17 + ascii(t[1]) AS BIGINT))),
               (a, x) -> (a * 31 + x) % 1000000007) AS fp,
             CAST(len(tok) AS BIGINT) AS ntok
-          FROM t ORDER BY doc_id"""
+          FROM t ORDER BY doc_id""",
+
+    "q85_bigram_dice" ->
+      s"""WITH tok AS (SELECT $duckTok AS t FROM documents),
+          big AS (SELECT t[i] AS w1, t[i+1] AS w2
+                  FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+                  WHERE len(t) >= 2),
+          bc AS (SELECT w1, w2, count(*) AS nb FROM big GROUP BY w1, w2),
+          uc AS (SELECT w, count(*) AS nw
+                 FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w)
+          SELECT b.w1, b.w2, b.nb,
+            (20000 * b.nb) // (u1.nw + u2.nw) AS dice_bp
+          FROM bc b JOIN uc u1 ON b.w1 = u1.w JOIN uc u2 ON b.w2 = u2.w
+          WHERE b.nb >= 5
+          ORDER BY dice_bp DESC, w1, w2 LIMIT 20""",
+
+    "q86_vocab_stats" ->
+      s"""WITH wc AS (SELECT lang, w, count(*) AS cnt
+                 FROM (SELECT lang, unnest($duckTok) AS w FROM documents)
+                 GROUP BY lang, w)
+          SELECT lang, count(*) AS vocab,
+            count(*) FILTER (WHERE cnt = 1) AS hapax,
+            CAST(sum(cnt) AS BIGINT) AS tokens,
+            CAST((count(*) * 10000) // sum(cnt) AS BIGINT) AS ttr_bp
+          FROM wc GROUP BY lang ORDER BY lang"""
   )
 }
