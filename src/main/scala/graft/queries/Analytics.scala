@@ -211,6 +211,29 @@ object Analytics {
         .orderBy("user_id", "p_ts", "s_ts")
     }),
 
+    // q90: the SAME as-of semantics as q63, through the native
+    // sort-merge physical operator (graft.plans.AsOfJoinExec — custom
+    // LogicalPlan + SparkStrategy + SparkPlan via SparkSessionExtensions)
+    // instead of the tag-union + carry-forward-window composition: one
+    // shuffle per SIDE (not of the union), no window state, O(1) merge
+    // memory. Same DuckDB ASOF JOIN oracle, so the two formulations are
+    // pinned result-identical through the driver gate.
+    "q90_asof_native" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id").as("su_id"), col("ts").as("s_ts"))
+        .agg(count(lit(1)).as("s_cnt"))
+      graft.plans.AsOfJoinPlan
+        .asof(purchases, signups, "user_id", "su_id", "p_ts", "s_ts")
+        .select(col("user_id"),
+          date_format(col("p_ts"), fmtU).as("p_ts"),
+          date_format(col("s_ts"), fmtU).as("s_ts"),
+          col("s_cnt"))
+        .orderBy("user_id", "p_ts", "s_ts")
+    }),
+
     // q61: corpus TF-IDF (smoothed idf), reported for the first 5 docs
     "q61_tfidf" -> ((s, d) => {
       val toks = Tables.load(s, d, "documents")
@@ -363,6 +386,19 @@ object Analytics {
                    // (SELECT count(*) FROM s1) AS step3_bp""",
 
     "q63_asof_join" ->
+      """WITH p AS (SELECT user_id, ts AS p_ts FROM events
+                    WHERE event_type = 'purchase'),
+          s AS (SELECT user_id, ts AS s_ts, count(*) AS s_cnt
+                FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+          SELECT p.user_id,
+            strftime(p.p_ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+            strftime(s.s_ts, '%Y-%m-%d %H:%M:%S.%f') AS s_ts,
+            s.s_cnt
+          FROM p ASOF LEFT JOIN s
+            ON p.user_id = s.user_id AND p.p_ts >= s.s_ts
+          ORDER BY 1, 2, 3""",
+
+    "q90_asof_native" ->
       """WITH p AS (SELECT user_id, ts AS p_ts FROM events
                     WHERE event_type = 'purchase'),
           s AS (SELECT user_id, ts AS s_ts, count(*) AS s_cnt
