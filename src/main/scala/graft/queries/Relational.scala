@@ -489,6 +489,33 @@ object Relational {
                  AS sum_price
         FROM orders o CROSS JOIN cut c
         GROUP BY 1 ORDER BY bin""")
+    }),
+
+    // q91: Z-order layout audit — the data-skipping story made
+    // measurable: range-normalize both keys into the full 16-bit grid
+    // (what a z-order writer does — interleaving RAW keys would leave
+    // the z-space lopsided whenever one domain is smaller), interleave
+    // into a z-value, slab the z-space into 64 would-be files, and
+    // report each slab's PER-AXIS min/max span. Narrow spans on BOTH
+    // axes are exactly what lets a min/max-pruning scan skip most files
+    // for a predicate on EITHER key (a plain sort gives this for its
+    // leading column only — ZOrderSpec quantifies the difference).
+    // One 1-row stats broadcast (BNLJ allowlisted), map-only z ladder
+    // (integer and/or/shift, codegen'd, ANSI-safe), one O(slabs) agg.
+    "q91_zorder_layout" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val stats = o.agg(min("o_custkey").as("ck0"), max("o_custkey").as("ck1"),
+        min("o_orderkey").as("ok0"), max("o_orderkey").as("ok1"))
+      o.crossJoin(broadcast(stats))
+        .withColumn("z", graft.operators.ZOrder.zorder2(
+          expr("((o_custkey - ck0) * 65535) div greatest(ck1 - ck0, 1)"),
+          expr("((o_orderkey - ok0) * 65535) div greatest(ok1 - ok0, 1)")))
+        .withColumn("slab", expr("z div 67108864")) // 64 slabs of 2^32
+        .groupBy("slab")
+        .agg(count(lit(1)).as("n"),
+          (max("o_custkey") - min("o_custkey")).as("ck_span"),
+          (max("o_orderkey") - min("o_orderkey")).as("ok_span"))
+        .orderBy("slab")
     })
   )
 
@@ -798,6 +825,21 @@ object Relational {
             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
               AS sum_price
           FROM b GROUP BY bin ORDER BY bin"""
+    },
+
+    "q91_zorder_layout" -> {
+      val z = graft.operators.ZOrder.duckZorder2(
+        "((o_custkey - ck0) * 65535) // greatest(ck1 - ck0, 1)",
+        "((o_orderkey - ok0) * 65535) // greatest(ok1 - ok0, 1)")
+      s"""WITH s AS (SELECT min(o_custkey) AS ck0, max(o_custkey) AS ck1,
+               min(o_orderkey) AS ok0, max(o_orderkey) AS ok1 FROM orders),
+          t AS (SELECT o_custkey, o_orderkey,
+                  $z // 67108864 AS slab
+                FROM orders CROSS JOIN s)
+          SELECT slab, count(*) AS n,
+            max(o_custkey) - min(o_custkey) AS ck_span,
+            max(o_orderkey) - min(o_orderkey) AS ok_span
+          FROM t GROUP BY slab ORDER BY slab"""
     }
   )
 }
