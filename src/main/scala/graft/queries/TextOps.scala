@@ -210,17 +210,20 @@ object TextOps {
     // and cut into fixed 1024-token context windows; each doc is
     // assigned to the window where it STARTS (bin = tokens-before-doc
     // div budget), the GPT-style pack-then-chunk shape. The global
-    // running total comes from operators/PrefixSum — the two-phase
-    // range-partitioned prefix sum — because the naive global-order
-    // window is a single task (the 100 TB killer). size(tok) >= 1
-    // always (split of a trimmed string yields at least one element),
-    // so the cumulative sum is total.
+    // running total comes from operators/PrefixAgg — the two-phase
+    // blocked prefix sum (exclusive: tokens BEFORE the doc) — because
+    // the naive global-order window is a single task (the 100 TB
+    // killer). blockSize 1024 is in doc_id units: ids are dense, so
+    // each block carries ~1024 docs. size(tok) >= 1 always (split of a
+    // trimmed string yields at least one element), so the cumulative
+    // sum is total.
     "q75_token_packing" -> ((s, d) => {
       val toks = docs(s, d).select(col("doc_id"),
         size(col("tok")).cast("long").as("n_tok"))
-      graft.operators.PrefixSum
-        .withRunningTotal(toks, "doc_id", "n_tok", "cum")
-        .withColumn("bin", expr("(cum - n_tok) div 1024L"))
+      graft.operators.PrefixAgg
+        .runningSum(toks, "doc_id", "n_tok", "before",
+          blockSize = 1024, inclusive = false)
+        .withColumn("bin", expr("before div 1024L"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))

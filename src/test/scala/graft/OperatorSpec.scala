@@ -9,19 +9,44 @@ import org.apache.spark.sql.expressions.Window
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
-  test("prefix sum matches scanLeft for any partition count") {
-    // the two-phase distributed running total must equal the sequential
-    // fold, and must be invariant to how many range partitions it uses
+  test("prefix sum matches scanLeft for any block size") {
+    // the two-phase blocked running total must equal the sequential
+    // fold, and must be invariant to the block decomposition
     val vals = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L, 5L, 8L, 9L, 7L)
     val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
-      .toDF("k", "v")
+      .toDF("k", "v").repartition(5)
     val expect = vals.scanLeft(0L)(_ + _).tail
-    for (nParts <- Seq(1, 3, 32)) {
-      val got = graft.operators.PrefixSum
-        .withRunningTotal(df, "k", "v", "cum", nParts)
+    for (bs <- Seq(1L, 4L, 1024L)) {
+      val got = graft.operators.PrefixAgg
+        .runningSum(df, "k", "v", "cum", blockSize = bs)
         .orderBy("k").select("cum").as[Long].collect().toSeq
-      assert(got == expect, s"nParts=$nParts")
+      assert(got == expect, s"blockSize=$bs")
     }
+  }
+
+  test("exclusive prefix sum and running max match sequential folds") {
+    val vals = Seq(3L, 9L, 4L, 1L, 7L, 9L, 2L)
+    // non-contiguous, negative-spanning keys exercise the floor-div
+    // block mapping
+    val keys = Seq(-7L, -2L, 0L, 3L, 4L, 9L, 12L)
+    val df = keys.zip(vals).toDF("k", "v").repartition(3)
+    val exclSum = vals.scanLeft(0L)(_ + _).init
+    val gotSum = graft.operators.PrefixAgg
+      .runningSum(df, "k", "v", "c", blockSize = 4, inclusive = false)
+      .orderBy("k").select("c").as[Long].collect().toSeq
+    assert(gotSum == exclSum)
+    val inclMax = vals.scanLeft(Long.MinValue)(_ max _).tail
+    val gotMax = graft.operators.PrefixAgg
+      .runningMax(df, "k", "v", "c", blockSize = 4)
+      .orderBy("k").select("c").as[Long].collect().toSeq
+    assert(gotMax == inclMax)
+    // exclusive max: first row has no predecessor -> NULL
+    val gotExclMax = graft.operators.PrefixAgg
+      .runningMax(df, "k", "v", "c", blockSize = 4, inclusive = false)
+      .orderBy("k").select("c").as[Option[Long]].collect().toSeq
+    val exclMax = None +: vals.init.scanLeft(Long.MinValue)(_ max _)
+      .tail.map(Some(_))
+    assert(gotExclMax == exclMax)
   }
 
   test("join shapes preserve expected rows (left/semi/anti/full)") {
