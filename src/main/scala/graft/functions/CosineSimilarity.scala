@@ -108,7 +108,9 @@ object GraftFunctions {
     ("shingles3", classOf[Shingles3],
       (exprs: Seq[Expression]) => Shingles3(exprs.head)),
     ("pair_combos", classOf[PairCombinations],
-      (exprs: Seq[Expression]) => PairCombinations(exprs.head)))
+      (exprs: Seq[Expression]) => PairCombinations(exprs.head)),
+    ("bloom_might_contain", classOf[BloomMightContain],
+      (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))))
 
   /** Idempotently register graft's native expressions on a session, so
     * `expr("cosine_sim(a, b)")` etc. resolve (SQL + DataFrame surfaces). */

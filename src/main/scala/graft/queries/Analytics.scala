@@ -256,6 +256,35 @@ object Analytics {
           round(col("tf") * log((col("n_docs") + 1).cast("double")
             / (col("df_t") + 1)), 4).as("tfidf"))
         .orderBy("doc_id", "term")
+    }),
+
+    // q96: distribution drift (PSI) between the first and second half
+    // of the event stream — the pipeline-monitoring op that catches a
+    // changed event mix before it poisons a training run. Per-category
+    // PSI term = (p−q)·ln(p/q) over Laplace-smoothed period shares
+    // (+1/category — robust to a category missing from one period;
+    // the smoothing is part of the declared semantics and mirrored in
+    // the oracle). One (type × period) count aggregate — category-
+    // bounded state — then a 1-row totals broadcast (BNLJ allowlisted)
+    // and a map-side projection. Sum the psi_term column for the
+    // headline PSI.
+    "q96_psi_drift" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+        .withColumn("late", expr("ts >= timestamp'2024-01-16 00:00:00'"))
+      val c = e.groupBy("event_type")
+        .agg(expr("count_if(NOT late)").as("ca"),
+          expr("count_if(late)").as("cb"))
+      val tot = c.agg(sum("ca").as("na"), sum("cb").as("nb"),
+        count(lit(1)).as("k"))
+      c.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("ca"), col("cb"),
+          round(expr(
+            """((ca + 1) / cast(na + k as double)
+                  - (cb + 1) / cast(nb + k as double))
+               * ln(((ca + 1) / cast(na + k as double))
+                  / ((cb + 1) / cast(nb + k as double)))"""), 6)
+            .as("psi_term"))
+        .orderBy("event_type")
     })
   )
 
@@ -426,6 +455,20 @@ object Analytics {
                    / (dfreq.df_t + 1)), 4) AS tfidf
           FROM tf JOIN dfreq USING (term) CROSS JOIN n
           WHERE tf.doc_id < 5
-          ORDER BY doc_id, term"""
+          ORDER BY doc_id, term""",
+
+    "q96_psi_drift" ->
+      """WITH c AS (SELECT event_type,
+             count(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-16') AS ca,
+             count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS cb
+           FROM events GROUP BY event_type),
+          t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                  CAST(sum(cb) AS BIGINT) AS nb, count(*) AS k FROM c)
+          SELECT event_type, ca, cb,
+            round(((ca + 1) / CAST(na + k AS DOUBLE)
+                    - (cb + 1) / CAST(nb + k AS DOUBLE))
+              * ln(((ca + 1) / CAST(na + k AS DOUBLE))
+                    / ((cb + 1) / CAST(nb + k AS DOUBLE))), 6) AS psi_term
+          FROM c CROSS JOIN t ORDER BY event_type"""
   )
 }

@@ -516,6 +516,67 @@ object Relational {
           (max("o_custkey") - min("o_custkey")).as("ck_span"),
           (max("o_orderkey") - min("o_orderkey")).as("ok_span"))
         .orderBy("slab")
+    }),
+
+    // q94: 2-D pareto frontier (skyline) of part by (minimize
+    // retailprice, maximize size) — multi-objective curation: "no other
+    // part is both cheaper and bigger". The naive formulation is a
+    // quadratic self-join (the oracle's NOT EXISTS); the scalable shape
+    // is a SCAN: sorted by price, a part is on the frontier iff its
+    // size beats the running max over strictly-cheaper parts and ties
+    // the max within its own price group. The running max over price
+    // groups comes from operators/PrefixAgg (blocked two-phase — never
+    // a global-order single-task window); prices are exact cents, so
+    // cents-as-long is an injective integral order key, and the
+    // pre-aggregation per price makes it unique (PrefixAgg's contract).
+    // Everything is linear + one tiny per-price aggregate.
+    "q94_pareto_front" -> ((s, d) => {
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val g = p.groupBy("p_retailprice")
+        .agg(max(col("p_size")).as("gmax"))
+        .withColumn("cents",
+          expr("cast(round(p_retailprice * 100) as bigint)"))
+      val withPrev = graft.operators.PrefixAgg
+        .runningMax(g, "cents", "gmax", "prev_max",
+          blockSize = 1024, inclusive = false)
+      p.join(withPrev.select("p_retailprice", "gmax", "prev_max"),
+          Seq("p_retailprice"))
+        .filter(col("p_size") === col("gmax") &&
+          (col("prev_max").isNull || col("prev_max") < col("p_size")))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_retailprice", "p_partkey")
+    }),
+
+    // q93: bloom-pruned semi join — the semi-join REDUCTION pattern:
+    // build a mergeable Bloom filter over the selective side's keys
+    // (urgent orders), broadcast that ONE binary row, and drop
+    // non-matching lineitem rows MAP-SIDE, before they pay the shuffle
+    // of the exact semi join that follows. False positives ride through
+    // to the exact join (the result is bit-identical to the plain semi
+    // join — which is exactly what the oracle checks); false negatives
+    // cannot happen. At 100 TB the fact side shuffles only the
+    // ~matching fraction instead of every row. The probe
+    // (bloom_might_contain, functions/BloomFilter.scala) is a native
+    // codegen'd expression, so the prune lives inside the scan's
+    // whole-stage-codegen span.
+    "q93_bloom_prune" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val bloomAgg = udaf(new graft.functions.BloomFilterAgg(1 << 17),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val sel = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bloom = sel.agg(bloomAgg(xxhash64(col("o_orderkey"))).as("bf"))
+      t(s, d, "lineitem")
+        .crossJoin(broadcast(bloom))
+        .filter(expr("bloom_might_contain(bf, xxhash64(l_orderkey))"))
+        .drop("bf")
+        .join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -840,6 +901,30 @@ object Relational {
             max(o_custkey) - min(o_custkey) AS ck_span,
             max(o_orderkey) - min(o_orderkey) AS ok_span
           FROM t GROUP BY slab ORDER BY slab"""
-    }
+    },
+
+    // deliberately the quadratic dominance definition, NOT the scan —
+    // an independent formulation of the same frontier
+    "q94_pareto_front" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+         FROM part p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part q
+           WHERE q.p_retailprice <= p.p_retailprice
+             AND q.p_size >= p.p_size
+             AND (q.p_retailprice < p.p_retailprice
+                  OR q.p_size > p.p_size))
+         ORDER BY p_retailprice, p_partkey""",
+
+    // the bloom prune is a lossless pre-filter, so the oracle is the
+    // PLAIN exact semi join — any false negative would show up here
+    "q93_bloom_prune" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+            ${sqlDsum("l_extendedprice")} AS sum_price
+          FROM lineitem l
+          WHERE EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey
+                          AND o.o_orderpriority = '1-URGENT')
+          GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

@@ -346,7 +346,102 @@ object TextOps {
           expr("count_if(cnt = 1)").as("hapax"),
           sum("cnt").as("tokens"))
         .withColumn("ttr_bp", expr("(vocab * 10000) div tokens"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // q92: deterministic per-stratum k-sample — reproducible corpus
+    // subsampling: within each language keep the k=20 docs with the
+    // smallest content-hash prefix, a uniform draw that every engine,
+    // run, and partitioning reproduces bit-for-bit and that stays
+    // stable under corpus append (a doc's key never changes). The sort
+    // key is the first 13 hex chars of md5(text) = 52 bits — EXACT in
+    // a double, so TopKAgg (O(k) state, map-side partials — no
+    // per-stratum full sort) ranks identically to the oracle's
+    // fixed-width hex string order; a 52-bit prefix tie (~n²/2^53 per
+    // stratum) would break on doc_id in both engines alike.
+    "q92_strata_sample" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKAgg(20),
+        org.apache.spark.sql.Encoders.product[graft.functions.TopKEntry])
+      Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          expr("-cast(conv(substr(md5(text), 1, 13), 16, 10) as double)")
+            .as("v"))
+        .groupBy("lang")
+        .agg(topk(col("v"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.id").as("doc_id"))
+        .orderBy("lang", "rn")
+    }),
+
+    // q95: per-language unigram (token) entropy — the corpus-diversity
+    // signal next to q86's type-token ratio: H = ln(N) − (Σ c·ln c)/N
+    // nats over the language's token distribution. Two stacked hash
+    // aggregates (vocabulary-bounded state). Each Σ term is cast to
+    // DECIMAL(28,12) so the cross-partition sum is exact and
+    // order-independent (a raw double sum re-associates run to run),
+    // and the engines' ≤1-ulp ln() drift is ~1e-12 per term —
+    // invisible at round(·,4).
+    "q95_token_entropy" -> ((s, d) =>
+      docs(s, d).select(col("lang"), explode(col("tok")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("vocab"), sum("c").as("n"),
+          sum(expr("cast(c * ln(c) as decimal(28,12))")).as("clc"))
+        .select(col("lang"), col("vocab"), col("n"),
+          round(expr("ln(n) - cast(clc as double) / n"), 4).as("entropy"))
+        .orderBy("lang")),
+
+    // q97: bigram language-model quality score — the KenLM-style
+    // perplexity filter: train add-one-smoothed token-bigram
+    // probabilities ON the corpus, then score every document by its
+    // mean log-probability, avg over doc bigrams of
+    // ln((C(w1,w2)+1)/(C(w1)+V)). The bigram-count model is joined on
+    // the bigram key and STAYS on the shuffle (at 100 TB it is
+    // corpus-sized — never broadcast); the unigram table is
+    // vocabulary-bounded and broadcasts; V is one row. Per-doc log-prob
+    // sums go through DECIMAL(28,12) — exact, order-independent — and
+    // ln() ulp drift is invisible at round(·,4).
+    "q97_bigram_lm" -> ((s, d) => {
+      val dd = docs(s, d).filter(size(col("tok")) >= 2)
+      val bg = dd.select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(tok) - 2),
+               i -> struct(tok[i] AS w1, tok[i+1] AS w2))""")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
+      val uni = docs(s, d).select(explode(col("tok")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("nw"))
+      val v = uni.agg(count(lit(1)).as("vsz"))
+      bg.join(bc, Seq("w1", "w2"))
+        .join(broadcast(uni.select(col("w").as("w1"), col("nw").as("n1"))),
+          Seq("w1"))
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr(
+            "cast(ln((nb + 1) / cast(n1 + vsz as double)) as decimal(28,12))"))
+            .as("lp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(expr("cast(lp as double) / n_bigrams"), 4).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
+    // q98: normalization-aware exact dedup — the practical first pass
+    // of web-corpus cleaning: case, punctuation, and whitespace-run
+    // differences should not defeat exact dedup. normalize = strip
+    // non-alphanumerics (keeping spaces), collapse space runs, trim,
+    // lowercase; then the q32 keep-min-doc_id grouping on
+    // md5(normalized). Map-only projection + one hash aggregate; the
+    // character classes used behave identically in Java regex and RE2
+    // (DuckDB needs the 'g' flag — its regexp_replace is first-match
+    // by default where Spark's is global).
+    "q98_normalized_dedup" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("norm", expr(
+          """lower(trim(regexp_replace(
+               regexp_replace(text, '[^A-Za-z0-9 ]', ''), ' +', ' ')))"""))
+        .groupBy(md5(col("norm")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+        .orderBy("h"))
   )
 
   private val duckTok = "string_split_regex(trim(text), '\\s+')"
@@ -541,6 +636,52 @@ object TextOps {
             count(*) FILTER (WHERE cnt = 1) AS hapax,
             CAST(sum(cnt) AS BIGINT) AS tokens,
             CAST((count(*) * 10000) // sum(cnt) AS BIGINT) AS ttr_bp
-          FROM wc GROUP BY lang ORDER BY lang"""
+          FROM wc GROUP BY lang ORDER BY lang""",
+
+    // fixed-width lowercase hex: string order == numeric order of the
+    // 52-bit prefix the Spark side ranks on
+    "q92_strata_sample" ->
+      """SELECT lang, rn, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY substr(md5(text), 1, 13), doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 20 ORDER BY lang, rn""",
+
+    "q95_token_entropy" ->
+      s"""WITH wc AS (SELECT lang, w, count(*) AS c
+                 FROM (SELECT lang, unnest($duckTok) AS w FROM documents)
+                 GROUP BY lang, w)
+          SELECT lang, count(*) AS vocab, CAST(sum(c) AS BIGINT) AS n,
+            round(ln(sum(c)) -
+              CAST(sum(CAST(c * ln(c) AS DECIMAL(28,12))) AS DOUBLE)
+                / sum(c), 4) AS entropy
+          FROM wc GROUP BY lang ORDER BY lang""",
+
+    "q97_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $duckTok AS tk FROM documents),
+          bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+                 FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+                 WHERE len(tk) >= 2),
+          bc AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY w1, w2),
+          uc AS (SELECT w, count(*) AS nw
+                 FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+          v AS (SELECT count(*) AS vsz FROM uc)
+          SELECT b.doc_id, count(*) AS n_bigrams,
+            round(CAST(sum(CAST(ln((c.nb + 1)
+                / CAST(u.nw + v.vsz AS DOUBLE)) AS DECIMAL(28,12)))
+              AS DOUBLE) / count(*), 4) AS avg_logp
+          FROM bg b JOIN bc c ON b.w1 = c.w1 AND b.w2 = c.w2
+          JOIN uc u ON b.w1 = u.w CROSS JOIN v
+          GROUP BY b.doc_id ORDER BY doc_id""",
+
+    "q98_normalized_dedup" ->
+      """WITH n AS (SELECT doc_id,
+             lower(trim(regexp_replace(
+               regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS norm
+           FROM documents)
+         SELECT md5(norm) AS h, min(doc_id) AS keep_id, count(*) AS cnt
+         FROM n GROUP BY 1 ORDER BY h"""
   )
 }

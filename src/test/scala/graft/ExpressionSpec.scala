@@ -186,7 +186,49 @@ class ExpressionSpec extends SparkSpec {
     // so adding an expression without registering it fails a test
     assert(GraftFunctions.all.map(_._1).toSet == Set("cosine_sim",
       "simhash64", "simhash_md5", "hash60", "mix61", "shingles3",
-      "pair_combos"))
+      "pair_combos", "bloom_might_contain"))
+  }
+
+  test("bloom filter: no false negatives, bounded false positives") {
+    val agg = new graft.functions.BloomFilterAgg(1 << 14)
+    val bits = (0 until 1000).map(i => graft.functions.Mix61.mix(i, 7, 13))
+      .foldLeft(agg.zero)(agg.reduce)
+    // every inserted hash must probe true — a single false negative
+    // would silently drop matching rows from a pruned join
+    (0 until 1000).foreach { i =>
+      assert(graft.functions.BloomFilter.mightContain(bits,
+        graft.functions.Mix61.mix(i, 7, 13)), s"false negative at $i")
+    }
+    // absent keys: with 2^14 bits / 1000 keys / k=6 the analytic FP
+    // rate is ~0.5%; 2% leaves noise headroom without hiding a broken
+    // hash mix
+    val fp = (10000 until 30000)
+      .count(i => graft.functions.BloomFilter.mightContain(bits,
+        graft.functions.Mix61.mix(i, 7, 13)))
+    assert(fp < 400, s"false-positive count $fp / 20000 is out of bounds")
+  }
+
+  test("bloom filter: merge(a,b) equals the filter of the union") {
+    val agg = new graft.functions.BloomFilterAgg(1 << 12)
+    def build(r: Range) = r.map(_.toLong * 0x9E3779B97F4A7C15L)
+      .foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(build(0 until 500), build(500 until 1000))
+    assert(java.util.Arrays.equals(merged, build(0 until 1000)),
+      "bitwise-OR merge must equal single-pass construction")
+  }
+
+  test("bloom_might_contain agrees with the JVM probe through SQL/codegen") {
+    GraftFunctions.register(spark)
+    val agg = new graft.functions.BloomFilterAgg(1 << 12)
+    val bits = (0L until 200L).foldLeft(agg.zero)(agg.reduce)
+    val df = (0L until 400L).toDF("h").withColumn("bf", lit(bits))
+    val got = df.select($"h", expr("bloom_might_contain(bf, h)").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0L until 400L).foreach { h =>
+      assert(got(h) == graft.functions.BloomFilter.mightContain(bits, h),
+        s"SQL/codegen probe diverges from the JVM probe at h=$h")
+    }
+    assert((0L until 200L).forall(got(_)), "inserted keys must all hit")
   }
 
   test("cosine_sim: null propagation") {
