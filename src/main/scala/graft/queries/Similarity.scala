@@ -239,6 +239,43 @@ object Similarity {
       brute.join(ivf.select("vec_id"), Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .select(col("hits"), (col("hits") * 2000).as("recall_bp"))
+    }),
+
+    // q99: product-quantization code assignment — the vector-COMPRESSION
+    // half of ANN (q50 is the routing half): split each 64-dim vector
+    // into M=4 subspaces of 16 dims, assign each subvector to its
+    // nearest of K=8 codebook centroids (init = the first 8 vectors'
+    // subvectors — one deterministic Lloyd assignment step, like q50),
+    // emit the 4 codes + the exact quantization error per vector. A PQ
+    // code is 4 bytes standing in for 256 float bytes — the memory
+    // ratio that makes billion-vector indexes fit RAM. Shapes: the
+    // codebook is TINY (K·M·16 rows) and broadcasts; distances
+    // accumulate per (vec, sub, centroid) as DECIMAL(38,20) terms —
+    // exact, order-independent, so the argmin (min-struct, no window)
+    // picks the same code in every engine/run; everything else is
+    // map-side + vec-keyed partial aggs.
+    "q99_pq_codes" -> ((s, d) => {
+      val lf = emb(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), expr("pos div 16").as("sub"), col("pos"),
+          col("col").cast("double").as("v"))
+      val init = lf.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("sub"), col("pos"),
+          col("v").as("cv"))
+      lf.join(broadcast(init), Seq("sub", "pos"))
+        .groupBy("vec_id", "sub", "c_id")
+        .agg(sum(expr("cast((v - cv) * (v - cv) as decimal(38,20))"))
+          .as("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("c_id"))).as("m"))
+        .groupBy("vec_id")
+        .agg(
+          min(when(col("sub") === 0, col("m.c_id"))).as("c0"),
+          min(when(col("sub") === 1, col("m.c_id"))).as("c1"),
+          min(when(col("sub") === 2, col("m.c_id"))).as("c2"),
+          min(when(col("sub") === 3, col("m.c_id"))).as("c3"),
+          round(sum(col("m.d2")).cast("double"), 6).as("qerr"))
+        .orderBy("vec_id")
     })
   )
 
@@ -383,6 +420,31 @@ object Similarity {
                   ORDER BY round(list_cosine_similarity(e.emb, p.pe), 4)
                     DESC, e.vec_id LIMIT 5)
           SELECT count(*) AS hits, count(*) * 2000 AS recall_bp
-          FROM brute JOIN ivf USING (vec_id)"""
+          FROM brute JOIN ivf USING (vec_id)""",
+
+    "q99_pq_codes" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+          lf AS (SELECT vec_id, (i - 1) // 16 AS sub,
+                   CAST(i - 1 AS BIGINT) AS pos, emb[i] AS v
+                 FROM e, UNNEST(generate_series(1, 64)) AS u(i)),
+          init AS (SELECT vec_id AS c_id, sub, pos, v AS cv
+                   FROM lf WHERE vec_id < 8),
+          d AS (SELECT l.vec_id, l.sub, i.c_id,
+                  sum(CAST((l.v - i.cv) * (l.v - i.cv)
+                    AS DECIMAL(38,20))) AS d2
+                FROM lf l JOIN init i ON l.sub = i.sub AND l.pos = i.pos
+                GROUP BY 1, 2, 3),
+          best AS (SELECT vec_id, sub, c_id, d2 FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                       ORDER BY d2, c_id) AS rn FROM d) t
+                   WHERE rn = 1)
+          SELECT vec_id,
+            min(c_id) FILTER (WHERE sub = 0) AS c0,
+            min(c_id) FILTER (WHERE sub = 1) AS c1,
+            min(c_id) FILTER (WHERE sub = 2) AS c2,
+            min(c_id) FILTER (WHERE sub = 3) AS c3,
+            round(CAST(sum(d2) AS DOUBLE), 6) AS qerr
+          FROM best GROUP BY vec_id ORDER BY vec_id"""
   )
 }

@@ -441,7 +441,26 @@ object TextOps {
                regexp_replace(text, '[^A-Za-z0-9 ]', ''), ' +', ' ')))"""))
         .groupBy(md5(col("norm")).as("h"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
-        .orderBy("h"))
+        .orderBy("h")),
+
+    // q100: the dataset card — the one-row corpus summary a corpus
+    // release ships (and the cheap first look at any new 100 TB drop):
+    // doc / exact-dup / language / source counts, token volume, and
+    // length stats, from ONE scan and one global aggregate. The only
+    // Expand-widened aggregates are the distincts; everything else is
+    // map-side partial. avg length is floored integer division —
+    // tie-free across engines by construction.
+    "q100_data_card" -> ((s, d) =>
+      docs(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(md5(col("text"))))
+          .as("n_exact_dup"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(col("tok"))).cast("long").as("total_tokens"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        expr("sum(n_chars) div count(1)").as("avg_chars_floor")))
   )
 
   private val duckTok = "string_split_regex(trim(text), '\\s+')"
@@ -682,6 +701,17 @@ object TextOps {
                ' +', ' ', 'g'))) AS norm
            FROM documents)
          SELECT md5(norm) AS h, min(doc_id) AS keep_id, count(*) AS cnt
-         FROM n GROUP BY 1 ORDER BY h"""
+         FROM n GROUP BY 1 ORDER BY h""",
+
+    "q100_data_card" ->
+      s"""SELECT count(*) AS n_docs,
+            count(*) - count(DISTINCT md5(text)) AS n_exact_dup,
+            count(DISTINCT lang) AS n_langs,
+            count(DISTINCT source) AS n_sources,
+            CAST(sum(len($duckTok)) AS BIGINT) AS total_tokens,
+            min(n_chars) AS min_chars,
+            max(n_chars) AS max_chars,
+            CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars_floor
+          FROM documents"""
   )
 }
