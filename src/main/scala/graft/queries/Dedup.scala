@@ -380,6 +380,34 @@ object Dedup {
       graft.operators.ConnectedComponents.run(edges, "a_id", "b_id")
         .withColumnRenamed("node", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // q102: canonical-document selection — the step AFTER clustering
+    // (q67 finds the groups; this decides who survives): every document
+    // joins its LSH cluster (minhash band collisions -> connected
+    // components; docs with no collision are their own singleton
+    // cluster), and each cluster keeps its longest member, ties to the
+    // smallest doc_id — "keep the most complete copy" in INTEGER
+    // arithmetic (no FP tie risk). The argmax is the q17 max-struct
+    // trick (map-side partial agg), not a per-cluster sort window.
+    "q102_cluster_canon" -> ((s, d) => {
+      val sig = signaturesOf(docs(s, d))
+      val a = sig.select(col("doc_id").as("a_id"), col("band"), col("mh"))
+      val b = sig.select(col("doc_id").as("b_id"), col("band"), col("mh"))
+      val edges = a.join(b, Seq("band", "mh"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val cl = graft.operators.ConnectedComponents.run(edges, "a_id", "b_id")
+        .withColumnRenamed("node", "doc_id")
+      Tables.load(s, d, "documents").select("doc_id", "n_chars")
+        .join(cl, Seq("doc_id"), "left")
+        .withColumn("cl_id", coalesce(col("cluster_id"), col("doc_id")))
+        .groupBy("cl_id")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("m"))
+        .select(col("cl_id").as("cluster_id"), col("n_docs"),
+          (-col("m.neg")).as("canon_id"), col("m.n_chars").as("canon_chars"))
+        .orderBy("cluster_id")
     })
   )
 
@@ -433,6 +461,33 @@ object Dedup {
             SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src)
           SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
           FROM reach GROUP BY src ORDER BY doc_id""",
+
+    "q102_cluster_canon" ->
+      s"""WITH RECURSIVE sig AS ($minhashSigSql),
+          edges AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id
+                    FROM sig a JOIN sig b2
+                      ON a.band = b2.band AND a.mh = b2.mh
+                        AND a.doc_id < b2.doc_id
+                    GROUP BY 1, 2),
+          sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+                  UNION SELECT b_id, a_id FROM edges),
+          reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src),
+          cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src),
+          f AS (SELECT d.doc_id,
+                  coalesce(cl.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+                FROM documents d LEFT JOIN cl USING (doc_id)),
+          pick AS (SELECT cluster_id, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_docs
+                   FROM f)
+          SELECT cluster_id, n_docs, doc_id AS canon_id,
+            n_chars AS canon_chars
+          FROM pick WHERE rn = 1 ORDER BY cluster_id""",
 
     "q37_ngram_jaccard" ->
       s"""WITH $docsTokCte,

@@ -460,7 +460,26 @@ object TextOps {
         sum(size(col("tok"))).cast("long").as("total_tokens"),
         min("n_chars").as("min_chars"),
         max("n_chars").as("max_chars"),
-        expr("sum(n_chars) div count(1)").as("avg_chars_floor")))
+        expr("sum(n_chars) div count(1)").as("avg_chars_floor"))),
+
+    // q101: RAG-style overlapping chunking — 128-token windows on a
+    // 96-token stride (32-token overlap, so no retrieval boundary cuts
+    // a fact in half), each chunk addressed by (doc, index, start) and
+    // content-hashed for downstream dedup/indexing. Entirely map-side:
+    // one transform+posexplode per document, no shuffle until the
+    // caller aggregates. Spark slice() takes (start, LENGTH) while
+    // DuckDB list_slice takes an INCLUSIVE end index — the oracle's
+    // +128 end is the same 128-element window.
+    "q101_rag_chunks" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, (size(tok) - 1) div 96),
+               i -> slice(tok, i * 96 + 1, 128))""")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          (col("pos") * 96).cast("long").as("start_tok"),
+          size(col("col")).cast("long").as("n_toks"),
+          md5(concat_ws(" ", col("col"))).as("h"))
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   private val duckTok = "string_split_regex(trim(text), '\\s+')"
@@ -712,6 +731,17 @@ object TextOps {
             min(n_chars) AS min_chars,
             max(n_chars) AS max_chars,
             CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars_floor
-          FROM documents"""
+          FROM documents""",
+
+    "q101_rag_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $duckTok AS tok FROM documents),
+          c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                  list_slice(tok, i * 96 + 1, i * 96 + 128) AS chunk
+                FROM t,
+                  UNNEST(generate_series(0, (len(tok) - 1) // 96)) AS u(i))
+          SELECT doc_id, chunk_idx, chunk_idx * 96 AS start_tok,
+            CAST(len(chunk) AS BIGINT) AS n_toks,
+            md5(array_to_string(chunk, ' ')) AS h
+          FROM c ORDER BY doc_id, chunk_idx"""
   )
 }
