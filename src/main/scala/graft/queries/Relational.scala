@@ -550,33 +550,38 @@ object Relational {
 
     // q93: bloom-pruned semi join — the semi-join REDUCTION pattern:
     // build a mergeable Bloom filter over the selective side's keys
-    // (urgent orders), broadcast that ONE binary row, and drop
-    // non-matching lineitem rows MAP-SIDE, before they pay the shuffle
-    // of the exact semi join that follows. False positives ride through
-    // to the exact join (the result is bit-identical to the plain semi
-    // join — which is exactly what the oracle checks); false negatives
-    // cannot happen. At 100 TB the fact side shuffles only the
-    // ~matching fraction instead of every row. The probe
-    // (bloom_might_contain, functions/BloomFilter.scala) is a native
-    // codegen'd expression, so the prune lives inside the scan's
-    // whole-stage-codegen span.
+    // (urgent orders) and drop non-matching lineitem rows MAP-SIDE,
+    // before they pay the shuffle of the exact semi join that follows.
+    // False positives ride through to the exact join (the result is
+    // bit-identical to the plain semi join — which is exactly what the
+    // oracle checks); false negatives cannot happen. At 100 TB the
+    // fact side shuffles only the ~matching fraction instead of every
+    // row. The filter arrives as a SCALAR SUBQUERY — the same delivery
+    // mechanism Spark's own InjectRuntimeFilter uses — because a
+    // broadcast-cross-join formulation gets REORDERED by Catalyst
+    // (PushLeftSemiLeftAntiThroughJoin pushes the exact semi join
+    // below the cross join, leaving the probe above the join it was
+    // meant to protect; PlanSpec pins the correct Filter-on-scan
+    // placement). The probe (bloom_might_contain,
+    // functions/BloomFilter.scala) is native and codegen'd, so the
+    // prune lives inside the scan's whole-stage-codegen span.
     "q93_bloom_prune" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val bloomAgg = udaf(new graft.functions.BloomFilterAgg(1 << 17),
-        org.apache.spark.sql.Encoders.scalaLong)
-      val sel = t(s, d, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"))
-      val bloom = sel.agg(bloomAgg(xxhash64(col("o_orderkey"))).as("bf"))
-      t(s, d, "lineitem")
-        .crossJoin(broadcast(bloom))
-        .filter(expr("bloom_might_contain(bf, xxhash64(l_orderkey))"))
-        .drop("bf")
-        .join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi")
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          Det.dsum(col("l_extendedprice")).as("sum_price"))
-        .orderBy("l_returnflag")
+      s.udf.register("bloom_agg_17",
+        udaf(new graft.functions.BloomFilterAgg(1 << 17),
+          org.apache.spark.sql.Encoders.scalaLong))
+      Tables.registerAll(s, d)
+      s.sql(s"""
+        WITH sel AS (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT'),
+        bf AS (SELECT bloom_agg_17(xxhash64(o_orderkey)) AS b FROM sel)
+        SELECT l_returnflag, count(*) AS n,
+          ${Det.sqlDsum("l_extendedprice")} AS sum_price
+        FROM lineitem
+        WHERE bloom_might_contain((SELECT b FROM bf),
+                xxhash64(l_orderkey))
+          AND l_orderkey IN (SELECT o_orderkey FROM sel)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
     })
   )
 

@@ -467,20 +467,27 @@ object TextOps {
     // a fact in half), each chunk addressed by (doc, index, start) and
     // content-hashed for downstream dedup/indexing. Entirely map-side:
     // one transform+posexplode per document, no shuffle until the
-    // caller aggregates. Spark slice() takes (start, LENGTH) while
-    // DuckDB list_slice takes an INCLUSIVE end index — the oracle's
-    // +128 end is the same 128-element window.
+    // caller aggregates (which is also why the same builder runs
+    // unchanged on an unbounded stream — StreamingSpec pins parity).
+    // Spark slice() takes (start, LENGTH) while DuckDB list_slice
+    // takes an INCLUSIVE end index — the oracle's +128 end is the same
+    // 128-element window.
     "q101_rag_chunks" -> ((s, d) =>
-      docs(s, d)
-        .select(col("doc_id"), posexplode(expr(
-          """transform(sequence(0, (size(tok) - 1) div 96),
-               i -> slice(tok, i * 96 + 1, 128))""")))
-        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
-          (col("pos") * 96).cast("long").as("start_tok"),
-          size(col("col")).cast("long").as("n_toks"),
-          md5(concat_ws(" ", col("col"))).as("h"))
-        .orderBy("doc_id", "chunk_idx"))
+      ragChunksOf(docs(s, d)).orderBy("doc_id", "chunk_idx"))
   )
+
+  /** The q101 chunk projection over a (doc_id, tok) frame — map-only
+    * (no aggregation, no watermark), so it applies to batch and
+    * streaming inputs identically. */
+  def ragChunksOf(docsTok: DataFrame): DataFrame =
+    docsTok
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, (size(tok) - 1) div 96),
+             i -> slice(tok, i * 96 + 1, 128))""")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * 96).cast("long").as("start_tok"),
+        size(col("col")).cast("long").as("n_toks"),
+        md5(concat_ws(" ", col("col"))).as("h"))
 
   private val duckTok = "string_split_regex(trim(text), '\\s+')"
   private def duckHits(words: Seq[String]): String = {

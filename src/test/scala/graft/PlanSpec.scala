@@ -109,4 +109,44 @@ class PlanSpec extends SparkSpec {
     val md5s = "hash60".r.findAllIn(p).size
     assert(md5s == 1, s"hash60 must appear once (hoisted), got $md5s")
   }
+
+  test("q93's manual bloom prune sits below the join; Spark's own " +
+      "InjectRuntimeFilter engages on the same shape when shuffling") {
+    // graft's explicit bloom (q93): the probe filter must be planned,
+    // and planned BELOW the semi join (tree printing is parent-first,
+    // so the probe's index must come after the join's). The round-6
+    // crossJoin(broadcast) formulation failed exactly this: Catalyst's
+    // PushLeftSemiLeftAntiThroughJoin hoisted the probe ABOVE the join
+    // it was meant to protect.
+    val p = finalPlan("q93_bloom_prune")
+    val at = p.indexOf("bloommightcontain")
+    assert(at >= 0, s"bloom probe missing from the physical plan:\n$p")
+    val join = p.indexOf("LeftSemi")
+    assert(join >= 0, s"exact semi join missing:\n$p")
+    assert(at > join,
+      s"bloom probe must sit below the semi join it prunes for:\n$p")
+    // and the built-in automatic analog: when the same join cannot
+    // broadcast, Spark 4's InjectRuntimeFilter inserts a
+    // might_contain(scalar-subquery) filter on the application side —
+    // the engine config surface leaves that path available
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val l = Tables.load(spark, sf, "lineitem")
+      val o = Tables.load(spark, sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority")
+          === "1-URGENT")
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"InjectRuntimeFilter did not engage:\n$opt")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -199,6 +199,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming RAG chunking equals batch q101 exactly") {
+    // the chunk projection is map-only (no aggregation, no watermark),
+    // so the BATCH builder runs unchanged on the unbounded stream —
+    // the strongest possible parity: same code path, same rows
+    val chunks = graft.queries.TextOps.ragChunksOf(
+      graft.queries.Dedup.withTok(
+        graft.streaming.StreamingDedup.docsStream(spark, sf)))
+    val q = StreamingWindows.runToMemory(chunks, "ragchunks")
+    try {
+      val got = spark.table("ragchunks").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      val batch = SparkEntry.queries("q101_rag_chunks")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      assert(got == batch,
+        s"streaming ${got.size} vs batch ${batch.size} chunks")
+    } finally q.stop()
+  }
+
   test("transformWithState running counts converge to batch counts") {
     import org.apache.spark.sql.functions.col
     // the Spark 4 arbitrary-state API needs the RocksDB provider
