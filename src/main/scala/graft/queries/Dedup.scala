@@ -408,6 +408,71 @@ object Dedup {
         .select(col("cl_id").as("cluster_id"), col("n_docs"),
           (-col("m.neg")).as("canon_id"), col("m.n_chars").as("canon_chars"))
         .orderBy("cluster_id")
+    }),
+
+    // q103: prefix-filtered set-similarity join (the PPJoin family) —
+    // the literature-grade candidate generator for exact Jaccard >= t:
+    // order the shingle universe by ascending document frequency
+    // (rarest first, ties on the hash — one consistent global order),
+    // and probe with only each document's PREFIX of
+    // p = n - ceil(t·n) + 1 rarest shingles. Any pair with
+    // Jaccard >= t has overlap o >= ceil(t·n) on each side, and the
+    // suffix holds only ceil(t·n) - 1 shingles, so a common shingle
+    // MUST fall in the probing prefix — the prefix-vs-full join is
+    // LOSSLESS (the oracle is the plain uncapped exact formulation).
+    // Candidates then verify with an exact intersection count
+    // restricted to the candidate set. At corpus scale the prefix is
+    // the selectivity knob: only the ~(1-t) rarest fraction of each
+    // document probes, and high-df stop-shingles land in suffixes, so
+    // their buckets never explode — this REPLACES q37's df-cap
+    // heuristic with an exactness-preserving bound.
+    // Plan shape: the shingle stream is repartitioned by shk ONCE —
+    // the df aggregate, the df join, and the candidate join's full
+    // side all sit on that one exchange (AQE reuses it, so the
+    // scan+shingle subtree runs once). Per-document state is the
+    // document's own sorted shingle set (the same bound as signature
+    // construction), and candidate verification is an array_intersect
+    // over the two sets — O(|candidates| · set size), no re-join of
+    // per-shingle rows.
+    "q103_prefix_jaccard" -> ((s, d) => {
+      val t = 0.5
+      val sh = shingledOf(docs(s, d))
+        .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+        .repartition(col("shk"))
+      val dfreq = sh.groupBy("shk").agg(count(lit(1)).as("df"))
+      // one row per document: its shingle set, rarest-first
+      val docsets = sh.join(dfreq, Seq("shk"))
+        .groupBy("doc_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(df, shk))), x -> x.shk)")
+          .as("os"))
+      val prefix = docsets
+        .select(col("doc_id").as("a_id"), explode(expr(
+          s"slice(os, 1, cast(size(os) - ceil(size(os) * $t) + 1 as int))"))
+          .as("shk"))
+      // the full side IS the shk-partitioned shingle stream — reusing
+      // it avoids re-exploding docsets and a second shk exchange
+      val full = sh.select(col("doc_id").as("b_id"), col("shk"))
+      val cand = prefix.join(full, Seq("shk"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(least(col("a_id"), col("b_id")).as("a_id"),
+          greatest(col("a_id"), col("b_id")).as("b_id"))
+        .distinct()
+      cand
+        .join(docsets.select(col("doc_id").as("a_id"), col("os").as("la")),
+          Seq("a_id"))
+        .join(docsets.select(col("doc_id").as("b_id"), col("os").as("lb")),
+          Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("la"), col("lb"))).cast("long")
+            .as("inter"),
+          size(col("la")).as("na"), size(col("lb")).as("nb"))
+        .withColumn("jac_raw",
+          col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac_raw") >= t)
+        .select(col("a_id"), col("b_id"), col("inter"),
+          round(col("jac_raw"), 4).as("jac"))
+        .orderBy("a_id", "b_id")
     })
   )
 
@@ -492,6 +557,16 @@ object Dedup {
     "q37_ngram_jaccard" ->
       s"""WITH $docsTokCte,
          ${duckPairCtes("t")}
+         SELECT a_id, b_id, inter,
+                round(inter / (na + nb - inter), 4) AS jac
+         FROM p WHERE inter / (na + nb - inter) >= 0.5
+         ORDER BY a_id, b_id""",
+
+    // the prefix filter is lossless, so the oracle is the UNCAPPED
+    // exact all-pairs formulation (cap = effectively infinite)
+    "q103_prefix_jaccard" ->
+      s"""WITH $docsTokCte,
+         ${duckPairCtes("t", 1000000000)}
          SELECT a_id, b_id, inter,
                 round(inter / (na + nb - inter), 4) AS jac
          FROM p WHERE inter / (na + nb - inter) >= 0.5
