@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 
 /** Mergeable Bloom filter as a typed Aggregator over pre-hashed 64-bit
   * keys (feed it `xxhash64(key)`), plus the codegen'd membership probe
@@ -102,6 +103,13 @@ object BloomFilter {
   * stays inside the scan's whole-stage-codegen span. */
 case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bloom_might_contain requires (BINARY, BIGINT), got " +
+        Seq(left, right).map(_.dataType.simpleString).mkString(", "))
 
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true

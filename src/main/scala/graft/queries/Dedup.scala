@@ -99,6 +99,20 @@ object Dedup {
       .filter(col("mh").isNotNull)
   }
 
+  /** Distinct (a_id < b_id) pairs of documents sharing at least one
+    * identical minhash band, with the shared-band count — the LSH
+    * candidate join shared by q35 (pair listing) and q102 (cluster
+    * edges). The groupBy makes the output one row per pair, so callers
+    * need no extra distinct. */
+  def bandPairsOf(sig: DataFrame): DataFrame = {
+    val a = sig.select(col("doc_id").as("a_id"), col("band"), col("mh"))
+    val b = sig.select(col("doc_id").as("b_id"), col("band"), col("mh"))
+    a.join(b, Seq("band", "mh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** The round-4 explode + groupBy formulation of [[signaturesOf]],
     * kept ONLY as the differential-test reference (DedupSpec pins the
     * two bit-identical); production paths use the map-only version. */
@@ -281,16 +295,8 @@ object Dedup {
       signaturesOf(docs(s, d)).orderBy("doc_id", "band")),
 
     // q35p: LSH candidate pairs — docs sharing >= 1 identical band hash
-    "q35_minhash_pairs" -> ((s, d) => {
-      val sig = signaturesOf(docs(s, d))
-      val a = sig.select(col("doc_id").as("a_id"), col("band"), col("mh"))
-      val b = sig.select(col("doc_id").as("b_id"), col("band"), col("mh"))
-      a.join(b, Seq("band", "mh"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("n_bands"))
-        .orderBy("a_id", "b_id")
-    }),
+    "q35_minhash_pairs" -> ((s, d) =>
+      bandPairsOf(signaturesOf(docs(s, d))).orderBy("a_id", "b_id")),
 
     // q36: 64-bit simhash — entirely map-side (one fold per document):
     // per-bit vote counts over token hashes, then bits -> one long
@@ -391,12 +397,8 @@ object Dedup {
     // arithmetic (no FP tie risk). The argmax is the q17 max-struct
     // trick (map-side partial agg), not a per-cluster sort window.
     "q102_cluster_canon" -> ((s, d) => {
-      val sig = signaturesOf(docs(s, d))
-      val a = sig.select(col("doc_id").as("a_id"), col("band"), col("mh"))
-      val b = sig.select(col("doc_id").as("b_id"), col("band"), col("mh"))
-      val edges = a.join(b, Seq("band", "mh"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
+      val edges = bandPairsOf(signaturesOf(docs(s, d)))
+        .select("a_id", "b_id")
       val cl = graft.operators.ConnectedComponents.run(edges, "a_id", "b_id")
         .withColumnRenamed("node", "doc_id")
       Tables.load(s, d, "documents").select("doc_id", "n_chars")

@@ -217,6 +217,18 @@ class ExpressionSpec extends SparkSpec {
       "bitwise-OR merge must equal single-pass construction")
   }
 
+  test("bloom_might_contain rejects wrong-typed arguments at analysis") {
+    GraftFunctions.register(spark)
+    // an INT hash must fail analysis, not CCE at runtime (and not
+    // silently widen on the codegen path)
+    val err = intercept[Exception] {
+      Seq((Array[Byte](0, 0), 1)).toDF("bf", "h")
+        .select(expr("bloom_might_contain(bf, h)")).collect()
+    }
+    assert(err.getMessage.contains("bloom_might_contain"),
+      s"expected the type-check message, got: ${err.getMessage}")
+  }
+
   test("bloom_might_contain agrees with the JVM probe through SQL/codegen") {
     GraftFunctions.register(spark)
     val agg = new graft.functions.BloomFilterAgg(1 << 12)
