@@ -285,6 +285,33 @@ object Analytics {
                   / ((cb + 1) / cast(nb + k as double)))"""), 6)
             .as("psi_term"))
         .orderBy("event_type")
+    }),
+
+    // q105: rolling z-score anomaly bands — the daily-volume monitor
+    // that flags a broken producer or a scraper flood per event type:
+    // each day scores against the TRAILING 7-day window (frame
+    // -7..-1, never including itself). Tiny state (days × types), one
+    // shuffle on event_type; z is emitted only for full 7-day frames
+    // with sd above a floor (a knife-edge-free guard — count data
+    // never lands within FP noise of 1e-4), so partial-history and
+    // constant-series rows stay NULL instead of exploding. The
+    // engines' stddev accumulations differ by ~1e-12 relative —
+    // invisible at round(·,4).
+    "q105_rolling_zscore" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      Tables.load(s, d, "events")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+          .as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("mu", avg(col("n")).over(w))
+        .withColumn("sd", stddev_samp(col("n")).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .select(col("day"), col("event_type"), col("n"),
+          round(col("mu"), 4).as("mu"), round(col("sd"), 4).as("sd"),
+          when(col("cnt") === 7 && col("sd") > 0.0001,
+            round((col("n") - col("mu")) / col("sd"), 4)).as("z"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -469,6 +496,23 @@ object Analytics {
                     - (cb + 1) / CAST(nb + k AS DOUBLE))
               * ln(((ca + 1) / CAST(na + k AS DOUBLE))
                     / ((cb + 1) / CAST(nb + k AS DOUBLE))), 6) AS psi_term
-          FROM c CROSS JOIN t ORDER BY event_type"""
+          FROM c CROSS JOIN t ORDER BY event_type""",
+
+    "q105_rolling_zscore" ->
+      """WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
+                 AS day, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2),
+          r AS (SELECT day, event_type, n,
+                  avg(n) OVER w AS mu,
+                  stddev_samp(n) OVER w AS sd,
+                  count(*) OVER w AS cnt
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+          SELECT day, event_type, n, round(mu, 4) AS mu,
+            round(sd, 4) AS sd,
+            CASE WHEN cnt = 7 AND sd > 0.0001
+                 THEN round((n - mu) / sd, 4) END AS z
+          FROM r ORDER BY event_type, day"""
   )
 }

@@ -475,6 +475,41 @@ object Dedup {
         .select(col("a_id"), col("b_id"), col("inter"),
           round(col("jac_raw"), 4).as("jac"))
         .orderBy("a_id", "b_id")
+    }),
+
+    // q104: triangle count on the near-dup graph — the density signal
+    // that distinguishes a tight duplicate CLIQUE (template spam — one
+    // canonical survivor) from a drifting CHAIN (successive revisions —
+    // each hop may deserve keeping). The scale shape is degree
+    // orientation: every edge points from its lower-(degree, id)
+    // endpoint to the higher, so wedges enumerate only at each
+    // triangle's LOWEST-rank apex and per-apex fan-out is bounded by
+    // out-degree <= O(sqrt(m)) — the standard fix for the hub blow-up
+    // a naive wedge join hits on skewed graphs. One degree aggregate,
+    // one wedge self-join, one closure join.
+    "q104_triangles" -> ((s, d) => {
+      val e = bandPairsOf(signaturesOf(docs(s, d))).select("a_id", "b_id")
+      val sym = e.select(col("a_id").as("v")).union(
+        e.select(col("b_id").as("v")))
+      val deg = sym.groupBy("v").agg(count(lit(1)).as("deg"))
+      val oriented = e
+        .join(deg.select(col("v").as("a_id"), col("deg").as("da")),
+          Seq("a_id"))
+        .join(deg.select(col("v").as("b_id"), col("deg").as("db")),
+          Seq("b_id"))
+        .select(when(
+            struct(col("da"), col("a_id")) < struct(col("db"), col("b_id")),
+            struct(col("a_id").as("src"), col("b_id").as("dst")))
+          .otherwise(struct(col("b_id").as("src"), col("a_id").as("dst")))
+          .as("o"))
+        .select(col("o.src").as("src"), col("o.dst").as("dst"))
+      val wedges = oriented.select(col("src"), col("dst").as("v"))
+        .join(oriented.select(col("src"), col("dst").as("w")), Seq("src"))
+        .filter(col("v") < col("w"))
+      wedges
+        .join(e, least(col("v"), col("w")) === col("a_id") &&
+          greatest(col("v"), col("w")) === col("b_id"))
+        .agg(count(lit(1)).as("n_triangles"))
     })
   )
 
@@ -563,6 +598,20 @@ object Dedup {
                 round(inter / (na + nb - inter), 4) AS jac
          FROM p WHERE inter / (na + nb - inter) >= 0.5
          ORDER BY a_id, b_id""",
+
+    // orientation is a perf device only — the count equals the plain
+    // a<b<c three-way join the oracle spells out
+    "q104_triangles" ->
+      s"""WITH sig AS ($minhashSigSql),
+          e AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id
+                FROM sig a JOIN sig b2
+                  ON a.band = b2.band AND a.mh = b2.mh
+                    AND a.doc_id < b2.doc_id
+                GROUP BY 1, 2)
+          SELECT count(*) AS n_triangles
+          FROM e e1
+          JOIN e e2 ON e2.a_id = e1.b_id
+          JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id""",
 
     // the prefix filter is lossless, so the oracle is the UNCAPPED
     // exact all-pairs formulation (cap = effectively infinite)
