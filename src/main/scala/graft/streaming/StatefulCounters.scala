@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{MapState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-key running event count on the Spark 4 arbitrary-state API
   * (`transformWithState` + [[StatefulProcessor]]): one ValueState[Long]
@@ -31,6 +31,34 @@ class RunningCountProcessor
   }
 }
 
+/** Per-user per-event-type running counts on MapState — the composite
+  * state surface: one map entry per (user, type) in the RocksDB store
+  * (point lookups/updates per arriving type, NOT a read-modify-write of
+  * a whole collection — the reason MapState exists over a
+  * ValueState[Map]). Emits (user, distinct types seen, total events)
+  * after each batch; converges to the batch countDistinct/count pair.
+  */
+class TypeMixProcessor
+    extends StatefulProcessor[Long, (Long, String), (Long, Long, Long)] {
+  @transient private var byType: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    byType = getHandle.getMapState[String, Long](
+      "byType", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    rows.foreach { case (_, t) =>
+      byType.updateValue(t,
+        (if (byType.containsKey(t)) byType.getValue(t) else 0L) + 1L)
+    }
+    var types = 0L
+    var total = 0L
+    byType.iterator().foreach { p => types += 1; total += p._2 }
+    Iterator.single((key, types, total))
+  }
+}
+
 object StatefulCounters {
 
   /** transformWithState needs the RocksDB state store provider — set
@@ -48,6 +76,18 @@ object StatefulCounters {
     events.select(col("user_id")).as[Long]
       .groupByKey(identity)
       .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** (user_id, distinct event types, total events) updates over a
+    * streaming events frame — MapState variant; run in update mode. */
+  def typeMix(spark: SparkSession,
+      events: DataFrame): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeMixProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 }

@@ -251,6 +251,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState type mix converges to batch distincts") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.streaming.StatefulCounters.RocksDbProvider)
+    try {
+      val q = StreamingWindows.runToMemory(
+        graft.streaming.StatefulCounters.typeMix(
+          spark, StreamingWindows.eventsStream(spark, sf)).toDF(),
+        "twsmix", mode = "update")
+      try {
+        // latest (types, total) per user == batch countDistinct + count
+        val got = spark.table("twsmix").collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+          .groupBy(_._1)
+          .map { case (u, rows) => u -> rows.map(_._2).maxBy(_._2) }
+        val batch = Tables.load(spark, sf, "events")
+          .groupBy("user_id")
+          .agg(countDistinct(col("event_type")).as("t"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(got == batch,
+          s"type mix must converge (got ${got.size} users, " +
+            s"batch ${batch.size})")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming Misra-Gries candidates honor the batch MG guarantee") {
     import org.apache.spark.sql.functions.col
     // O(k) streaming state: every term with true frequency > n/(k+1)
