@@ -56,8 +56,8 @@ class BloomFilterAgg(numBits: Int = 1 << 19)
 
 object BloomFilter {
   /** Hash-function count, shared by build and probe. k = 6 is optimal
-    * near m/n ≈ 8.7 bits per key; the q93 sizing (2^17 bits for a few
-    * thousand keys) puts the false-positive rate below 1e-5. */
+    * near m/n ≈ 8.7 bits per key; the q93 sizing (2^20 bits for tens of
+    * thousands of keys) puts the false-positive rate near 1e-6. */
   val K = 6
 
   // Kirsch–Mitzenmacher: g_i = h + i * h2 simulates K independent

@@ -567,14 +567,17 @@ object Relational {
     // prune lives inside the scan's whole-stage-codegen span.
     "q93_bloom_prune" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      s.udf.register("bloom_agg_17",
-        udaf(new graft.functions.BloomFilterAgg(1 << 17),
+      // 2^20 bits = 128 KiB: ~33 bits/key at sf0.1's ~30k urgent
+      // orders (FP ~1e-6); size the filter for the BUILD side's key
+      // count, not the probe side's row count
+      s.udf.register("bloom_agg_1m",
+        udaf(new graft.functions.BloomFilterAgg(1 << 20),
           org.apache.spark.sql.Encoders.scalaLong))
       Tables.registerAll(s, d)
       s.sql(s"""
         WITH sel AS (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT'),
-        bf AS (SELECT bloom_agg_17(xxhash64(o_orderkey)) AS b FROM sel)
+        bf AS (SELECT bloom_agg_1m(xxhash64(o_orderkey)) AS b FROM sel)
         SELECT l_returnflag, count(*) AS n,
           ${Det.sqlDsum("l_extendedprice")} AS sum_price
         FROM lineitem
