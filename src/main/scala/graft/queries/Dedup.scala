@@ -442,12 +442,19 @@ object Dedup {
         .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
         .repartition(col("shk"))
       val dfreq = sh.groupBy("shk").agg(count(lit(1)).as("df"))
-      // one row per document: its shingle set, rarest-first
+      // one row per document: its shingle set, rarest-first. Three
+      // consumers (prefix explode + both verification joins) read this
+      // doc-count-sized table; column pruning specializes each branch
+      // differently, which defeats exchange reuse and would re-run the
+      // scan+shingle+df-join pipeline per consumer — so materialize it
+      // once (localCheckpoint, the CC precedent; doc-level state, far
+      // smaller than the shingle stream it replaces).
       val docsets = sh.join(dfreq, Seq("shk"))
         .groupBy("doc_id")
         .agg(expr(
           "transform(sort_array(collect_list(struct(df, shk))), x -> x.shk)")
           .as("os"))
+        .localCheckpoint()
       val prefix = docsets
         .select(col("doc_id").as("a_id"), explode(expr(
           s"slice(os, 1, cast(size(os) - ceil(size(os) * $t) + 1 as int))"))
