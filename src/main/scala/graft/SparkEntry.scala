@@ -19,8 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Scalars.queries ++
-      EventTime.queries ++ TextOps.queries ++ Similarity.queries ++
-      Dedup.queries ++ Pipeline.queries ++ Analytics.queries
+      EventTime.queries ++ TextOps.queries ++ TextOps.mixQueries ++
+      Similarity.queries ++ Dedup.queries ++ Pipeline.queries ++
+      Analytics.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ Scalars.oracle ++

@@ -517,6 +517,28 @@ object Dedup {
         .join(e, least(col("v"), col("w")) === col("a_id") &&
           greatest(col("v"), col("w")) === col("b_id"))
         .agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // q107: cross-source NEAR-dup overlap — the corpus-forensics matrix
+    // that catches mirrored dumps and shared boilerplate BETWEEN
+    // sources before they skew a mix: LSH band-collision pairs, each
+    // attributed to its (source, source) cell. Exact-hash overlap is
+    // the degenerate case (the fixtures have none below sf0.1 — near
+    // dups are the signal that actually shows up); the joins to the
+    // doc->source map are id-keyed and the pair table is the already
+    // sub-quadratic LSH candidate set.
+    "q107_source_overlap" -> ((s, d) => {
+      val src = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+      bandPairsOf(signaturesOf(docs(s, d)))
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("s_a")),
+          Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("s_b")),
+          Seq("b_id"))
+        .select(least(col("s_a"), col("s_b")).as("sa"),
+          greatest(col("s_a"), col("s_b")).as("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("near_dup_pairs"))
+        .orderBy("sa", "sb")
     })
   )
 
@@ -605,6 +627,20 @@ object Dedup {
                 round(inter / (na + nb - inter), 4) AS jac
          FROM p WHERE inter / (na + nb - inter) >= 0.5
          ORDER BY a_id, b_id""",
+
+    "q107_source_overlap" ->
+      s"""WITH sig AS ($minhashSigSql),
+          e AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id
+                FROM sig a JOIN sig b2
+                  ON a.band = b2.band AND a.mh = b2.mh
+                    AND a.doc_id < b2.doc_id
+                GROUP BY 1, 2),
+          p AS (SELECT least(da.source, db.source) AS sa,
+                  greatest(da.source, db.source) AS sb
+                FROM e JOIN documents da ON e.a_id = da.doc_id
+                       JOIN documents db ON e.b_id = db.doc_id)
+          SELECT sa, sb, count(*) AS near_dup_pairs
+          FROM p GROUP BY 1, 2 ORDER BY sa, sb""",
 
     // orientation is a perf device only — the count equals the plain
     // a<b<c three-way join the oracle spells out

@@ -476,6 +476,68 @@ object TextOps {
       ragChunksOf(docs(s, d)).orderBy("doc_id", "chunk_idx"))
   )
 
+  /** Mixture construction and corpus forensics (q106–q108) — a second
+    * map only because `queries` is already defined above; SparkEntry
+    * merges both. */
+  val mixQueries: Map[String, Q] = Map(
+    // q106: temperature-scaled mixture rates (the UniMax/multilingual
+    // training-mix recipe): per-language keep rates proportional to
+    // count^alpha with alpha = 0.5, which up-samples tail languages
+    // relative to raw proportions. The weights go through
+    // round(sqrt(c)*1e6) -> BIGINT so the rate computation is PURE
+    // INTEGER — (10000*w) div tot — with no cross-engine FP division
+    // or floor knife-edges; the keep decision is the q80 content-hash
+    // rule (reproducible across runs/engines/partitionings). One tiny
+    // per-lang aggregate + a 1-row total broadcast (BNLJ allowlisted),
+    // then map-side keeps.
+    "q106_temperature_mix" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cnt = Tables.load(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("c"))
+        .withColumn("w", expr("cast(round(sqrt(c) * 1000000) as bigint)"))
+      val tot = cnt.agg(sum("w").as("tw"))
+      val rates = cnt.crossJoin(broadcast(tot))
+        .select(col("lang"), col("c"), expr("(10000 * w) div tw").as("bp"))
+      Tables.load(s, d, "documents")
+        .join(broadcast(rates), Seq("lang"))
+        .withColumn("keep", expr("hash60(text) % 10000") < col("bp"))
+        .groupBy("lang")
+        .agg(min("c").as("n_docs"), min("bp").as("rate_bp"),
+          expr("count_if(keep)").as("kept"))
+        .orderBy("lang")
+    }),
+
+    // q108: KS-style drift statistic between two sources' length
+    // distributions, in PURE INTEGER arithmetic: equi-width bins
+    // (n_chars div 50), cumulative shares in basis points via integer
+    // division, ks_bp = max |cum0 - cum1|. The cumulative window runs
+    // over the BIN DOMAIN (bounded: ~a dozen rows no matter the corpus
+    // size), so the unpartitioned window is explicitly fine — the same
+    // domain-not-data argument as q88's cutpoints. 1-row totals
+    // broadcast (BNLJ allowlisted).
+    "q108_source_drift" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("bin").rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wide = Tables.load(s, d, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .groupBy(expr("n_chars div 50").as("bin"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("bin")
+        .agg(sum(when(col("source") === "src0", col("n")).otherwise(0L))
+            .as("n0"),
+          sum(when(col("source") === "src1", col("n")).otherwise(0L))
+            .as("n1"))
+      val tot = wide.agg(sum("n0").as("t0"), sum("n1").as("t1"))
+      wide
+        .withColumn("c0", sum(col("n0")).over(w))
+        .withColumn("c1", sum(col("n1")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(abs(expr("(10000 * c0) div t0 - (10000 * c1) div t1"))
+          .as("d"))
+        .agg(max(col("d")).as("ks_bp"), count(lit(1)).as("n_bins"))
+    }))
+
   /** The q101 chunk projection over a (doc_id, tok) frame — map-only
     * (no aggregation, no watermark), so it applies to batch and
     * streaming inputs identically. */
@@ -749,6 +811,44 @@ object TextOps {
           SELECT doc_id, chunk_idx, chunk_idx * 96 AS start_tok,
             CAST(len(chunk) AS BIGINT) AS n_toks,
             md5(array_to_string(chunk, ' ')) AS h
-          FROM c ORDER BY doc_id, chunk_idx"""
+          FROM c ORDER BY doc_id, chunk_idx""",
+
+    "q106_temperature_mix" ->
+      """WITH cnt AS (SELECT lang, count(*) AS c FROM documents
+                      GROUP BY lang),
+          w AS (SELECT lang, c,
+                  CAST(round(sqrt(c) * 1000000) AS BIGINT) AS w FROM cnt),
+          t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+          r AS (SELECT lang, c, (10000 * w) // tw AS bp
+                FROM w CROSS JOIN t)
+          SELECT d.lang, min(r.c) AS n_docs, min(r.bp) AS rate_bp,
+            count(*) FILTER (WHERE
+              CAST(CAST('0x' || substr(md5(d.text), 1, 15) AS UBIGINT)
+                AS BIGINT) % 10000 < r.bp) AS kept
+          FROM documents d JOIN r USING (lang)
+          GROUP BY d.lang ORDER BY d.lang""",
+
+    "q108_source_drift" ->
+      """WITH b AS (SELECT n_chars // 50 AS bin, source, count(*) AS n
+                    FROM documents WHERE source IN ('src0', 'src1')
+                    GROUP BY 1, 2),
+          wide AS (SELECT bin,
+                     CAST(sum(CASE WHEN source = 'src0' THEN n ELSE 0 END)
+                       AS BIGINT) AS n0,
+                     CAST(sum(CASE WHEN source = 'src1' THEN n ELSE 0 END)
+                       AS BIGINT) AS n1
+                   FROM b GROUP BY bin),
+          c AS (SELECT bin,
+                  sum(n0) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                    AS c0,
+                  sum(n1) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                    AS c1
+                FROM wide),
+          t AS (SELECT CAST(sum(n0) AS BIGINT) AS t0,
+                  CAST(sum(n1) AS BIGINT) AS t1 FROM wide)
+          SELECT CAST(max(abs((10000 * c0) // t0 - (10000 * c1) // t1))
+                   AS BIGINT) AS ks_bp,
+            count(*) AS n_bins
+          FROM c CROSS JOIN t"""
   )
 }

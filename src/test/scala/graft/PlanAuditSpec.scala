@@ -20,7 +20,7 @@ class PlanAuditSpec extends SparkSpec {
   // q34/q89: the top-k probe is ONE broadcast row against the corpus
   // q58: the 48-hour x 5-type grid cross — both sides constants
   // q88/q91: the cutpoint/normalization stats are ONE broadcast row
-  // q96/q97: the period-totals / vocab-size scalar is ONE broadcast row
+  // q96/q97/q106/q108: the totals scalar is ONE broadcast row
   // (q93's bloom arrives as a scalar subquery, not a cross join, so it
   //  needs no BNLJ exemption)
   private val bnljAllowed = Set("q11_cross_join", "q12_range_join",
@@ -28,7 +28,7 @@ class PlanAuditSpec extends SparkSpec {
     "q60_funnel", "q83_funnel_steps", "q84_rfm_segments",
     "q34_cosine_topk", "q58_gap_fill", "q88_equidepth_hist",
     "q89_ann_recall", "q91_zorder_layout", "q96_psi_drift",
-    "q97_bigram_lm")
+    "q97_bigram_lm", "q106_temperature_mix", "q108_source_drift")
 
   test("no CartesianProduct anywhere; BNLJ only where declared") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
