@@ -56,8 +56,10 @@ class BloomFilterAgg(numBits: Int = 1 << 19)
 
 object BloomFilter {
   /** Hash-function count, shared by build and probe. k = 6 is optimal
-    * near m/n ≈ 8.7 bits per key; the q93 sizing (2^20 bits for tens of
-    * thousands of keys) puts the false-positive rate near 1e-6. */
+    * near m/n ≈ 8.7 bits per key; the q93 sizing (2^20 bits, ~30k keys
+    * at sf0.1, ~35 bits/key) gives FP = (1−e^(−kn/m))^6 ≈ 1.5e-5 — k=6
+    * is below that ratio's ~24-hash optimum, trading a few FPs (the
+    * exact join absorbs them) for a 4x cheaper probe. */
   val K = 6
 
   // Kirsch–Mitzenmacher: g_i = h + i * h2 simulates K independent

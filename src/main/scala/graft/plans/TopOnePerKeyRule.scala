@@ -63,8 +63,13 @@ object TopOnePerKeyRule extends Rule[LogicalPlan] {
         case IsNotNull(a: AttributeReference) => a.exprId == alias.exprId
         case _ => false
       } && onRn.exists { case _: EqualTo => true; case _ => false }
+      // every packed field must be ORDERABLE (maps/intervals are not —
+      // min(struct(...)) over them would throw at execution where the
+      // window ran fine)
+      val allOrderable = (order.map(_.child) ++ child.output)
+        .forall(e => RowOrdering.isOrderable(e.dataType))
       val safe = rnEqOne && others.isEmpty && part.nonEmpty &&
-        order.nonEmpty &&
+        order.nonEmpty && allOrderable &&
         part.forall(_.isInstanceOf[AttributeReference]) &&
         order.forall(so => so.direction == Ascending &&
           so.nullOrdering == NullsFirst && !so.child.nullable)
@@ -87,9 +92,14 @@ object TopOnePerKeyRule extends Rule[LogicalPlan] {
         val agg = Aggregate(partAttrs, partAttrs :+ m, base)
         val mRef = m.toAttribute
         val nOrd = order.length
+        // the group has >= 1 row and the packed struct is non-null, so
+        // Min never yields NULL here — KnownNotNull keeps the rewritten
+        // schema's nullability identical to the window formulation's
+        // (GetStructField would otherwise inherit Min's nullable=true)
         val restById = rest.zipWithIndex.map { case (a, i) =>
-          a.exprId -> Alias(GetStructField(mRef, nOrd + i), a.name)(
-            exprId = a.exprId)
+          val field: Expression = GetStructField(mRef, nOrd + i)
+          val restored = if (a.nullable) field else KnownNotNull(field)
+          a.exprId -> Alias(restored, a.name)(exprId = a.exprId)
         }.toMap
         val projList: Seq[NamedExpression] = base.output.map { a =>
           partAttrs.find(_.exprId == a.exprId).getOrElse(restById(a.exprId))

@@ -288,22 +288,35 @@ object Analytics {
     }),
 
     // q105: rolling z-score anomaly bands — the daily-volume monitor
-    // that flags a broken producer or a scraper flood per event type:
-    // each day scores against the TRAILING 7-day window (frame
-    // -7..-1, never including itself). Tiny state (days × types), one
-    // shuffle on event_type; z is emitted only for full 7-day frames
-    // with sd above a floor (a knife-edge-free guard — count data
-    // never lands within FP noise of 1e-4), so partial-history and
-    // constant-series rows stay NULL instead of exploding. The
-    // engines' stddev accumulations differ by ~1e-12 relative —
-    // invisible at round(·,4).
+    // that flags a broken producer (zero-volume days) or a scraper
+    // flood per event type: each day scores against the TRAILING 7-day
+    // window (frame -7..-1, never including itself). The day axis is
+    // DENSIFIED first (the q58 gap-fill shape: min/max bounds → full
+    // day grid × types, zero-filled) — without it a silent producer
+    // emits no row at all, the outage is invisible, and the row frame
+    // spans the gap; with it, outage days surface as n = 0 with a
+    // deeply negative z. Tiny state (calendar days × types); z is
+    // emitted only for full 7-day frames with sd above a floor (a
+    // knife-edge-free guard — count data never lands within FP noise
+    // of 1e-4). The engines' stddev accumulations differ by ~1e-12
+    // relative — invisible at round(·,4).
     "q105_rolling_zscore" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
-      Tables.load(s, d, "events")
+      val ev = Tables.load(s, d, "events")
+      val bounds = ev.agg(
+        date_trunc("day", min(col("ts"))).as("d0"),
+        date_trunc("day", max(col("ts"))).as("d1"))
+      val days = bounds
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("dd"))
+        .select(date_format(col("dd"), "yyyy-MM-dd").as("day"))
+      val grid = days.crossJoin(ev.select("event_type").distinct())
+      val daily = ev
         .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
           .as("day"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("cnt0"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      grid.join(daily, Seq("day", "event_type"), "left")
+        .withColumn("n", coalesce(col("cnt0"), lit(0L)))
         .withColumn("mu", avg(col("n")).over(w))
         .withColumn("sd", stddev_samp(col("n")).over(w))
         .withColumn("cnt", count(lit(1)).over(w))
@@ -499,9 +512,20 @@ object Analytics {
           FROM c CROSS JOIN t ORDER BY event_type""",
 
     "q105_rolling_zscore" ->
-      """WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
-                 AS day, event_type, count(*) AS n
+      """WITH bounds AS (SELECT date_trunc('day', min(ts)) AS d0,
+                  date_trunc('day', max(ts)) AS d1 FROM events),
+          days AS (SELECT strftime(unnest(generate_series(d0, d1,
+                     INTERVAL 1 DAY)), '%Y-%m-%d') AS day FROM bounds),
+          types AS (SELECT DISTINCT event_type FROM events),
+          daily0 AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
+                 AS day, event_type, count(*) AS cnt0
                FROM events GROUP BY 1, 2),
+          daily AS (SELECT g.day, g.event_type,
+                  CAST(coalesce(d.cnt0, 0) AS BIGINT) AS n
+                FROM (SELECT day, event_type
+                      FROM days CROSS JOIN types) g
+                LEFT JOIN daily0 d
+                  ON g.day = d.day AND g.event_type = d.event_type),
           r AS (SELECT day, event_type, n,
                   avg(n) OVER w AS mu,
                   stddev_samp(n) OVER w AS sd,

@@ -495,7 +495,12 @@ object Dedup {
     // a naive wedge join hits on skewed graphs. One degree aggregate,
     // one wedge self-join, one closure join.
     "q104_triangles" -> ((s, d) => {
+      // four differently-pruned consumers (two degree unions, the
+      // orientation join, the closure join) would re-run the
+      // scan+shingle+minhash+band-join pipeline each — materialize the
+      // pair-count-sized edge list once (the q103/CC precedent)
       val e = bandPairsOf(signaturesOf(docs(s, d))).select("a_id", "b_id")
+        .localCheckpoint()
       val sym = e.select(col("a_id").as("v")).union(
         e.select(col("b_id").as("v")))
       val deg = sym.groupBy("v").agg(count(lit(1)).as("deg"))

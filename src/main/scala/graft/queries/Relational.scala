@@ -567,9 +567,10 @@ object Relational {
     // prune lives inside the scan's whole-stage-codegen span.
     "q93_bloom_prune" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      // 2^20 bits = 128 KiB: ~33 bits/key at sf0.1's ~30k urgent
-      // orders (FP ~1e-6); size the filter for the BUILD side's key
-      // count, not the probe side's row count
+      // 2^20 bits = 128 KiB: ~35 bits/key at sf0.1's ~30k urgent
+      // orders (FP ~1.5e-5 at K=6 — see BloomFilter.K); size the
+      // filter for the BUILD side's key count, not the probe side's
+      // row count
       s.udf.register("bloom_agg_1m",
         udaf(new graft.functions.BloomFilterAgg(1 << 20),
           org.apache.spark.sql.Encoders.scalaLong))

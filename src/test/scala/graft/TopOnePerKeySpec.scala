@@ -83,6 +83,33 @@ class TopOnePerKeySpec extends SparkSpec {
         .filter(col("rn") <= 2)
       assert(topk.queryExecution.optimizedPlan.toString.contains("Window"),
         "rn <= k must not be rewritten")
+      // unorderable payload column (map) -> bail: min(struct(...map...))
+      // would throw at execution where the window runs fine
+      val mapped = rows.toDF("g", "k", "v")
+        .withColumn("props", map(col("v"), col("v")))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("g").orderBy("k")))
+        .filter(col("rn") === 1)
+      assert(mapped.queryExecution.optimizedPlan.toString.contains("Window"),
+        "unorderable payload columns must not be rewritten")
+      assert(mapped.count() == 3, "the un-rewritten query still runs")
+    }
+  }
+
+  test("rewritten schema keeps the original nullability") {
+    withRule {
+      val w = Window.partitionBy("g").orderBy("k")
+      val df = rows.toDF("g", "k", "v")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val opt = df.queryExecution.optimizedPlan
+      assert(!opt.toString.contains("Window"))
+      // k (primitive long) was non-nullable going in; the min-struct
+      // extraction must not widen it in the rewritten plan's output
+      // (KnownNotNull restores it — GetStructField alone would inherit
+      // Min's nullable=true)
+      val kAttr = opt.output.find(_.name == "k").get
+      assert(!kAttr.nullable, "rewrite must not widen nullability")
     }
   }
 }
