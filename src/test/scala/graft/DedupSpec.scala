@@ -61,14 +61,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
-  test("simhash band pairing surfaces exact and near duplicates") {
-    // run the q68 logic shape on the literal fixture via public queries
-    // is not possible (it loads the documents table), so assert on the
-    // smoke SF: every returned pair must have small hamming, and the
-    // corpus's known near-dups must produce at least one candidate
-    val pairs = SparkEntry.queries("q68_simhash_pairs")(spark, sf).collect()
-    assert(pairs.nonEmpty, "near-dup corpus must yield simhash candidates")
-    assert(pairs.forall(_.getLong(2) <= 8L))
+  test("simhash block-permutation probe is EXACT for hamming <= 3") {
+    // recall-1 pigeonhole claim, checked against brute force: the probe
+    // must return precisely the all-pairs bit_count(xor) <= 3 set
+    val pairs = SparkEntry.queries("q68_simhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.nonEmpty, "near-dup corpus must yield simhash pairs")
+    val sh = Dedup.simhashOf(Dedup.withTok(Tables.load(spark, sf, "documents")))
+      .select("doc_id", "simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- sh; (b, hb) <- sh
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    assert(pairs == brute,
+      s"probe must equal brute force: got ${pairs.size}, want ${brute.size}")
   }
 
   test("connected components: chain merges into one cluster with min label") {
