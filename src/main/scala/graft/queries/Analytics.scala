@@ -325,8 +325,130 @@ object Analytics {
           when(col("cnt") === 7 && col("sd") > 0.0001,
             round((col("n") - col("mu")) / col("sd"), 4)).as("z"))
         .orderBy("event_type", "day")
+    }),
+
+    // q109: exact distinct users over a trailing 7-day window per day.
+    // The naive shape is a range self-join of raw events (O(|events|·w)
+    // shuffle). Reduction first: DISTINCT (user, day) collapses the
+    // fact table to at most |users|×|days| rows — the ONLY full-data
+    // shuffle, map-side combined — then each survivor explodes to the
+    // <= 7 window-days it serves and the per-window count-distinct runs
+    // on that bounded set. At 100 TB the explode factor is a constant 7
+    // on the already-collapsed frame, not on the raw events.
+    "q109_sliding_distinct" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val ud = ev.select(col("user_id"),
+        date_trunc("day", col("ts")).as("day")).distinct()
+      val hi = ev.agg(date_trunc("day", max(col("ts"))).as("dmax"))
+      ud.select(col("user_id"), explode(expr(
+          "sequence(day, day + interval 6 days, interval 1 day)")).as("wd"))
+        .crossJoin(broadcast(hi))
+        .filter(col("wd") <= col("dmax"))
+        .groupBy(col("wd"))
+        .agg(countDistinct(col("user_id")).as("users_7d"))
+        .select(date_format(col("wd"), "yyyy-MM-dd").as("day"),
+          col("users_7d"))
+        .orderBy("day")
+    }),
+
+    // q110: snapshot diff / change capture between two corpus versions
+    // (v1 = doc_id < 400; v2 = doc_id >= 100 with a simulated edit on
+    // doc_id % 7 == 0). Content compare on md5 digests, so the full
+    // outer join moves 16-byte hashes, never document bodies; with both
+    // snapshots bucketed on doc_id (operators/Bucketing) the join plans
+    // shuffle-free. Output keeps only added/removed/changed rows — the
+    // unchanged bulk (the 100 TB majority) never leaves the join.
+    "q110_snapshot_diff" -> ((s, d) => {
+      val docsT = Tables.load(s, d, "documents")
+      val v1 = docsT.filter(col("doc_id") < 400)
+        .select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2 = docsT.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, upper(col("text")))
+            .otherwise(col("text"))).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed"))
+        .filter(col("status").isNotNull)
+        .select("doc_id", "status")
+        .orderBy("doc_id")
+    }),
+
+    // q111: first-touch attribution — 30-minute-gap sessionization
+    // (lag + running flag-sum; ONE shuffle on user_id shared by both
+    // windows), each purchase's value attributed to the first event
+    // type of its session. First-of-session via min(struct(ts,
+    // event_id, event_type)) — an aggregate, not a second window pass —
+    // and revenue sums in DECIMAL(18,2) (exact, order-independent).
+    "q111_first_touch" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = Tables.load(s, d, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(
+          w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      val first = sess.groupBy("user_id", "sess_id")
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("f"))
+        .select(col("user_id"), col("sess_id"),
+          col("f").getField("event_type").as("first_touch"))
+      sess.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("sess_id"), col("value"))
+        .join(first, Seq("user_id", "sess_id"))
+        .groupBy("first_touch")
+        .agg(count(lit(1)).as("purchases"),
+          graft.Det.dsum(col("value")).as("revenue"))
+        .orderBy("first_touch")
+    }),
+
+    // q112: count-min sketch as a TABLE (depth × width grouped counts)
+    // — the mergeable formulation: map-side partial sums ARE the
+    // per-executor sketches, and two corpus sketches merge by summing
+    // the tables. Buckets come from the same Carter–Wegman mix61 family
+    // as the minhash path over the md5-based hash60, so DuckDB replays
+    // every bucket exactly and the compare is bit-exact — the oracle
+    // checks the SKETCH SEMANTICS, not a tolerance. Output: per-user
+    // exact count, CMS estimate, and the (provably >= 0) overestimate.
+    "q112_cms_counts" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val k = Tables.load(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("exact"))
+        .withColumn("h", expr("hash60(cast(user_id as string))"))
+      val kb = k.select(col("user_id"), col("exact"),
+        explode(array(CmsFamily.map { case (j, a, b) =>
+          struct(lit(j).as("j"),
+            expr(s"mix61(h, ${a}L, ${b}L) % $CmsWidth").as("bucket"))
+        }: _*)).as("jb"))
+        .select(col("user_id"), col("exact"),
+          col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      val sk = kb.groupBy("j", "bucket").agg(sum("exact").as("cnt"))
+      val est = kb.join(broadcast(sk), Seq("j", "bucket"))
+        .groupBy("user_id").agg(min("cnt").as("est"))
+      k.select("user_id", "exact")
+        .join(est, Seq("user_id"))
+        .withColumn("over_est", col("est") - col("exact"))
+        .orderBy("user_id")
     })
   )
+
+  /** CMS geometry: 3 independent mix61 rows × 128 buckets. Width is the
+    * ε knob — expected collision mass N/w per row, P[over > e·N/w] <=
+    * e^-depth — sized small HERE so the fixture corpus actually
+    * exercises the collision path (48/150 users overestimated at
+    * sf0.01; at 1024 the sketch is trivially exact and the oracle
+    * would never see a collision). Both constants are mirrored
+    * literally in the q112 oracle SQL. */
+  val CmsWidth = 128
+  val CmsFamily: Seq[(Int, Long, Long)] = Seq(
+    (0, 1000000007L, 12345L),
+    (1, 998244353L, 67890L),
+    (2, 1099511628211L, 424242L))
 
   val oracle: Map[String, String] = Map(
     "q58_gap_fill" ->
@@ -537,6 +659,75 @@ object Analytics {
             round(sd, 4) AS sd,
             CASE WHEN cnt = 7 AND sd > 0.0001
                  THEN round((n - mu) / sd, 4) END AS z
-          FROM r ORDER BY event_type, day"""
+          FROM r ORDER BY event_type, day""",
+
+    "q109_sliding_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                     FROM events),
+          mx AS (SELECT date_trunc('day', max(ts)) AS dmax FROM events),
+          w AS (SELECT user_id, unnest(generate_series(day,
+                  day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wd FROM ud)
+          SELECT strftime(w.wd, '%Y-%m-%d') AS day,
+                 count(DISTINCT user_id) AS users_7d
+          FROM w, mx WHERE w.wd <= mx.dmax
+          GROUP BY 1 ORDER BY 1""",
+
+    "q110_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents
+                     WHERE doc_id < 400),
+          v2 AS (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN upper(text)
+                       ELSE text END) AS h2
+                 FROM documents WHERE doc_id >= 100)
+          SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+            CASE WHEN v1.doc_id IS NULL THEN 'added'
+                 WHEN v2.doc_id IS NULL THEN 'removed'
+                 WHEN v1.h1 <> v2.h2 THEN 'changed' END AS status
+          FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+          WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h1 <> v2.h2
+          ORDER BY doc_id""",
+
+    "q111_first_touch" ->
+      s"""WITH s AS (SELECT *, lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events),
+          s2 AS (SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts > prev_ts + INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS new_sess FROM s),
+          s3 AS (SELECT *, sum(new_sess) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sess_id FROM s2),
+          f AS (SELECT user_id, sess_id, event_type AS first_touch
+                FROM (SELECT user_id, sess_id, event_type,
+                        row_number() OVER (PARTITION BY user_id, sess_id
+                          ORDER BY ts, event_id) AS rn FROM s3)
+                WHERE rn = 1),
+          p AS (SELECT user_id, sess_id, value FROM s3
+                WHERE event_type = 'purchase')
+          SELECT f.first_touch, count(*) AS purchases,
+                 ${graft.Det.sqlDsum("p.value")} AS revenue
+          FROM p JOIN f USING (user_id, sess_id)
+          GROUP BY 1 ORDER BY 1""",
+
+    "q112_cms_counts" -> {
+      val fam = CmsFamily.map { case (j, a, b) => s"($j, $a, $b)" }
+        .mkString(", ")
+      s"""WITH k AS (SELECT user_id, count(*) AS exact,
+                  CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                    1, 15) AS UBIGINT) AS BIGINT) AS h
+                FROM events GROUP BY user_id),
+          f(j, a, b) AS (VALUES $fam),
+          kb AS (SELECT user_id, exact, f.j AS j,
+                   CAST((CAST(h AS HUGEINT) * f.a + f.b)
+                     % 2305843009213693951 AS BIGINT) % $CmsWidth AS bucket
+                 FROM k CROSS JOIN f),
+          sk AS (SELECT j, bucket, CAST(sum(exact) AS BIGINT) AS cnt
+                 FROM kb GROUP BY 1, 2),
+          est AS (SELECT user_id, min(cnt) AS est
+                  FROM kb JOIN sk USING (j, bucket) GROUP BY 1)
+          SELECT k.user_id, k.exact, est.est,
+                 est.est - k.exact AS over_est
+          FROM k JOIN est USING (user_id) ORDER BY user_id"""
+    }
   )
 }

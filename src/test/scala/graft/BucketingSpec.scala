@@ -167,4 +167,50 @@ class BucketingSpec extends SparkSpec {
     assert(countShuffles(agg) == 0,
       "group-by on the bucket key must reuse bucketing")
   }
+
+  test("snapshot diff over bucketed versions plans zero shuffles") {
+    // the q110 100 TB claim, executable: both corpus snapshots stored
+    // bucketed on doc_id => the digest full-outer join is co-located
+    // and the whole diff runs without an Exchange
+    val docs = Tables.load(spark, sf, "documents")
+    val v1 = docs.filter(col("doc_id") < 400)
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val v2 = docs.filter(col("doc_id") >= 100)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, upper(col("text")))
+          .otherwise(col("text"))).as("h2"))
+    Bucketing.writeBucketed(v1, "b_snap_v1", "doc_id", 4)
+    Bucketing.writeBucketed(v2, "b_snap_v2", "doc_id", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val diff = Bucketing.read(spark, "b_snap_v1")
+        .join(Bucketing.read(spark, "b_snap_v2"), Seq("doc_id"),
+          "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed"))
+        .filter(col("status").isNotNull)
+        .select("doc_id", "status")
+      val got = diff.collect().map(r => (r.getLong(0), r.getString(1)))
+      val want = SparkEntry.queries("q110_snapshot_diff")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.sortBy(_._1).toSeq == want.toSeq,
+        "bucketed diff must equal the q110 result")
+      assert(countShuffles(diff) == 0,
+        "bucketed snapshot diff must not contain a ShuffleExchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("cms estimates never under-count and match on collision-free keys") {
+    // the count-min invariant (est >= exact, always) on the smoke SF —
+    // catches any drift between the sketch family constants and the
+    // probe side; exactness itself is pinned by the q112 oracle
+    val rows = SparkEntry.queries("q112_cms_counts")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) >= 0L),
+      "CMS must never underestimate")
+    assert(rows.forall(r => r.getLong(2) === r.getLong(1) + r.getLong(3)))
+  }
 }
