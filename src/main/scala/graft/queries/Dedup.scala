@@ -497,9 +497,13 @@ object Dedup {
         .select(col("doc_id").as("a_id"), explode(expr(
           s"slice(os, 1, cast(size(os) - ceil(size(os) * $t) + 1 as int))"))
           .as("shk"))
-      // the full side IS the shk-partitioned shingle stream — reusing
-      // it avoids re-exploding docsets and a second shk exchange
-      val full = sh.select(col("doc_id").as("b_id"), col("shk"))
+      // the full side explodes the CHECKPOINTED docsets — deriving it
+      // from `sh` would re-run the scan -> shingle -> hash string
+      // pipeline a second time (the checkpoint barrier splits the plan,
+      // so within the final job that subtree has no reusable exchange);
+      // exploding materialized long arrays costs a fraction of that
+      val full = docsets
+        .select(col("doc_id").as("b_id"), explode(col("os")).as("shk"))
       val cand = prefix.join(full, Seq("shk"))
         .filter(col("a_id") =!= col("b_id"))
         .select(least(col("a_id"), col("b_id")).as("a_id"),

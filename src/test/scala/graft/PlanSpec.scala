@@ -110,6 +110,16 @@ class PlanSpec extends SparkSpec {
     assert(md5s == 1, s"hash60 must appear once (hoisted), got $md5s")
   }
 
+  test("q68 block-permutation probe stays an equi-join on the packed key") {
+    // the Manku probe must plan as a hash/sort-merge join on the packed
+    // (blocks, combo) long key — a BNLJ or cartesian here would mean
+    // the all-pairs shape the probe exists to avoid
+    val p = finalPlan("q68_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"probe must stay an equi-join on the packed block key:\n$p")
+  }
+
   test("q93's manual bloom prune sits below the join; Spark's own " +
       "InjectRuntimeFilter engages on the same shape when shuffling") {
     // graft's explicit bloom (q93): the probe filter must be planned,
