@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopOnePerKeyRule)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }
