@@ -586,6 +586,34 @@ object Dedup {
           greatest(col("s_a"), col("s_b")).as("sb"))
         .groupBy("sa", "sb").agg(count(lit(1)).as("near_dup_pairs"))
         .orderBy("sa", "sb")
+    }),
+
+    // q113: phrase search — the inverted-index probe primitive (quote
+    // detection / contamination lookup): find the corpus's most-shared
+    // trigram (max document frequency; ties resolve to the
+    // lexicographically largest, i.e. plain max(struct) — fully
+    // deterministic), then every document containing it with its exact
+    // occurrence count. The df aggregate shuffles the distinct-shingle
+    // stream ONCE (the q37 machinery), the winning phrase is ONE
+    // broadcast row, and occurrence counting is a map-only HOF over
+    // each document's own token array — index once, probe with a
+    // constant, nothing quadratic at any corpus size.
+    "q113_phrase_search" -> ((s, d) => {
+      val dd = docs(s, d)
+      val top = shingledOf(dd)
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .agg(max(struct(col("df"), col("sh"))).as("t"))
+        .select(col("t").getField("sh").as("phrase"))
+      dd.crossJoin(broadcast(top))
+        .withColumn("n_occ", expr(
+          """case when size(tok) < 3 then cast(0 as bigint)
+             else cast(size(filter(
+               transform(sequence(0, size(tok) - 3),
+                 i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])),
+               x -> x = phrase)) as bigint) end"""))
+        .filter(col("n_occ") > 0)
+        .select(col("doc_id"), col("phrase"), col("n_occ"))
+        .orderBy("doc_id")
     })
   )
 
@@ -762,6 +790,24 @@ object Dedup {
           SELECT sh.doc_id, sh.simhash, CAST(len(t.tok) AS BIGINT) AS ntok
           FROM sh JOIN t ON sh.doc_id = t.doc_id
           ORDER BY sh.doc_id""",
+
+    "q113_phrase_search" ->
+      s"""WITH $docsTokCte,
+          ${duckShingleCte("t")},
+          e AS (SELECT doc_id, unnest(sh) AS sh FROM __s),
+          dfq AS (SELECT sh, count(*) AS df FROM e GROUP BY sh),
+          top AS (SELECT sh AS phrase FROM dfq
+                  ORDER BY df DESC, sh DESC LIMIT 1),
+          occ AS (SELECT t.doc_id, top.phrase,
+                    CASE WHEN len(t.tok) < 3 THEN 0 ELSE
+                      len(list_filter(list_transform(
+                        range(1, len(t.tok) - 1),
+                        i -> t.tok[i] || ' ' || t.tok[i+1]
+                          || ' ' || t.tok[i+2]),
+                        x -> x = top.phrase)) END AS n_occ
+                  FROM t CROSS JOIN top)
+          SELECT doc_id, phrase, CAST(n_occ AS BIGINT) AS n_occ
+          FROM occ WHERE n_occ > 0 ORDER BY doc_id""",
 
     // Oracle knows NOTHING about the LSH: the block-permutation probe is
     // recall-1 for hamming <= 3 (pigeonhole over 6 blocks), so any

@@ -56,6 +56,33 @@ object StreamingWindows {
       eventsStream(spark, dir).withWatermark("ts", watermark)
         .dropDuplicates("user_id", "ts"))
 
+  /** Streaming twin of batch q109 (exact trailing-7-day distinct users
+    * per day). Same collapse-then-count decomposition as the batch
+    * plan: each arriving event explodes MAP-SIDE to the <= 7 window
+    * days it serves, a watermarked dropDuplicates keeps ONE state row
+    * per DISTINCT (user, window-day) — so state is bounded by
+    * |users| x |days inside the watermark horizon|, the same frame the
+    * batch shuffle carries, and NEVER grows with event volume — and an
+    * event-time day-window count over the deduplicated stream emits
+    * each day's exact distinct-user count once its watermark passes
+    * (append mode; the dedup->windowed-agg chain is the supported
+    * multi-stateful-operator shape). Trailing days beyond the data's
+    * horizon emit as they finalize — they are tomorrow's windows fed
+    * by today's events, which batch q109 clips at its known max day. */
+  def slidingDistinct(spark: SparkSession, dir: String,
+      delay: String = "1 second"): DataFrame =
+    eventsStream(spark, dir)
+      .select(col("user_id"), explode(expr(
+        """sequence(date_trunc('DAY', ts),
+                    date_trunc('DAY', ts) + interval 6 days,
+                    interval 1 day)""")).as("wd"))
+      .withWatermark("wd", delay)
+      .dropDuplicates("user_id", "wd")
+      .groupBy(window(col("wd"), "1 day"))
+      .agg(count(lit(1)).as("users_7d"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("users_7d"))
+
   /** Run a streaming frame to a memory sink until the source drains;
     * returns the query (caller reads `spark.table(name)` then stops). */
   def runToMemory(df: DataFrame, name: String,

@@ -40,6 +40,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding distinct finalizes exactly the batch q109 days") {
+    // dedup-state (user, window-day) + day-window count == the batch
+    // collapse-then-count; every finalized day inside the batch horizon
+    // must carry the identical exact distinct count
+    val q = StreamingWindows.runToMemory(
+      StreamingWindows.slidingDistinct(spark, sf), "t_sd", mode = "append")
+    try {
+      val batch = SparkEntry.queries("q109_sliding_distinct")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = spark.table("t_sd").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val inHorizon = got.filter { case (d, _) => batch.contains(d) }
+      assert(inHorizon.nonEmpty, "no finalized days emitted")
+      inHorizon.foreach { case (d, n) =>
+        assert(n == batch(d), s"day $d: streaming $n != batch ${batch(d)}")
+      }
+      assert(batch.size - inHorizon.size <= 2,
+        s"only watermark-tail days may be held back " +
+          s"(${inHorizon.size} of ${batch.size} emitted)")
+    } finally q.stop()
+  }
+
   test("sliding window: streaming update mode equals batch") {
     val q = StreamingWindows.runToMemory(
       StreamingWindows.sliding(spark, sf), "s_upd", mode = "update")
