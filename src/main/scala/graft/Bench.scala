@@ -60,6 +60,14 @@ object Bench {
         }
       }
       if (secs.size == reps) timings += name -> secs.sorted.apply(reps / 2)
+      // untimed inter-query hygiene: eager localCheckpoint blocks from
+      // abandoned reps (q103/q104/CC rounds) only free after a JVM GC
+      // lets ContextCleaner reap their weak refs — without this nudge
+      // they accumulate across the 120-query run and inflate the LATER
+      // queries' timings ~2-3x (measured: q26 0.46s clean vs 2.56s at
+      // position ~30 of a full run). Between queries, not reps, so
+      // steady-state per-query cost still includes its own garbage.
+      System.gc()
     }
 
     def esc(s: String): String = s.flatMap {
