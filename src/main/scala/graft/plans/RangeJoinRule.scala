@@ -54,11 +54,17 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     case e => Seq(e)
   }
 
-  /** Span of the interval literal in microseconds; None = unsupported
-    * (month components, non-positive spans). */
-  private def widthOf(l: Literal): Option[Long] = l match {
+  /** Span of the interval literal in microseconds; None = unsupported.
+    * Month components never qualify (no fixed micro width). A
+    * CalendarInterval DAY component only qualifies when `ntz` — for
+    * LTZ endpoints TimestampAddInterval adds calendar days in the
+    * session timezone, so across a DST fall-back the real span exceeds
+    * days*86400e6 and the two-bucket cover would drop rows; NTZ day
+    * arithmetic is timezone-free and exact. DayTimeIntervalType is a
+    * fixed micros duration for both flavors. */
+  private def widthOf(l: Literal, ntz: Boolean): Option[Long] = l match {
     case Literal(iv: CalendarInterval, CalendarIntervalType)
-        if iv.months == 0 =>
+        if iv.months == 0 && (ntz || iv.days == 0) =>
       val w = iv.days * 86400000000L + iv.microseconds
       if (w > 0) Some(w) else None
     case Literal(us: Long, _: DayTimeIntervalType) if us > 0 => Some(us)
@@ -135,7 +141,9 @@ object RangeJoinRule extends Rule[LogicalPlan] {
               lowerMatches(lc, ts, lo)
             }
           }.headOption.flatMap { case (ts, lo, add, ivLit) =>
-            widthOf(ivLit).flatMap { w =>
+            val bothNtz = ts.dataType == TimestampNTZType &&
+              lo.dataType == TimestampNTZType
+            widthOf(ivLit, ntz = bothNtz).flatMap { w =>
               if (!timestampLike(ts.dataType) ||
                   !timestampLike(lo.dataType)) None
               else if (left.outputSet.contains(ts) &&

@@ -360,16 +360,21 @@ object Analytics {
     // unchanged bulk (the 100 TB majority) never leaves the join.
     "q110_snapshot_diff" -> ((s, d) => {
       val docsT = Tables.load(s, d, "documents")
+      // explicit presence flags, NOT hash nullness: a NULL-text doc has
+      // a NULL digest, and keying added/removed on h1/h2 would then
+      // misread side membership (the oracle keys on row presence)
       val v1 = docsT.filter(col("doc_id") < 400)
-        .select(col("doc_id"), md5(col("text")).as("h1"))
+        .select(col("doc_id"), md5(col("text")).as("h1"),
+          lit(true).as("in1"))
       val v2 = docsT.filter(col("doc_id") >= 100)
         .select(col("doc_id"),
           md5(when(col("doc_id") % 7 === 0, upper(col("text")))
-            .otherwise(col("text"))).as("h2"))
+            .otherwise(col("text"))).as("h2"),
+          lit(true).as("in2"))
       v1.join(v2, Seq("doc_id"), "full_outer")
         .withColumn("status",
-          when(col("h1").isNull, "added")
-            .when(col("h2").isNull, "removed")
+          when(col("in1").isNull, "added")
+            .when(col("in2").isNull, "removed")
             .when(col("h1") =!= col("h2"), "changed"))
         .filter(col("status").isNotNull)
         .select("doc_id", "status")

@@ -276,9 +276,14 @@ object Dedup {
       col("simhash").as("hb"), col("k"))
     a.join(b, Seq("k"))
       .filter(col("a_id") < col("b_id"))
+      // hamming filter BEFORE the pair-dedup shuffle: bit_count(ha^hb)
+      // is identical for every combo-duplicate of a pair, so dropping
+      // the dissimilar bulk map-side is semantics-preserving — at
+      // corpus scale most bucket collisions are hamming > 3 and never
+      // deserve the exchange
+      .filter(expr(s"bit_count(ha ^ hb) <= $SimhashMaxHamming"))
       .groupBy("a_id", "b_id")
       .agg(min(expr("bit_count(ha ^ hb)")).cast("long").as("hamming"))
-      .filter(col("hamming") <= SimhashMaxHamming)
   }
 
   /** Default document-frequency cap for `jaccardPairsOf`: shingles shared

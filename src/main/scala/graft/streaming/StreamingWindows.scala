@@ -68,9 +68,19 @@ object StreamingWindows {
     * (append mode; the dedup->windowed-agg chain is the supported
     * multi-stateful-operator shape). Trailing days beyond the data's
     * horizon emit as they finalize — they are tomorrow's windows fed
-    * by today's events, which batch q109 clips at its known max day. */
+    * by today's events, which batch q109 clips at its known max day.
+    *
+    * The watermark rides on the EXPLODED window-day, which runs up to
+    * 6 days AHEAD of the event that produced it — so `delay` MUST
+    * exceed the 6-day explode horizon plus the real lateness
+    * allowance, or an on-time event in a later micro-batch would look
+    * up to 6 days late: its window-day rows would be dropped by the
+    * watermarked dedup and its windows would already have finalized
+    * with undercounts. The 7-day default = 6-day horizon + 1 day of
+    * lateness; semantically a trailing-7-day window CANNOT finalize
+    * sooner anyway (events keep contributing for 6 more days). */
   def slidingDistinct(spark: SparkSession, dir: String,
-      delay: String = "1 second"): DataFrame =
+      delay: String = "7 days"): DataFrame =
     eventsStream(spark, dir)
       .select(col("user_id"), explode(expr(
         """sequence(date_trunc('DAY', ts),

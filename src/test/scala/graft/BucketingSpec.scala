@@ -174,11 +174,13 @@ class BucketingSpec extends SparkSpec {
     // and the whole diff runs without an Exchange
     val docs = Tables.load(spark, sf, "documents")
     val v1 = docs.filter(col("doc_id") < 400)
-      .select(col("doc_id"), md5(col("text")).as("h1"))
+      .select(col("doc_id"), md5(col("text")).as("h1"),
+        lit(true).as("in1"))
     val v2 = docs.filter(col("doc_id") >= 100)
       .select(col("doc_id"),
         md5(when(col("doc_id") % 7 === 0, upper(col("text")))
-          .otherwise(col("text"))).as("h2"))
+          .otherwise(col("text"))).as("h2"),
+        lit(true).as("in2"))
     Bucketing.writeBucketed(v1, "b_snap_v1", "doc_id", 4)
     Bucketing.writeBucketed(v2, "b_snap_v2", "doc_id", 4)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -188,8 +190,8 @@ class BucketingSpec extends SparkSpec {
         .join(Bucketing.read(spark, "b_snap_v2"), Seq("doc_id"),
           "full_outer")
         .withColumn("status",
-          when(col("h1").isNull, "added")
-            .when(col("h2").isNull, "removed")
+          when(col("in1").isNull, "added")
+            .when(col("in2").isNull, "removed")
             .when(col("h1") =!= col("h2"), "changed"))
         .filter(col("status").isNotNull)
         .select("doc_id", "status")
@@ -203,14 +205,38 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("cms estimates never under-count and match on collision-free keys") {
-    // the count-min invariant (est >= exact, always) on the smoke SF —
-    // catches any drift between the sketch family constants and the
-    // probe side; exactness itself is pinned by the q112 oracle
+  test("cms estimates equal a driver-side reference sketch exactly") {
+    // independent recomputation: rebuild the sketch from the exact
+    // per-user counts on the driver with the library's own mix61 and
+    // the declared family/width, and require every estimate to match —
+    // catches family-constant drift, a broken min-over-depths, or a
+    // probe/build bucket mismatch (an est==exact+over tautology would
+    // not). The >= exact invariant rides along for free.
+    import graft.queries.Analytics.{CmsFamily, CmsWidth}
     val rows = SparkEntry.queries("q112_cms_counts")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.nonEmpty)
-    assert(rows.forall(r => r.getLong(3) >= 0L),
-      "CMS must never underestimate")
-    assert(rows.forall(r => r.getLong(2) === r.getLong(1) + r.getLong(3)))
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val exact = rows.map { case (u, e, _, _) => u -> e }.toMap
+    val buckets: Map[(Int, Long), Long] = exact.toSeq
+      .flatMap { case (u, e) =>
+        CmsFamily.map { case (j, a, b) =>
+          (j, graft.functions.Mix61.mix(h60(u.toString), a, b) % CmsWidth) -> e
+        }
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    rows.foreach { case (u, e, est, over) =>
+      val ref = CmsFamily.map { case (j, a, b) =>
+        buckets((j, graft.functions.Mix61.mix(h60(u.toString), a, b)
+          % CmsWidth))
+      }.min
+      assert(est == ref, s"user $u: est $est != reference $ref")
+      assert(est >= e && over == est - e)
+    }
   }
 }
