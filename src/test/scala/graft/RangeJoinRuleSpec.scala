@@ -68,6 +68,15 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("non-positive spans bail") {
+    withRule {
+      val neg = ev.join(iv, col("ts") >= col("lo") &&
+        col("ts") <= col("lo") + expr("INTERVAL -7 DAYS"))
+      assert(!neg.queryExecution.optimizedPlan.toString.contains("Generate"),
+        "a negative span has no bucket width — must not rewrite")
+    }
+  }
+
   test("month spans and extra conjuncts bail") {
     withRule {
       val month = ev.join(iv, col("ts") >= col("lo") &&
