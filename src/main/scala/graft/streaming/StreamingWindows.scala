@@ -29,14 +29,20 @@ object StreamingWindows {
     StructField("props", StringType)))
 
   /** Streaming scan of the events table (one parquet file = one
-    * micro-batch in tests; a directory of arriving files in production). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    * micro-batch in tests; a directory of arriving files in production).
+    * `maxFilesPerTrigger > 0` caps files per micro-batch — the
+    * multi-batch arrival harness (files named events*.parquet arrive in
+    * modification-time order, one per trigger). */
+  def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source wants a directory: scan the SF dir with a
-    // glob picking just the events file
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // glob picking just the events file(s)
+    val r = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events*.parquet")
+    val r2 = if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else r
+    r2.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -80,8 +86,8 @@ object StreamingWindows {
     * lateness; semantically a trailing-7-day window CANNOT finalize
     * sooner anyway (events keep contributing for 6 more days). */
   def slidingDistinct(spark: SparkSession, dir: String,
-      delay: String = "7 days"): DataFrame =
-    eventsStream(spark, dir)
+      delay: String = "7 days", maxFilesPerTrigger: Int = 0): DataFrame =
+    eventsStream(spark, dir, maxFilesPerTrigger)
       .select(col("user_id"), explode(expr(
         """sequence(date_trunc('DAY', ts),
                     date_trunc('DAY', ts) + interval 6 days,

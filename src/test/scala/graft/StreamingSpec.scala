@@ -62,6 +62,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding distinct stays exact across MULTI-batch arrival") {
+    // the watermark-horizon regression case: events split into two
+    // files arriving as separate micro-batches (older days first). The
+    // 7-day delay must keep batch-2's on-time events from looking
+    // late — dedup state for still-open windows survives, duplicates
+    // across the batch boundary collapse, and every finalized day is
+    // exact vs a driver-side reference
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sf/events.parquet")
+    val cutNs = 1705363200L * 1000000000L // 2024-01-16 00:00:00 UTC
+    val dir = java.nio.file.Files.createTempDirectory("graft_sd").toFile
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = new java.io.File(dir, s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"events_$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writeOne(raw.filter(col("ts") < cutNs), "a", now - 60000L)
+    writeOne(raw.filter(col("ts") >= cutNs), "b", now)
+
+    val q = StreamingWindows.runToMemory(
+      StreamingWindows.slidingDistinct(spark, dir.getAbsolutePath,
+        maxFilesPerTrigger = 1), "t_sd2", mode = "append")
+    try {
+      // driver-side reference: distinct (user, epoch-day), then exact
+      // distinct counts per trailing-7-day window
+      val ud = raw.select(col("user_id"),
+          (col("ts") / lit(86400000000000L)).cast("long").as("day"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      val dmin = ud.map(_._2).min
+      val dmax = ud.map(_._2).max
+      def expected(w: Long): Long = ud.collect {
+        case (u, d) if d >= w - 6 && d <= w => u
+      }.distinct.length.toLong
+      val got = spark.table("t_sd2").collect()
+        .map(r => (java.time.LocalDate.parse(r.getString(0)).toEpochDay,
+          r.getLong(1))).toMap
+      assert(got.nonEmpty, "no finalized days emitted")
+      got.foreach { case (w, n) =>
+        assert(n == expected(w), s"day $w: streaming $n != ${expected(w)}")
+      }
+      // the final watermark (dmax+6 - 7d) finalizes windows <= dmax-2;
+      // in particular days AFTER the split boundary must be present —
+      // proving batch-2 events were not treated as late
+      val boundaryDay = cutNs / 86400000000000L
+      assert(got.keySet.exists(_ >= boundaryDay),
+        "no finalized window past the batch boundary")
+      assert((dmin to (dmax - 2)).forall(got.contains),
+        s"every closable day must be emitted: ${got.keySet.toSeq.sorted}")
+    } finally {
+      q.stop()
+      dir.listFiles().foreach { f =>
+        if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete()
+      }
+      dir.delete()
+    }
+  }
+
   test("sliding window: streaming update mode equals batch") {
     val q = StreamingWindows.runToMemory(
       StreamingWindows.sliding(spark, sf), "s_upd", mode = "update")
