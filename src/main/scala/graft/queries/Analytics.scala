@@ -339,7 +339,10 @@ object Analytics {
       val ev = Tables.load(s, d, "events")
       val ud = ev.select(col("user_id"),
         date_trunc("day", col("ts")).as("day")).distinct()
-      val hi = ev.agg(date_trunc("day", max(col("ts"))).as("dmax"))
+      // dmax derives from the COLLAPSED frame (date_trunc is monotone,
+      // so max(day) == trunc(max(ts))): the distinct is genuinely the
+      // only full-data pass, and ReuseExchange serves both consumers
+      val hi = ud.agg(max(col("day")).as("dmax"))
       ud.select(col("user_id"), explode(expr(
           "sequence(day, day + interval 6 days, interval 1 day)")).as("wd"))
         .crossJoin(broadcast(hi))
@@ -359,18 +362,7 @@ object Analytics {
     // shuffle-free. Output keeps only added/removed/changed rows — the
     // unchanged bulk (the 100 TB majority) never leaves the join.
     "q110_snapshot_diff" -> ((s, d) => {
-      val docsT = Tables.load(s, d, "documents")
-      // explicit presence flags, NOT hash nullness: a NULL-text doc has
-      // a NULL digest, and keying added/removed on h1/h2 would then
-      // misread side membership (the oracle keys on row presence)
-      val v1 = docsT.filter(col("doc_id") < 400)
-        .select(col("doc_id"), md5(col("text")).as("h1"),
-          lit(true).as("in1"))
-      val v2 = docsT.filter(col("doc_id") >= 100)
-        .select(col("doc_id"),
-          md5(when(col("doc_id") % 7 === 0, upper(col("text")))
-            .otherwise(col("text"))).as("h2"),
-          lit(true).as("in2"))
+      val (v1, v2) = snapshotSides(Tables.load(s, d, "documents"))
       v1.join(v2, Seq("doc_id"), "full_outer")
         .withColumn("status",
           when(col("in1").isNull, "added")
@@ -441,6 +433,23 @@ object Analytics {
         .orderBy("user_id")
     })
   )
+
+  /** The q110 snapshot fixtures — v1 = doc_id < 400, v2 = doc_id >= 100
+    * with a simulated edit on doc_id % 7 == 0 — as (doc_id, digest,
+    * presence) frames. ONE definition shared by the query and the
+    * bucketed-diff test so the simulated-edit rule cannot drift between
+    * them. Explicit presence flags, NOT hash nullness: a NULL-text doc
+    * has a NULL digest, and keying added/removed on h1/h2 would misread
+    * side membership (the oracle keys on row presence). */
+  def snapshotSides(docsT: DataFrame): (DataFrame, DataFrame) = (
+    docsT.filter(col("doc_id") < 400)
+      .select(col("doc_id"), md5(col("text")).as("h1"),
+        lit(true).as("in1")),
+    docsT.filter(col("doc_id") >= 100)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, upper(col("text")))
+          .otherwise(col("text"))).as("h2"),
+        lit(true).as("in2")))
 
   /** CMS geometry: 3 independent mix61 rows × 128 buckets. Width is the
     * ε knob — expected collision mass N/w per row, P[over > e·N/w] <=
@@ -718,8 +727,7 @@ object Analytics {
       val fam = CmsFamily.map { case (j, a, b) => s"($j, $a, $b)" }
         .mkString(", ")
       s"""WITH k AS (SELECT user_id, count(*) AS exact,
-                  CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
-                    1, 15) AS UBIGINT) AS BIGINT) AS h
+                  ${Dedup.duckHash60("CAST(user_id AS VARCHAR)")} AS h
                 FROM events GROUP BY user_id),
           f(j, a, b) AS (VALUES $fam),
           kb AS (SELECT user_id, exact, f.j AS j,

@@ -629,7 +629,7 @@ object Dedup {
     * recomputed post-cap, exactly like the Spark plan. Shared by the
     * q37 / q45 / q67 oracles. */
   /** DuckDB twin of `hash60` (value-identical to the Spark expression). */
-  private def duckHash60(e: String): String =
+  private[queries] def duckHash60(e: String): String =
     s"CAST(CAST('0x' || substr(md5($e), 1, 15) AS UBIGINT) AS BIGINT)"
 
   /** DuckDB shingle CTE `__s` (doc_id, sh list) from a (doc_id, tok) CTE. */

@@ -19,8 +19,10 @@ import graft.queries.EventTime
 object StreamingWindows {
 
   /** Parquet schema of the events table as stored on disk (ts is
-    * TIMESTAMP(NANOS), which Spark reads as long under nanosAsLong). */
-  private val rawSchema = StructType(Seq(
+    * TIMESTAMP(NANOS), which Spark reads as long under nanosAsLong).
+    * private[graft] so the multi-batch test harness reads its split
+    * files with the SAME schema the stream source uses. */
+  private[graft] val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),

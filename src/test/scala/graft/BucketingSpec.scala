@@ -172,15 +172,8 @@ class BucketingSpec extends SparkSpec {
     // the q110 100 TB claim, executable: both corpus snapshots stored
     // bucketed on doc_id => the digest full-outer join is co-located
     // and the whole diff runs without an Exchange
-    val docs = Tables.load(spark, sf, "documents")
-    val v1 = docs.filter(col("doc_id") < 400)
-      .select(col("doc_id"), md5(col("text")).as("h1"),
-        lit(true).as("in1"))
-    val v2 = docs.filter(col("doc_id") >= 100)
-      .select(col("doc_id"),
-        md5(when(col("doc_id") % 7 === 0, upper(col("text")))
-          .otherwise(col("text"))).as("h2"),
-        lit(true).as("in2"))
+    val (v1, v2) = graft.queries.Analytics.snapshotSides(
+      Tables.load(spark, sf, "documents"))
     Bucketing.writeBucketed(v1, "b_snap_v1", "doc_id", 4)
     Bucketing.writeBucketed(v2, "b_snap_v2", "doc_id", 4)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

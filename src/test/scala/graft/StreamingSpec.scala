@@ -70,13 +70,9 @@ class StreamingSpec extends SparkSpec {
     // across the batch boundary collapse, and every finalized day is
     // exact vs a driver-side reference
     import org.apache.spark.sql.functions.{col, lit}
-    import org.apache.spark.sql.types._
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sf/events.parquet")
+    val raw = spark.read.schema(StreamingWindows.rawSchema)
+      .parquet(s"$sf/events.parquet")
     val cutNs = 1705363200L * 1000000000L // 2024-01-16 00:00:00 UTC
     val dir = java.nio.file.Files.createTempDirectory("graft_sd").toFile
     def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
