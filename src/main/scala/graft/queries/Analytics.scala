@@ -336,19 +336,29 @@ object Analytics {
     // on that bounded set. At 100 TB the explode factor is a constant 7
     // on the already-collapsed frame, not on the raw events.
     "q109_sliding_distinct" -> ((s, d) => {
-      val ev = Tables.load(s, d, "events")
-      val ud = ev.select(col("user_id"),
-        date_trunc("day", col("ts")).as("day")).distinct()
-      // dmax derives from the COLLAPSED frame (date_trunc is monotone,
-      // so max(day) == trunc(max(ts))): the distinct is genuinely the
-      // only full-data pass, and ReuseExchange serves both consumers
-      val hi = ud.agg(max(col("day")).as("dmax"))
-      ud.select(col("user_id"), explode(expr(
-          "sequence(day, day + interval 6 days, interval 1 day)")).as("wd"))
-        .crossJoin(broadcast(hi))
-        .filter(col("wd") <= col("dmax"))
+      val ud = Tables.load(s, d, "events")
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).as("day")).distinct()
+      // posexplode tags each window-day with whether it is the anchor
+      // day itself (pos = 0), so the grid bound dmax = max(anchor day)
+      // derives from the TINY aggregated frame — a separate
+      // ev.agg(max(ts)) branch costs a SECOND scan (column pruning
+      // specializes its ReadSchema to ts-only, defeating exchange
+      // reuse — the q103 lesson); PlanSpec pins scans == 1. The global
+      // window runs on one partition of at most |days| + 6 rows (the
+      // q88 bounded-domain argument), never on row data.
+      val w = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      ud.select(col("user_id"), posexplode(expr(
+          "sequence(day, day + interval 6 days, interval 1 day)"))
+          .as(Seq("pos", "wd")))
         .groupBy(col("wd"))
-        .agg(countDistinct(col("user_id")).as("users_7d"))
+        .agg(countDistinct(col("user_id")).as("users_7d"),
+          max(when(col("pos") === 0, 1).otherwise(0)).as("has_day"))
+        .withColumn("dmax",
+          max(when(col("has_day") === 1, col("wd"))).over(w))
+        .filter(col("wd") <= col("dmax"))
         .select(date_format(col("wd"), "yyyy-MM-dd").as("day"),
           col("users_7d"))
         .orderBy("day")

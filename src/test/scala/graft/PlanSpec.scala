@@ -110,6 +110,16 @@ class PlanSpec extends SparkSpec {
     assert(md5s == 1, s"hash60 must appear once (hoisted), got $md5s")
   }
 
+  test("q109's distinct collapse is the only full-data pass") {
+    // the max-day bound must come from the collapsed (user, day) frame
+    // via exchange/stage reuse — a second events scan would mean the
+    // claimed only-one-full-read shape regressed
+    val p = finalPlan("q109_sliding_distinct")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1,
+      s"expected exactly one events scan (reuse serves dmax), got $scans:\n$p")
+  }
+
   test("q68 block-permutation probe stays an equi-join on the packed key") {
     // the Manku probe must plan as a hash/sort-merge join on the packed
     // (blocks, combo) long key — a BNLJ or cartesian here would mean
