@@ -123,8 +123,15 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     case _ => UnixMicros(e)
   }
 
-  /** Truncating division is monotone with boundaries >= w apart, so the
-    * two-bucket cover below stays lossless even across the epoch. */
+  /** Truncating (toward-zero) division is monotone, and for every x
+    * (negative included) bucket(x + w) - bucket(x) <= 1 — that pair of
+    * facts is exactly what the two-element cover {bucket(lo),
+    * bucket(lo)+1} needs, so the rewrite stays lossless across the
+    * epoch. NOTE: bucket widths are NOT uniform under truncation —
+    * bucket 0 spans (-w, w), width 2w-1 — so never derive bucket
+    * counts from a uniform-width assumption or "fix" this to floor
+    * semantics for uniformity; only monotonicity + the <=1 step bound
+    * are load-bearing. */
   private def bucket(e: Expression, w: Long): Expression =
     IntegralDivide(micros(e), Literal(w, LongType))
 

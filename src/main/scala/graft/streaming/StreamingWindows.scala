@@ -39,9 +39,13 @@ object StreamingWindows {
       maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source wants a directory: scan the SF dir with a
-    // glob picking just the events file(s)
+    // glob picking just the events file(s). The wide events*.parquet glob
+    // is ONLY for the multi-batch arrival harness (maxFilesPerTrigger > 0,
+    // staged sibling files) — the default glob must stay events.parquet so
+    // every batch-parity query reads exactly what the batch side reads.
+    val glob = if (maxFilesPerTrigger > 0) "events*.parquet" else "events.parquet"
     val r = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events*.parquet")
+      .option("pathGlobFilter", glob)
     val r2 = if (maxFilesPerTrigger > 0)
       r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else r
     r2.parquet(dir)

@@ -69,7 +69,7 @@ class StreamingSpec extends SparkSpec {
     // late — dedup state for still-open windows survives, duplicates
     // across the batch boundary collapse, and every finalized day is
     // exact vs a driver-side reference
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, expr, lit}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.schema(StreamingWindows.rawSchema)
       .parquet(s"$sf/events.parquet")
@@ -95,7 +95,7 @@ class StreamingSpec extends SparkSpec {
       // driver-side reference: distinct (user, epoch-day), then exact
       // distinct counts per trailing-7-day window
       val ud = raw.select(col("user_id"),
-          (col("ts") / lit(86400000000000L)).cast("long").as("day"))
+          expr("ts div 86400000000000").as("day"))
         .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
       val dmin = ud.map(_._2).min
       val dmax = ud.map(_._2).max
