@@ -215,6 +215,32 @@ object Dedup {
     corpus.select(md5(col("text")).as("h")).distinct(),
     signaturesOf(withTok(corpus)).select("band", "mh").distinct())
 
+  /** The SAME corpus state as [[dedupState]] but as ONE frame from ONE
+    * corpus scan: per document, one pass computes the exact content
+    * hash AND the band fingerprints, then stacks them into
+    * (band, mh, h) rows where each row carries either (band, mh) or h
+    * and NULLs for the other side. Both probe joins run against this
+    * frame UNFILTERED — an equi-join key that is NULL matches nothing,
+    * so the hash rows are invisible to the (band, mh) probe and vice
+    * versa. That no-filter shape is load-bearing: a per-consumer
+    * `h.isNotNull` filter would be pushed below the distinct (its
+    * condition is on a grouping key) and split the two consumers into
+    * two different subtrees, i.e. two corpus scans. As written, both
+    * consumers share the subtree up through the distinct's exchange, so
+    * exchange/stage reuse makes the 100 TB text column read ONCE
+    * (PlanSpec pins exactly one corpus-side scan in q73's final plan). */
+  def unifiedDedupState(corpus: DataFrame): DataFrame = {
+    val perDoc = withBandFingerprints(withTok(corpus))
+      .withColumn("h", md5(col("text")))
+    val rows = (0 until nBands).map(b =>
+      s"cast($b as bigint), mh$b, cast(null as string)") :+
+      "cast(null as bigint), cast(null as bigint), h"
+    perDoc
+      .selectExpr(s"stack(${nBands + 1}, ${rows.mkString(", ")}) as (band, mh, h)")
+      .filter(col("mh").isNotNull || col("h").isNotNull)
+      .distinct()
+  }
+
   /** 60-bit simhash per document (expects a `tok` column), via the
     * native SimhashMd5 expression (graft.functions) — one fused
     * digest+vote loop per document instead of per-bit lambdas, with an
@@ -409,12 +435,33 @@ object Dedup {
       val all = docs(s, d)
       val corpus = all.filter(col("doc_id") < 250)
       val batch = all.filter(col("doc_id") >= 250)
-      val (corpusHash, corpusBands) = dedupState(corpus)
+      // ONE corpus scan feeds both probes (unifiedDedupState + stage
+      // reuse; the NULL halves of each state row are invisible to the
+      // other probe's equi-join). The band probe runs over the FULL
+      // batch rather than the exact-survivor subset: the extra ids it
+      // can emit are exact dups, which the final anti-join against
+      // exactNew never sees — same survivors, and signaturesOf no
+      // longer re-derives the exact anti-join (which previously
+      // rebuilt the corpus-hash subtree a second time).
+      // the coalesce sentinels ('' / -1 can never equal an md5 hex
+      // string / a mix61 value) make each probe key NON-nullable, so
+      // InferFiltersFromConstraints has no IsNotNull(key) to push below
+      // the state's distinct — with a nullable key it does exactly
+      // that, specializing the two consumers into two different
+      // subtrees and forfeiting the single-scan reuse
+      val state = unifiedDedupState(corpus)
+      val stateH = state.select(coalesce(col("h"), lit("")).as("h"))
+      val stateB = state.select(
+        coalesce(col("band"), lit(-1L)).as("band"),
+        coalesce(col("mh"), lit(-1L)).as("mh"))
       val exactNew = batch.withColumn("h", md5(col("text")))
-        .join(corpusHash, Seq("h"), "left_anti")
-      val nearDupIds = signaturesOf(exactNew)
-        .join(corpusBands, Seq("band", "mh"), "left_semi")
-        .select("doc_id").distinct()
+        .join(stateH, Seq("h"), "left_anti")
+      // no .distinct() on the probe hits: the anti-join below tests
+      // membership only, and its build-side hashed relation dedupes —
+      // a distinct here would be a full extra shuffle of the batch side
+      val nearDupIds = signaturesOf(batch)
+        .join(stateB, Seq("band", "mh"), "left_semi")
+        .select("doc_id")
       exactNew.join(nearDupIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")

@@ -120,6 +120,17 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one events scan (reuse serves dmax), got $scans:\n$p")
   }
 
+  test("q73 derives the corpus state from ONE corpus scan") {
+    // both probe joins (exact hash anti, band semi) must feed off the
+    // SAME unified-state subtree via exchange/stage reuse — a second
+    // corpus-side scan means the unified state split back into two
+    // per-probe derivations, re-reading the 100 TB text column
+    val p = finalPlan("q73_incremental_dedup")
+    val corpusScans = "LessThan\\(doc_id,250\\)".r.findAllIn(p).size
+    assert(corpusScans == 1,
+      s"expected exactly one corpus scan (state reused), got $corpusScans:\n$p")
+  }
+
   test("q68 block-permutation probe stays an equi-join on the packed key") {
     // the Manku probe must plan as a hash/sort-merge join on the packed
     // (blocks, combo) long key — a BNLJ or cartesian here would mean
