@@ -39,9 +39,11 @@ object ConnectedComponents {
     *
     * Throws IllegalStateException if maxIter is reached before the
     * fixpoint — returning non-converged labels would silently mislabel
-    * long chains. With pointer doubling the required round count is
-    * ~log2(diameter) + 2, so the default maxIter = 20 covers graphs up
-    * to diameter ~2^18. An empty edge set short-circuits to an empty
+    * long chains. With pointer doubling (engaged from round 2; the
+    * first two rounds are plain neighbor-min so shallow graphs skip the
+    * self-join entirely) the required round count is ~log2(diameter)
+    * + 3, so the default maxIter = 20 covers graphs up to diameter
+    * ~2^16. An empty edge set short-circuits to an empty
     * result (the potential-sum probe would otherwise NPE on
     * sum-of-nothing = NULL).
     *
@@ -61,8 +63,12 @@ object ConnectedComponents {
         edges.sparkSession.sparkContext.getCheckpointDir.isEmpty)
       throw new IllegalStateException(
         "reliable = true needs SparkContext.setCheckpointDir(<durable fs>)")
+    // NON-eager truncation: the checkpoint materializes when the
+    // potential probe below runs its aggregate, so each BSP round costs
+    // ONE driver-blocking action (probe + truncate fused), not two.
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
 
     val sym = truncate(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -111,14 +117,24 @@ object ConnectedComponents {
       // OptimizeSkewedJoin splits at runtime (regression-covered by
       // SkewJoinSpec); the lookup side stays one row per node. If a
       // deployment must run with AQE off, salt this probe.
-      val next = truncate(
-        minned
+      //
+      // The doubling step is ADAPTIVE: the first two rounds run the
+      // plain neighbor-min only. Near-dup clustering overwhelmingly
+      // produces shallow components (diameter 2-3) that converge within
+      // those cheap rounds, and for them the self-join costs more than
+      // the rounds it saves; from round 2 on the doubling engages, so a
+      // long chain still finishes in O(log diameter) (the 1000-node
+      // path pin in DedupSpec covers the combined schedule).
+      val stepped =
+        if (i < 2) minned
+        else minned
           .join(
             minned.select(col("node").as("lbl"), col("lbl").as("lbl2")),
             Seq("lbl"), "left")
           .select(col("node"),
             least(col("lbl"), coalesce(col("lbl2"), col("lbl")))
-              .as("lbl")))
+              .as("lbl"))
+      val next = truncate(stepped)
       val s = lblSum(next)
       labels = next
       converged = s == prevSum
