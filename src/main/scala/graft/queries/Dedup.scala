@@ -473,7 +473,8 @@ object Dedup {
     // transitive closure over the same pairs.
     "q67_dedup_clusters" -> ((s, d) => {
       val edges = jaccardPairsOf(docs(s, d), 0.5).select("a_id", "b_id")
-      graft.operators.ConnectedComponents.run(edges, "a_id", "b_id")
+      graft.operators.ConnectedComponents.run(edges, "a_id", "b_id",
+          reliable = graft.operators.Materialize.reliable(s))
         .withColumnRenamed("node", "doc_id")
         .orderBy("doc_id")
     }),
@@ -489,7 +490,8 @@ object Dedup {
     "q102_cluster_canon" -> ((s, d) => {
       val edges = bandPairsOf(signaturesOf(docs(s, d)))
         .select("a_id", "b_id")
-      val cl = graft.operators.ConnectedComponents.run(edges, "a_id", "b_id")
+      val cl = graft.operators.ConnectedComponents.run(edges, "a_id", "b_id",
+          reliable = graft.operators.Materialize.reliable(s))
         .withColumnRenamed("node", "doc_id")
       Tables.load(s, d, "documents").select("doc_id", "n_chars")
         .join(cl, Seq("doc_id"), "left")
@@ -537,14 +539,16 @@ object Dedup {
       // doc-count-sized table; column pruning specializes each branch
       // differently, which defeats exchange reuse and would re-run the
       // scan+shingle+df-join pipeline per consumer — so materialize it
-      // once (localCheckpoint, the CC precedent; doc-level state, far
-      // smaller than the shingle stream it replaces).
-      val docsets = sh.join(dfreq, Seq("shk"))
-        .groupBy("doc_id")
-        .agg(expr(
-          "transform(sort_array(collect_list(struct(df, shk))), x -> x.shk)")
-          .as("os"))
-        .localCheckpoint()
+      // once (Materialize.truncate — localCheckpoint by default, the
+      // durable checkpoint() under spark.graft.reliableCheckpoints;
+      // doc-level state, far smaller than the shingle stream it
+      // replaces).
+      val docsets = graft.operators.Materialize.truncate(
+        sh.join(dfreq, Seq("shk"))
+          .groupBy("doc_id")
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(df, shk))), x -> x.shk)")
+            .as("os")))
       val prefix = docsets
         .select(col("doc_id").as("a_id"), explode(expr(
           s"slice(os, 1, cast(size(os) - ceil(size(os) * $t) + 1 as int))"))
@@ -592,9 +596,10 @@ object Dedup {
       // four differently-pruned consumers (two degree unions, the
       // orientation join, the closure join) would re-run the
       // scan+shingle+minhash+band-join pipeline each — materialize the
-      // pair-count-sized edge list once (the q103/CC precedent)
-      val e = bandPairsOf(signaturesOf(docs(s, d))).select("a_id", "b_id")
-        .localCheckpoint()
+      // pair-count-sized edge list once (the q103/CC precedent; durable
+      // under spark.graft.reliableCheckpoints like the others)
+      val e = graft.operators.Materialize.truncate(
+        bandPairsOf(signaturesOf(docs(s, d))).select("a_id", "b_id"))
       val sym = e.select(col("a_id").as("v")).union(
         e.select(col("b_id").as("v")))
       val deg = sym.groupBy("v").agg(count(lit(1)).as("deg"))

@@ -166,6 +166,40 @@ class DedupSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("q103/q104 materialization honors spark.graft.reliableCheckpoints") {
+    // default mode (localCheckpoint) vs reliable mode (durable
+    // checkpoint()) must produce identical results, reliable mode must
+    // actually write to the checkpoint dir, and reliable without a
+    // checkpoint dir must fail fast
+    val key = graft.operators.Materialize.ReliableKey
+    val base = SparkEntry.queries("q103_prefix_jaccard")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val triBase = SparkEntry.queries("q104_triangles")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(base.nonEmpty)
+    spark.conf.set(key, "true")
+    try {
+      spark.sparkContext.setCheckpointDir(null)
+      intercept[IllegalStateException] {
+        SparkEntry.queries("q103_prefix_jaccard")(spark, sf)
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      val rel = SparkEntry.queries("q103_prefix_jaccard")(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(rel == base, "reliable mode changed q103 results")
+      val written = java.nio.file.Files.walk(dir)
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(written > 0, "reliable mode must write durable checkpoints")
+      val tri = SparkEntry.queries("q104_triangles")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(tri == triBase, "reliable mode changed q104 results")
+    } finally {
+      spark.conf.unset(key)
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("jaccard dfCap: a viral stop-shingle cannot explode pair count") {
     // 300 docs share exactly one shingle ("h1 h2 h3"); every other
     // shingle is unique per doc. Uncapped this is 300*299/2 = 44850
