@@ -107,6 +107,8 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => Mix61(exprs.head, exprs(1), exprs(2))),
     ("shingles3", classOf[Shingles3],
       (exprs: Seq[Expression]) => Shingles3(exprs.head)),
+    ("minhash_bands", classOf[MinhashBands],
+      (exprs: Seq[Expression]) => MinhashBands(exprs.head)),
     ("pair_combos", classOf[PairCombinations],
       (exprs: Seq[Expression]) => PairCombinations(exprs.head)),
     ("bloom_might_contain", classOf[BloomMightContain],

@@ -25,8 +25,8 @@ object Dedup {
   // 4 bands x 4 hashes: P(candidate) = 1 - (1 - j^4)^4 — steep S-curve
   // around j ~ 0.6, so random same-vocab docs (j ~ 0.2-0.4) rarely pair
   // while true near-dups (j > 0.8) almost always do.
-  private val nBands = 4
-  private val rowsPerBand = 4
+  private val nBands = graft.functions.MinhashFamily.nBands
+  private val rowsPerBand = graft.functions.MinhashFamily.rowsPerBand
   private val nHash = nBands * rowsPerBand
 
   // ---- cross-engine integer mixing over Z_M61 --------------------------
@@ -43,19 +43,18 @@ object Dedup {
   // The single-digest design replaced 16 md5 digests per shingle (plus a
   // string re-hash per band) after the round-2 bench regression: MD5 is
   // ~10x xxhash-class cost and the string-prefix family paid it 16x.
+  // family constants live in graft.functions.MinhashFamily — the ONE
+  // source shared with the fused MinhashBands kernel; the SQL
+  // formulations here (grouped reference + oracle generation) must use
+  // the identical values or LSH buckets silently stop matching.
   private val M61 = graft.functions.Mix61.M61
   private val Mod61 = M61.toString // DuckDB modulus literal
-  private val mixA: IndexedSeq[Long] = // in [1, M61): nonzero multiplier
-    (0 until nHash).map(i =>
-      (((0x9E3779B97F4A7C15L * (2 * i + 1)) >>> 3) % M61) max 1L)
-  private val mixB: IndexedSeq[Long] = // in [0, M61)
-    (0 until nHash).map(i => ((0xC2B2AE3D27D4EB4FL * (i + 1)) >>> 3) % M61)
+  private val mixA: IndexedSeq[Long] = graft.functions.MinhashFamily.mixA
+  private val mixB: IndexedSeq[Long] = graft.functions.MinhashFamily.mixB
   // band fingerprint = sum_r(minhash_r * bandP_r) mod M61 — a nonzero-
   // weight linear combination over the field Z_M61, so distinct signature
   // tuples collide with probability 1/M61 (exact, not heuristic).
-  private val bandP: IndexedSeq[Long] =
-    (0 until rowsPerBand).map(r =>
-      (((0x2545F4914F6CDD1DL * (2 * r + 3)) >>> 3) % M61) max 1L)
+  private val bandP: IndexedSeq[Long] = graft.functions.MinhashFamily.bandP
 
   /** THE canonical whitespace tokenizer over `text` — every batch and
     * streaming text op shares this one definition (cross-query results
@@ -157,19 +156,18 @@ object Dedup {
     * treat them as near-dup-immune. */
   def withBandFingerprints(docsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
-    val bandCols = (0 until nBands).map { b =>
-      val fp = (0 until rowsPerBand).foldLeft("0L") { (acc, r) =>
-        val i = b * rowsPerBand + r
-        val mh = s"array_min(transform(__hs, h -> " +
-          s"mix61(h, ${mixA(i)}L, ${mixB(i)}L)))"
-        s"mix61($mh, ${bandP(r)}L, $acc)"
-      }
-      expr(fp).as(s"mh$b")
-    }
+    // ONE fused native pass (graft.functions.MinhashBands): per 3-gram
+    // one MD5 + 16 mix61 against running minima — replaces the layered
+    // __hs digest array + 16 array_min(transform(...)) HOF scans (17
+    // passes per document, the r7 bench cost). The hoisted __mb array
+    // is multiply-referenced and non-cheap, so CollapseProject keeps it
+    // a single evaluation, exactly like the old __hs hoist.
+    val bandCols = (0 until nBands).map(b =>
+      col("__mb").getItem(b).as(s"mh$b"))
     docsDf
-      .withColumn("__hs", expr("transform(shingles3(tok), x -> hash60(x))"))
+      .withColumn("__mb", expr("minhash_bands(tok)"))
       .select(col("*") +: bandCols: _*)
-      .drop("__hs")
+      .drop("__mb")
   }
 
   /** (doc_id, sh): the doc's distinct 3-token shingles, exploded, via

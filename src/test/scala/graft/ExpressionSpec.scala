@@ -186,7 +186,7 @@ class ExpressionSpec extends SparkSpec {
     // so adding an expression without registering it fails a test
     assert(GraftFunctions.all.map(_._1).toSet == Set("cosine_sim",
       "simhash64", "simhash_md5", "hash60", "mix61", "shingles3",
-      "pair_combos", "bloom_might_contain"))
+      "minhash_bands", "pair_combos", "bloom_might_contain"))
   }
 
   test("bloom filter: no false negatives, bounded false positives") {

@@ -106,8 +106,9 @@ class PlanSpec extends SparkSpec {
     val p = finalPlan("q35_minhash_sig")
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges == 1, s"expected only the orderBy exchange, got:\n$p")
-    val md5s = "hash60".r.findAllIn(p).size
-    assert(md5s == 1, s"hash60 must appear once (hoisted), got $md5s")
+    val fused = "minhash_bands".r.findAllIn(p).size
+    assert(fused == 1,
+      s"the fused minhash_bands kernel must run once (hoisted), got $fused")
   }
 
   test("q109's distinct collapse is the only full-data pass") {
