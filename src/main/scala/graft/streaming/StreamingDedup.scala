@@ -88,6 +88,88 @@ object StreamingDedup {
     * micro-batch is MBs. corpusBands must be distinct on (band, mh)
     * (corpusState guarantees it) so the outer probes cannot multiply
     * rows. */
+  /** Static corpus prefix index for [[prefixJaccardNew]] — the
+    * streaming counterpart of batch q103's docsets: per corpus document
+    * its distinct 3-shingle hash set sorted ASCENDING BY HASH VALUE
+    * (not by document frequency — see below), plus the exploded
+    * (shk, b_id) postings the prefix probe joins against. PERSISTED for
+    * the same reason as [[corpusState]]; in production both are
+    * incrementally-maintained tables, postings bucketed on shk
+    * (operators/Bucketing) so the per-batch probe never reshuffles the
+    * corpus.
+    *
+    * Why hash order: the PPJoin prefix bound is LOSSLESS under ANY
+    * consistent total order on the shingle universe (a qualifying pair
+    * overlaps in >= ceil(t·n) shingles while the suffix holds only
+    * ceil(t·n) - 1, so a common shingle must land in the prefix —
+    * nothing in that argument uses frequency). Batch q103 orders
+    * rarest-first purely as a selectivity heuristic, but computing a
+    * df-rank for an ARRIVING document would need an explode + re-group
+    * per micro-batch — a stateful aggregation. Hash order is computable
+    * MAP-SIDE from the document alone, keeping the stream stateless;
+    * the price is more candidates per probe (every candidate still
+    * verifies exactly), not missed pairs. */
+  def prefixIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val dd = graft.queries.Dedup
+    val docsets = dd.shingledOf(dd.withTok(corpus))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shk"))).as("os"))
+      .persist()
+    val postings = docsets
+      .select(col("doc_id").as("b_id"), explode(col("os")).as("shk"))
+      .persist()
+    (docsets, postings)
+  }
+
+  /** Streaming twin of batch q103: exact-Jaccard (>= t) matches of each
+    * ARRIVING document against a static corpus, via the same lossless
+    * prefix filter — entirely STATELESS streaming: shingle hashing,
+    * sorting and prefix slicing are map-side array expressions on the
+    * arriving row; candidate generation is a stream-static equi-join on
+    * shk; verification is an array_intersect against the candidate's
+    * corpus shingle set. Emits (a_id = arriving doc, b_id = corpus doc,
+    * inter, jac) — identical inter/jac values to batch q103 on the same
+    * pair (StreamingSpec pins it).
+    *
+    * Candidate DEDUP is also stateless: a pair sharing k prefix
+    * shingles surfaces k times from the join, and an unbounded stream
+    * cannot `distinct()` — instead each joined row carries the arriving
+    * doc's prefix array and the corpus doc's full set, so the filter
+    * keeps only the row whose join key IS the canonical witness (the
+    * smallest common shingle hash): exactly one row per pair survives,
+    * decided map-side. */
+  def prefixJaccardNew(stream: DataFrame, docsets: DataFrame,
+      postings: DataFrame, t: Double = 0.5): DataFrame = {
+    val dd = graft.queries.Dedup
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val withOs = dd.withTok(stream)
+      .withColumn("os",
+        expr("sort_array(transform(shingles3(tok), x -> xxhash64(x)))"))
+      .filter(size(col("os")) > 0)
+    val probes = withOs
+      .withColumn("pa", expr(
+        s"slice(os, 1, cast(size(os) - ceil(size(os) * $t) + 1 as int))"))
+      .select(col("doc_id").as("a_id"), col("os"), col("pa"),
+        explode(col("pa")).as("shk"))
+    probes
+      .join(postings, Seq("shk"))
+      .filter(col("a_id") =!= col("b_id"))
+      .join(docsets.select(col("doc_id").as("b_id"), col("os").as("lb")),
+        Seq("b_id"))
+      .filter(col("shk") ===
+        array_min(array_intersect(col("pa"), col("lb"))))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("os"), col("lb"))).cast("long")
+          .as("inter"),
+        size(col("os")).as("na"), size(col("lb")).as("nb"))
+      .withColumn("jac_raw",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac_raw") >= t)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        round(col("jac_raw"), 4).as("jac"))
+  }
+
   def nearDupNew(stream: DataFrame, corpusHash: DataFrame,
       corpusBands: DataFrame): DataFrame = {
     val dd = graft.queries.Dedup

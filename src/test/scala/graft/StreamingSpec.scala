@@ -285,6 +285,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming prefix-Jaccard matches batch q103 cross pairs exactly") {
+    import org.apache.spark.sql.functions.col
+    // same split as the near-dup twin: corpus = doc_id < 250 (static
+    // prefix index), stream = arriving docs (doc_id >= 250). Batch q103
+    // runs over the WHOLE table with canonical a_id < b_id pairs, and
+    // corpus ids sort below stream ids, so its cross-split pairs are
+    // exactly (corpus_id, stream_id) — the twin emits (arriving,
+    // corpus), i.e. the same pairs swapped, with identical inter/jac.
+    val corpus = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 250)
+    val (docsets, postings) =
+      graft.streaming.StreamingDedup.prefixIndex(corpus)
+    val stream = graft.streaming.StreamingDedup.docsStream(spark, sf)
+      .filter(col("doc_id") >= 250)
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamingDedup.prefixJaccardNew(
+        stream, docsets, postings), "prefjac")
+    try {
+      val got = spark.table("prefjac").collect()
+        .map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = SparkEntry.queries("q103_prefix_jaccard")(spark, sf)
+        .collect()
+        .filter(r => r.getLong(0) < 250 && r.getLong(1) >= 250)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(batch.nonEmpty, "fixture must contain cross-split pairs")
+      assert(got == batch,
+        s"streaming ${got.size} vs batch ${batch.size} qualifying pairs")
+    } finally q.stop()
+  }
+
   test("streaming RAG chunking equals batch q101 exactly") {
     // the chunk projection is map-only (no aggregation, no watermark),
     // so the BATCH builder runs unchanged on the unbounded stream —
