@@ -49,4 +49,19 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("top-cost query plan digests are pinned (no silent regressions)") {
+    val diffs = PlanDigests.pinned.toSeq.sortBy(_._1).flatMap {
+      case (name, want) =>
+        val got = Explain.operatorDigest(
+          SparkEntry.queries(name)(spark, sf))
+        if (got != want)
+          Some(s"""    "$name" ->\n      "$got",""")
+        else None
+    }
+    assert(diffs.isEmpty,
+      "physical-plan digest drift — if intentional, paste the rows below " +
+        "into PlanDigests.scala AND note the change in IMPLEMENTATION.md:\n" +
+        diffs.mkString("\n"))
+  }
 }
