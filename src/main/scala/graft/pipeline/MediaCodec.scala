@@ -28,6 +28,28 @@ trait MediaCodec extends Serializable {
 
 object MediaCodec {
 
+  /** REAL pure-JVM codec (the default for compressed-audio features):
+    * decodes IMA/DVI ADPCM WAV via [[ImaAdpcm]] — an actual compressed
+    * codec, ~4:1, bytes-in/samples-out tested — and falls back to
+    * anything the JDK's javax.sound parses (PCM / u-law / a-law WAV)
+    * via [[AudioOps.decodeWav]]. mp3/ogg/aac stay undecodable here
+    * (None -> row dropped): no pure-Java decoder exists in this
+    * offline container; a codec-equipped deploy plugs its own
+    * [[MediaCodec]] in. Video demux/frame decode likewise has NO
+    * pure-JVM path, so [[sampleFrames]] delegates to the documented
+    * deterministic stub — swap the whole codec to change that. */
+  object Jvm extends MediaCodec {
+
+    override def audioFeatures(bytes: Array[Byte],
+        nMel: Int): Option[Array[Float]] =
+      ImaAdpcm.decode(bytes).orElse(AudioOps.decodeWav(bytes))
+        .map { case (_, mono) => AudioOps.segmentEnergies(mono, nMel) }
+
+    override def sampleFrames(bytes: Array[Byte], everyMs: Long,
+        maxFrames: Int): Seq[(Long, Array[Byte])] =
+      Stub.sampleFrames(bytes, everyMs, maxFrames)
+  }
+
   /** STUB — deterministic fakes, honestly marked: this container ships
     * no mp3/ogg/aac or video codecs, so decode is faked while the
     * distributed plumbing stays real and tested. Pseudo-mel energies

@@ -76,12 +76,14 @@ object Multimodal {
   }
 
   /** Compressed-audio feature extraction through the [[MediaCodec]]
-    * seam (default: the documented deterministic [[MediaCodec.Stub]] —
-    * this container ships no mp3/ogg/aac codecs). Undecodable rows
-    * (codec returns None) are dropped. WAV/PCM content should use the
-    * real [[audioFeatures]] instead. */
+    * seam. The default is now the REAL pure-JVM codec
+    * ([[MediaCodec.Jvm]]): IMA/DVI ADPCM WAV decodes for real
+    * (ImaAdpcm), PCM/u-law/a-law fall back to javax.sound; mp3/ogg/aac
+    * rows are dropped (None) until a codec-equipped deploy plugs in its
+    * own [[MediaCodec]]. WAV/PCM content can also use the direct
+    * [[audioFeatures]]. */
   def compressedAudioFeatures(spark: SparkSession, media: DataFrame,
-      nMel: Int = 16, codec: MediaCodec = MediaCodec.Stub): DataFrame = {
+      nMel: Int = 16, codec: MediaCodec = MediaCodec.Jvm): DataFrame = {
     import spark.implicits._
     media.filter(col("kind") === "audio")
       .select(col("media_id"), col("content"))

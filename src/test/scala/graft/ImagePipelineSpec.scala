@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{ImageOps, ImagePipeline, ImageRecord, MediaCodec, Multimodal}
+import graft.pipeline.{ImaAdpcm, ImageOps, ImagePipeline, ImageRecord, MediaCodec, Multimodal}
 import org.apache.spark.sql.functions._
 
 /** Typed/image pipeline tests on <=8x8 synthetic fixtures (FIXTURES.md
@@ -212,14 +212,18 @@ class ImagePipelineSpec extends SparkSpec {
     assert(row.getLong(0) == 1L)
     assert(row.getSeq[Float](1).length == 3 * 8 * 8)
 
+    // the stub surface (explicit now that the DEFAULT codec is the real
+    // Jvm one, which rightly DROPS these undecodable bytes)
     val audio = Multimodal.asMediaFrame(
       Seq((2L, Array.tabulate(64)(_.toByte))).toDF("id", "bytes"),
       "id", "audio", "bytes")
-    val a1 = Multimodal.compressedAudioFeatures(spark, audio)
-      .head().getSeq[Float](1)
-    val a2 = Multimodal.compressedAudioFeatures(spark, audio)
-      .head().getSeq[Float](1)
+    val a1 = Multimodal.compressedAudioFeatures(
+      spark, audio, codec = MediaCodec.Stub).head().getSeq[Float](1)
+    val a2 = Multimodal.compressedAudioFeatures(
+      spark, audio, codec = MediaCodec.Stub).head().getSeq[Float](1)
     assert(a1 == a2 && a1.length == 16)
+    assert(Multimodal.compressedAudioFeatures(spark, audio).count() == 0,
+      "the real default codec must drop undecodable bytes")
 
     val video = Multimodal.asMediaFrame(
       Seq((3L, Array.tabulate(64)(_.toByte))).toDF("id", "bytes"),
@@ -267,6 +271,104 @@ class ImagePipelineSpec extends SparkSpec {
     val bos = new java.io.ByteArrayOutputStream()
     AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** IMA-ADPCM encoder twin: quantizes each sample by exhaustively
+    * picking the 4-bit code whose reconstruction (via the SHARED
+    * ImaAdpcm.advance step) lands closest to the target, tracking the
+    * decoder's exact state — so the returned expected signal is the
+    * bit-exact decode. Returns (wav bytes, expected decoded mono). */
+  private def imaAdpcmWav(chans: Array[Array[Double]], rate: Int,
+      samplesPerBlock: Int): (Array[Byte], Array[Double]) = {
+    val ch = chans.length
+    val n = chans(0).length
+    require((samplesPerBlock - 1) % 8 == 0 && n % samplesPerBlock == 0)
+    val k = (samplesPerBlock - 1) / 8
+    val blockAlign = 4 * ch + 4 * ch * k
+    val data = new java.io.ByteArrayOutputStream()
+    val expected = scala.collection.mutable.ArrayBuffer[Double]()
+    def toI(d: Double) =
+      math.max(-32768L, math.min(32767L, math.round(d * 32767))).toInt
+    val pred = new Array[Int](ch)
+    val idx = new Array[Int](ch)
+    for (blk <- 0 until n / samplesPerBlock) {
+      val base = blk * samplesPerBlock
+      var acc = 0.0
+      for (c <- 0 until ch) {
+        pred(c) = toI(chans(c)(base))
+        data.write(pred(c) & 0xff); data.write((pred(c) >> 8) & 0xff)
+        data.write(idx(c)); data.write(0)
+        acc += pred(c)
+      }
+      expected += acc / ch / 32768.0
+      for (w <- 0 until k) {
+        val codes = Array.ofDim[Int](ch, 8)
+        for (s <- 0 until 8) {
+          var sAcc = 0.0
+          for (c <- 0 until ch) {
+            val target = toI(chans(c)(base + 1 + w * 8 + s))
+            var best = 0
+            var bestErr = Long.MaxValue
+            for (code <- 0 until 16) {
+              val p = (ImaAdpcm.advance(pred(c), idx(c), code) >> 32).toInt
+              val err = math.abs(p.toLong - target)
+              if (err < bestErr) { bestErr = err; best = code }
+            }
+            val packed = ImaAdpcm.advance(pred(c), idx(c), best)
+            pred(c) = (packed >> 32).toInt
+            idx(c) = (packed & 0xffffffffL).toInt
+            codes(c)(s) = best
+            sAcc += pred(c)
+          }
+          expected += sAcc / ch / 32768.0
+        }
+        for (c <- 0 until ch; b <- 0 until 4)
+          data.write((codes(c)(2 * b) & 0xf) | ((codes(c)(2 * b + 1) & 0xf) << 4))
+      }
+    }
+    val body = data.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    tag("RIFF"); w32(4 + 28 + 8 + body.length); tag("WAVE")
+    tag("fmt "); w32(20); w16(0x11); w16(ch); w32(rate)
+    w32(rate * blockAlign / samplesPerBlock) // nominal byte rate
+    w16(blockAlign); w16(4); w16(2); w16(samplesPerBlock)
+    tag("data"); w32(body.length); out.write(body)
+    (out.toByteArray, expected.toArray)
+  }
+
+  test("multimodal: REAL IMA-ADPCM decode — bytes in, exact samples out") {
+    val n = 66
+    val spb = 33 // two blocks of 1 + 4*8 samples
+    // gentle slope: ADPCM's step size adapts over ~8 samples from its
+    // minimum, so a fast cold-start ramp would show transient error
+    // that says nothing about decode correctness
+    val sine = Array.tabulate(n)(i => 0.3 * math.sin(2 * math.Pi * i / 128.0))
+    val (wav, expected) = imaAdpcmWav(Array(sine), 8000, spb)
+    val (rate, mono) = ImaAdpcm.decode(wav).get
+    assert(rate == 8000f && mono.length == n)
+    assert(mono.sameElements(expected),
+      "decode must equal the encoder-tracked reconstruction bit-exactly")
+    // and it is genuinely AUDIO decode, not self-consistency theater:
+    // the lossy reconstruction must track the source signal
+    val maxErr = mono.zip(sine).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr < 0.15, s"ADPCM reconstruction drifted from source: $maxErr")
+    // stereo: channel interleave + mono averaging
+    val ramp = Array.tabulate(n)(i => -0.2 + 0.4 * i / n)
+    val (wav2, exp2) = imaAdpcmWav(Array(sine, ramp), 16000, spb)
+    val (r2, mono2) = ImaAdpcm.decode(wav2).get
+    assert(r2 == 16000f && mono2.sameElements(exp2))
+    // end-to-end through the DEFAULT codec: ADPCM rows decode for real,
+    // undecodable rows still drop
+    val media = Multimodal.asMediaFrame(
+      Seq((1L, wav), (2L, Array.tabulate(64)(_.toByte)))
+        .toDF("id", "bytes"), "id", "audio", "bytes")
+    val out = Multimodal.compressedAudioFeatures(spark, media, nMel = 4)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.head.getSeq[Float](1).length == 4)
   }
 
   test("multimodal: REAL wav decode -> per-segment RMS energies") {
