@@ -112,7 +112,10 @@ object GraftFunctions {
     ("pair_combos", classOf[PairCombinations],
       (exprs: Seq[Expression]) => PairCombinations(exprs.head)),
     ("bloom_might_contain", classOf[BloomMightContain],
-      (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))),
+    ("sorted_intersect_count", classOf[SortedIntersectCount],
+      (exprs: Seq[Expression]) =>
+        SortedIntersectCount(exprs.head, exprs(1))))
 
   /** Idempotently register graft's native expressions on a session, so
     * `expr("cosine_sim(a, b)")` etc. resolve (SQL + DataFrame surfaces). */

@@ -164,7 +164,12 @@ object Dedup {
     // a single evaluation, exactly like the old __hs hoist.
     val bandCols = (0 until nBands).map(b =>
       col("__mb").getItem(b).as(s"mh$b"))
-    docsDf
+    // Parallelism.widen: the fused kernel is the most CPU-expensive
+    // per-document map in the library; on a single-row-group fixture
+    // file the whole thing would otherwise run as ONE task (streaming
+    // frames pass through untouched — micro-batch splits are the
+    // source's concern).
+    graft.operators.Parallelism.widen(docsDf, col("doc_id"))
       .withColumn("__mb", expr("minhash_bands(tok)"))
       .select(col("*") +: bandCols: _*)
       .drop("__mb")
@@ -346,7 +351,8 @@ object Dedup {
     // corpus scale). Results are identical unless two DISTINCT shingles
     // collide in 64 bits (~n²/2^65 — negligible even at 10^12 shingles),
     // so the DuckDB twin keeps grouping by the string itself.
-    val grouped = shingledOf(docsDf)
+    val grouped =
+      shingledOf(graft.operators.Parallelism.widen(docsDf, col("doc_id")))
       .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
       .groupBy("shk")
       .agg(cappedIds(col("doc_id")).as("ids"))
@@ -357,7 +363,20 @@ object Dedup {
     // native pair generation (ids arrive sorted from CappedIdList, so
     // a_id < b_id by construction); the nested-transform HOF equivalent
     // interpreted O(c²) lambda trees per group
+    //
+    // The explicit fixed-N repartition before the generator is a row-
+    // explosion guard: AQE rightly coalesces the small grouped-aggregate
+    // output (~a few MB) into a handful of reducer partitions, but the
+    // generator multiplies rows ~50x, so whatever task count survives
+    // coalescing is the task count the pair aggregation runs at —
+    // measured 5x slower end-to-end at sf0.1. A user-numbered hash
+    // repartition is exempt from AQE coalescing and restores full
+    // parallelism for the O(c²) expansion; it moves only the grouped id
+    // lists (16 B/doc-instance), not the pair stream.
     grouped.filter(size(col("ids")) > 1)
+      .repartition(
+        docsDf.sparkSession.sessionState.conf.numShufflePartitions,
+        col("shk"))
       .select(explode(expr("pair_combos(ids)")).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .groupBy("a_id", "b_id")
@@ -507,10 +526,14 @@ object Dedup {
     // order the shingle universe by ascending document frequency
     // (rarest first, ties on the hash — one consistent global order),
     // and probe with only each document's PREFIX of
-    // p = n - ceil(t·n) + 1 rarest shingles. Any pair with
-    // Jaccard >= t has overlap o >= ceil(t·n) on each side, and the
-    // suffix holds only ceil(t·n) - 1 shingles, so a common shingle
-    // MUST fall in the probing prefix — the prefix-vs-full join is
+    // p = n - ceil(t·n) + 1 rarest shingles. The candidate join is
+    // prefix-vs-PREFIX (the AllPairs/PPJoin bound): for any pair with
+    // Jaccard >= t, the overlap is >= ceil(t·n) on each side, and the
+    // RAREST common shingle x must sit in both prefixes — every
+    // element of A before x is non-common (x is the minimum common one
+    // under the global order), so if x were outside A's prefix then A
+    // would hold >= n_a - ceil(t·n_a) + 1 non-common elements, capping
+    // the overlap below ceil(t·n_a). Hence the prefix-prefix join is
     // LOSSLESS (the oracle is the plain uncapped exact formulation).
     // Candidates then verify with an exact intersection count
     // restricted to the candidate set. At corpus scale the prefix is
@@ -519,18 +542,25 @@ object Dedup {
     // their buckets never explode — this REPLACES q37's df-cap
     // heuristic with an exactness-preserving bound.
     // Plan shape: the shingle stream is repartitioned by shk ONCE —
-    // the df aggregate, the df join, and the candidate join's full
-    // side all sit on that one exchange (AQE reuses it, so the
+    // the df aggregate, the df join, and the candidate join's two
+    // prefix sides all sit on that one exchange (AQE reuses it, so the
     // scan+shingle subtree runs once). Per-document state is the
-    // document's own sorted shingle set (the same bound as signature
-    // construction), and candidate verification is an array_intersect
-    // over the two sets — O(|candidates| · set size), no re-join of
+    // document's own shingle set in BOTH orders — rarest-first `os`
+    // for the prefix slice, ascending `osh` for verification — and
+    // candidate verification is a codegen'd sorted merge walk
+    // (sorted_intersect_count), no per-row hash set, no re-join of
     // per-shingle rows.
     "q103_prefix_jaccard" -> ((s, d) => {
       val t = 0.5
-      val sh = shingledOf(docs(s, d))
+      val nPart = s.sessionState.conf.numShufflePartitions
+      // numbered repartition: exempt from AQE coalescing, so the df
+      // aggregate, df join and candidate join that all sit on this one
+      // exchange keep full parallelism (the keyless form was coalesced
+      // to a handful of tasks and serialized the probe stage)
+      val sh = shingledOf(
+          graft.operators.Parallelism.widen(docs(s, d), col("doc_id")))
         .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
-        .repartition(col("shk"))
+        .repartition(nPart, col("shk"))
       val dfreq = sh.groupBy("shk").agg(count(lit(1)).as("df"))
       // one row per document: its shingle set, rarest-first. Three
       // consumers (prefix explode + both verification joins) read this
@@ -541,42 +571,51 @@ object Dedup {
       // durable checkpoint() under spark.graft.reliableCheckpoints;
       // doc-level state, far smaller than the shingle stream it
       // replaces).
+      // the PRE-aggregate numbered repartition doubles as the agg's
+      // required distribution AND the checkpoint's partition layout
+      // (exempt from AQE coalescing): without it the small doc-set
+      // aggregate coalesces to a couple of tasks and the explode
+      // consumers + verification joins below inherit that serial
+      // layout from the materialized blocks
       val docsets = graft.operators.Materialize.truncate(
         sh.join(dfreq, Seq("shk"))
+          .repartition(nPart, col("doc_id"))
           .groupBy("doc_id")
           .agg(expr(
             "transform(sort_array(collect_list(struct(df, shk))), x -> x.shk)")
-            .as("os")))
-      val prefix = docsets
-        .select(col("doc_id").as("a_id"), explode(expr(
+            .as("os"),
+            expr("array_sort(collect_list(shk))").as("osh")))
+      // both candidate sides explode the CHECKPOINTED docsets —
+      // deriving them from `sh` would re-run the scan -> shingle ->
+      // hash pipeline again (the checkpoint barrier splits the plan,
+      // so within the final job that subtree has no reusable
+      // exchange); exploding materialized long arrays costs a
+      // fraction of that
+      def prefixSide(as: String) = docsets
+        .select(col("doc_id").as(as), explode(expr(
           s"slice(os, 1, cast(size(os) - ceil(size(os) * $t) + 1 as int))"))
           .as("shk"))
-      // the full side explodes the CHECKPOINTED docsets — deriving it
-      // from `sh` would re-run the scan -> shingle -> hash string
-      // pipeline a second time (the checkpoint barrier splits the plan,
-      // so within the final job that subtree has no reusable exchange);
-      // exploding materialized long arrays costs a fraction of that
-      val full = docsets
-        .select(col("doc_id").as("b_id"), explode(col("os")).as("shk"))
-      val cand = prefix.join(full, Seq("shk"))
-        .filter(col("a_id") =!= col("b_id"))
-        .select(least(col("a_id"), col("b_id")).as("a_id"),
-          greatest(col("a_id"), col("b_id")).as("b_id"))
-        .distinct()
+      // candidates stay UN-deduplicated through verification: the
+      // duplication factor (one row per shared prefix shingle, ~1.05
+      // here) is far cheaper to carry through the broadcast joins and
+      // the merge-walk than a half-second million-key distinct; the
+      // final distinct runs on the handful of surviving rows
+      val cand = prefixSide("a_id").join(prefixSide("b_id"), Seq("shk"))
+        .filter(col("a_id") < col("b_id"))
       cand
-        .join(docsets.select(col("doc_id").as("a_id"), col("os").as("la")),
+        .join(docsets.select(col("doc_id").as("a_id"), col("osh").as("la")),
           Seq("a_id"))
-        .join(docsets.select(col("doc_id").as("b_id"), col("os").as("lb")),
+        .join(docsets.select(col("doc_id").as("b_id"), col("osh").as("lb")),
           Seq("b_id"))
         .select(col("a_id"), col("b_id"),
-          size(array_intersect(col("la"), col("lb"))).cast("long")
-            .as("inter"),
+          expr("sorted_intersect_count(la, lb)").as("inter"),
           size(col("la")).as("na"), size(col("lb")).as("nb"))
         .withColumn("jac_raw",
           col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jac_raw") >= t)
         .select(col("a_id"), col("b_id"), col("inter"),
           round(col("jac_raw"), 4).as("jac"))
+        .distinct()
         .orderBy("a_id", "b_id")
     }),
 

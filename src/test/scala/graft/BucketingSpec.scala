@@ -15,9 +15,19 @@ class BucketingSpec extends SparkSpec {
       AdaptiveSparkPlanExec, QueryStageExec}
     // materialized AQE stages (QueryStageExec) report no children, so a
     // plain collect() sees zero exchanges once stages have executed —
-    // descend into them explicitly
+    // descend into them explicitly.
+    // REPARTITION_BY_NUM exchanges are EXCLUDED: that origin only comes
+    // from Parallelism.widen's explicit guard (which no-ops at real
+    // input parallelism and fires on these single-row-group fixtures);
+    // the co-location claims under test are about data-dependent
+    // ENSURE_REQUIREMENTS shuffles
     def walk(p: SparkPlan): Int = {
-      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val self = p match {
+        case s: ShuffleExchangeLike
+            if s.shuffleOrigin !=
+              org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM => 1
+        case _ => 0
+      }
       val kids = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)

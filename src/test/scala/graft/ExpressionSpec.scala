@@ -186,7 +186,28 @@ class ExpressionSpec extends SparkSpec {
     // so adding an expression without registering it fails a test
     assert(GraftFunctions.all.map(_._1).toSet == Set("cosine_sim",
       "simhash64", "simhash_md5", "hash60", "mix61", "shingles3",
-      "minhash_bands", "pair_combos", "bloom_might_contain"))
+      "minhash_bands", "pair_combos", "bloom_might_contain",
+      "sorted_intersect_count"))
+  }
+
+  test("sorted_intersect_count: equals size(array_intersect) on sorted sets") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong)
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong)
+        .distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(-5L, 0L, 3L), Seq(-5L, 3L)))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(expr("sorted_intersect_count(a, b)").as("m"),
+        size(array_intersect($"a", $"b")).cast("long").as("e"))
+      .filter($"m" =!= $"e")
+    assert(bad.count() == 0)
+    // null intolerance: NULL on either side yields NULL, like the builtin
+    val n = Seq((Some(Seq(1L)), None: Option[Seq[Long]])).toDF("a", "b")
+    assert(n.select(expr("sorted_intersect_count(a, b)")).head().isNullAt(0))
   }
 
   test("bloom filter: no false negatives, bounded false positives") {

@@ -25,7 +25,7 @@ object PlanDigests {
     "q102_cluster_canon" ->
       "AQEShuffleRead x4 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x1 | Exchange x4 | Project x3 | Scan ExistingRDD x1 | Scan parquet x1 | Sort x3 | SortAggregate x2",
     "q103_prefix_jaccard" ->
-      "AQEShuffleRead x2 | BroadcastExchange x2 | BroadcastHashJoin x3 | Exchange x2 | Filter x3 | Generate x2 | HashAggregate x2 | Project x7 | ReusedExchange x1 | Scan ExistingRDD x3 | Sort x1",
+      "AQEShuffleRead x2 | BroadcastExchange x2 | BroadcastHashJoin x3 | Exchange x2 | Filter x3 | Generate x2 | HashAggregate x2 | Project x9 | ReusedExchange x1 | Scan ExistingRDD x3 | Sort x1",
     "q104_triangles" ->
       "AQEShuffleRead x6 | BroadcastExchange x4 | BroadcastHashJoin x4 | Exchange x5 | HashAggregate x5 | Project x7 | ReusedExchange x2 | Scan ExistingRDD x4 | Union x1",
     "q12_range_join" ->
@@ -33,13 +33,13 @@ object PlanDigests {
     "q12_range_join_bucketed" ->
       "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x2 | Exchange x3 | Filter x3 | Generate x1 | HashAggregate x4 | Project x3 | Scan parquet x2 | Sort x1",
     "q37_ngram_jaccard" ->
-      "AQEShuffleRead x5 | BroadcastExchange x1 | BroadcastHashJoin x2 | ColumnarToRow x1 | Exchange x4 | Filter x3 | Generate x3 | HashAggregate x4 | ObjectHashAggregate x3 | Project x5 | ReusedExchange x2 | Scan parquet x1 | Sort x1",
+      "AQEShuffleRead x5 | BroadcastExchange x1 | BroadcastHashJoin x2 | ColumnarToRow x1 | Exchange x5 | Filter x3 | Generate x3 | HashAggregate x4 | ObjectHashAggregate x3 | Project x7 | ReusedExchange x2 | Scan parquet x1 | Sort x1",
     "q45_curation" ->
-      "AQEShuffleRead x8 | BroadcastExchange x2 | BroadcastHashJoin x3 | ColumnarToRow x2 | Exchange x7 | Filter x7 | Generate x3 | HashAggregate x6 | ObjectHashAggregate x3 | Project x9 | ReusedExchange x2 | Scan parquet x2 | Sort x5 | Window x2 | WindowGroupLimit x4",
+      "AQEShuffleRead x8 | BroadcastExchange x2 | BroadcastHashJoin x3 | ColumnarToRow x2 | Exchange x8 | Filter x7 | Generate x3 | HashAggregate x6 | ObjectHashAggregate x3 | Project x11 | ReusedExchange x2 | Scan parquet x2 | Sort x5 | Window x2 | WindowGroupLimit x4",
     "q67_dedup_clusters" ->
       "AQEShuffleRead x1 | Exchange x1 | Project x1 | Scan ExistingRDD x1 | Sort x1",
     "q73_incremental_dedup" ->
-      "AQEShuffleRead x3 | BroadcastExchange x3 | BroadcastHashJoin x3 | ColumnarToRow x3 | Exchange x2 | Filter x5 | Generate x2 | HashAggregate x3 | Project x7 | ReusedExchange x1 | Scan parquet x3 | Sort x1",
+      "AQEShuffleRead x3 | BroadcastExchange x3 | BroadcastHashJoin x3 | ColumnarToRow x3 | Exchange x4 | Filter x5 | Generate x2 | HashAggregate x3 | Project x9 | ReusedExchange x1 | Scan parquet x3 | Sort x1",
     "q88_equidepth_hist" ->
       "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Exchange x4 | HashAggregate x6 | Project x2 | Scan parquet x2 | Sort x2 | Window x2")
 }

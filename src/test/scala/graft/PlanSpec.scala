@@ -100,11 +100,14 @@ class PlanSpec extends SparkSpec {
 
   test("q35 signatures are map-only: one exchange (presentation sort)") {
     // signature computation must never shuffle per-shingle rows — the
-    // only exchange allowed is the final orderBy of the query itself,
-    // and md5 must run once per shingle (hoisted digest array), not
-    // once per family member
+    // only exchanges allowed are the final orderBy of the query itself
+    // and Parallelism.widen's doc-level REPARTITION_BY_NUM guard (a
+    // no-op at real input parallelism; it moves documents, never
+    // shingle rows), and md5 must run once per shingle (hoisted digest
+    // array), not once per family member
     val p = finalPlan("q35_minhash_sig")
-    val exchanges = "Exchange".r.findAllIn(p).size
+    val exchanges = "Exchange".r.findAllIn(p).size -
+      "REPARTITION_BY_NUM".r.findAllIn(p).size
     assert(exchanges == 1, s"expected only the orderBy exchange, got:\n$p")
     val fused = "minhash_bands".r.findAllIn(p).size
     assert(fused == 1,
