@@ -35,9 +35,11 @@ object MediaCodec {
     * via [[AudioOps.decodeWav]]. mp3/ogg/aac stay undecodable here
     * (None -> row dropped): no pure-Java decoder exists in this
     * offline container; a codec-equipped deploy plugs its own
-    * [[MediaCodec]] in. Video demux/frame decode likewise has NO
-    * pure-JVM path, so [[sampleFrames]] delegates to the documented
-    * deterministic stub — swap the whole codec to change that. */
+    * [[MediaCodec]] in. Video [[sampleFrames]] demuxes + decodes +
+    * composites animated GIF FOR REAL ([[GifFrames]] — the one timed
+    * multi-frame container the JDK can read); every other container
+    * (mp4/webm/mkv) is undecodable here and its rows are dropped,
+    * same policy as audio. */
   object Jvm extends MediaCodec {
 
     override def audioFeatures(bytes: Array[Byte],
@@ -47,7 +49,7 @@ object MediaCodec {
 
     override def sampleFrames(bytes: Array[Byte], everyMs: Long,
         maxFrames: Int): Seq[(Long, Array[Byte])] =
-      Stub.sampleFrames(bytes, everyMs, maxFrames)
+      GifFrames.sample(bytes, everyMs, maxFrames).getOrElse(Seq.empty)
   }
 
   /** STUB — deterministic fakes, honestly marked: this container ships

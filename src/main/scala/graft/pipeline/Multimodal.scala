@@ -93,13 +93,15 @@ object Multimodal {
       }.toDF("media_id", "features")
   }
 
-  /** Video frame sampling through the [[MediaCodec]] seam (default:
-    * [[MediaCodec.Stub]] — no video codecs in this container). A real
-    * deploy demuxes and decodes one frame every `everyMs`; output is
-    * one row per sampled frame either way. */
+  /** Video frame sampling through the [[MediaCodec]] seam. The default
+    * [[MediaCodec.Jvm]] demuxes + composites animated GIF for real
+    * ([[GifFrames]]) and DROPS clips in containers this offline JVM
+    * cannot decode (mp4/webm/mkv) — the drop-undecodable policy the
+    * rest of the media pipeline uses. One output row per sampled
+    * frame, one frame every `everyMs` along the clip's timeline. */
   def sampleVideoFrames(spark: SparkSession, media: DataFrame,
       everyMs: Long = 1000, maxFrames: Int = 4,
-      codec: MediaCodec = MediaCodec.Stub): DataFrame = {
+      codec: MediaCodec = MediaCodec.Jvm): DataFrame = {
     import spark.implicits._
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("content"))

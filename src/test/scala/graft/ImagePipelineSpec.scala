@@ -228,7 +228,84 @@ class ImagePipelineSpec extends SparkSpec {
     val video = Multimodal.asMediaFrame(
       Seq((3L, Array.tabulate(64)(_.toByte))).toDF("id", "bytes"),
       "id", "video", "bytes")
-    assert(Multimodal.sampleVideoFrames(spark, video).count() == 4)
+    assert(Multimodal.sampleVideoFrames(spark, video).count() == 0,
+      "the real default codec must drop undecodable containers")
+    assert(Multimodal.sampleVideoFrames(
+      spark, video, codec = MediaCodec.Stub).count() == 4)
+  }
+
+  /** Animated GIF with per-frame delays, written via the JDK's own GIF
+    * sequence writer — a genuine timed multi-frame container. */
+  private def animatedGif(
+      frames: Seq[(java.awt.image.BufferedImage, Int)]): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { case (img, delayCs) =>
+      val meta = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromRenderedImage(img),
+        writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    baos.toByteArray
+  }
+
+  test("video: animated-GIF frame sampling decodes real pixels") {
+    import java.awt.image.BufferedImage
+    def frame(rgb: Int): BufferedImage = {
+      val img = new BufferedImage(10, 8, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb))
+      g.fillRect(0, 0, 10, 8)
+      g.dispose()
+      img
+    }
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    // 4 frames x 500 ms => timeline [0, 2000); samples at 0 and 1000
+    val gif = animatedGif(colors.map(c => (frame(c), 50)))
+    val media = Multimodal.asMediaFrame(
+      Seq((7L, gif)).toDF("id", "bytes"), "id", "video", "bytes")
+    val rows = Multimodal.sampleVideoFrames(
+        spark, media, everyMs = 1000, maxFrames = 8)
+      .orderBy("frame_ts_ms").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 1000L),
+      "samples must stop at the clip's total duration")
+    // sample 0 shows frame 0 (red), sample 1000ms shows frame 2 (blue)
+    val expected = Seq(0xff0000, 0x0000ff)
+    rows.zip(expected).foreach { case (r, rgb) =>
+      val png = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(png.getWidth == 10 && png.getHeight == 8)
+      assert((png.getRGB(5, 4) & 0xffffff) == rgb,
+        s"frame at ${r.getLong(1)}ms must be ${rgb.toHexString}")
+    }
+    // determinism across runs: identical bytes for identical input
+    val again = Multimodal.sampleVideoFrames(
+        spark, media, everyMs = 1000, maxFrames = 8)
+      .orderBy("frame_ts_ms").collect()
+    rows.zip(again).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(
+        a.getAs[Array[Byte]](2), b.getAs[Array[Byte]](2)))
+    }
+    // maxFrames caps the sample count
+    assert(Multimodal.sampleVideoFrames(
+      spark, media, everyMs = 300, maxFrames = 3).count() == 3)
   }
 
   test("multimodal: a custom MediaCodec swaps in without pipeline changes") {
