@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Local pre-check mirroring the driver's DuckDB-oracle compare.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [only]
 
 For every query dumped by graft.Verify: run its oracle SQL in DuckDB over
 the same parquet tables, sort columns by name, and compare row-by-row
 (exact for ints/strings, exact-with-nan-care for floats).
+
+`only` (comma-separated query names) restricts the compare to a subset,
+matching a Verify run made with SPARK_GRAFT_ONLY — missing-dump
+enforcement then applies to just that subset. The driver passes no
+`only` and gets the full-registry check.
 """
 import json, math, sys
 import duckdb
@@ -31,11 +36,14 @@ def rows_of(rel):
     return [cols[i] for i in order], out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        oracle = {k: v for k, v in oracle.items() if k in names}
     n_pass = n_fail = 0
     import glob, os
     have = sorted(p.split("/")[-1] for p in glob.glob(f"{out_dir}/q*")
@@ -83,4 +91,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    sys.exit(1 if main(sys.argv[1], sys.argv[2],
+                       sys.argv[3] if len(sys.argv) > 3 else None) else 0)

@@ -34,7 +34,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    // dev-loop subset (mirrors Bench): SPARK_GRAFT_ONLY=q114_x,q37_y
+    // dumps just those queries; pass the same list to scripts/check.py.
+    // Unset = full inventory (the driver's path).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val failures = selected.flatMap {
       case (name, fn) =>
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")

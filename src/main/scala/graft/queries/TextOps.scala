@@ -29,6 +29,30 @@ object TextOps {
     s"cast(size(filter(tok, x -> array_contains(array($arr), x))) as bigint)"
   }
 
+  /** Non-overlapping 3-token chunk instances of a tokenized documents
+    * frame — one row per (doc_id, p, chunk) plus the (xxhash64, length)
+    * probe key (q77's hash convention). Pure map-side explode, so it
+    * runs unchanged on an unbounded stream; SHARED by batch q114 and
+    * its streaming twin so dictionary and rewrite agree on one
+    * chunking. */
+  def chunkedOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, cast(ceil(size(tok) / 3.0) as int) - 1),
+             i -> concat_ws(' ', slice(tok, i * 3 + 1, 3)))"""))
+        .as(Seq("p", "chunk")))
+      .withColumn("ck", xxhash64(col("chunk")))
+      .withColumn("clen", length(col("chunk")))
+
+  /** Chunks reaching corpus frequency k — the boilerplate dictionary.
+    * BOUNDED BY CONSTRUCTION (at most total_chunks/k rows can reach
+    * frequency k), so it broadcasts batch-side and persists as small
+    * static state stream-side. */
+  def boilerDict(docsDf: DataFrame, k: Int = 3): DataFrame =
+    chunkedOf(docsDf).groupBy("ck", "clen").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= k)
+      .select(col("ck"), col("clen"), lit(true).as("boiler"))
+
   val queries: Map[String, Q] = Map(
     // q32: exact dedup by content hash, keep min doc_id
     "q32_exact_dedup" -> ((s, d) =>
@@ -473,7 +497,38 @@ object TextOps {
     // takes an INCLUSIVE end index — the oracle's +128 end is the same
     // 128-element window.
     "q101_rag_chunks" -> ((s, d) =>
-      ragChunksOf(docs(s, d)).orderBy("doc_id", "chunk_idx"))
+      ragChunksOf(docs(s, d)).orderBy("doc_id", "chunk_idx")),
+
+    // q114: C4/RefinedWeb-style boilerplate-SPAN removal — the corpus-
+    // frequency twin of q77's keep-first dedup: a chunk whose corpus-
+    // wide frequency reaches k is boilerplate (nav bars, cookie
+    // banners, license headers) and is removed from EVERY document,
+    // not kept once. The scale contract is the dictionary bound: at
+    // most total_chunks/k chunks can reach frequency k, so the
+    // frequent-chunk dictionary is BOUNDED BY CONSTRUCTION and ships
+    // as a broadcast — the rewrite pass probes it map-side and chunk
+    // instances shuffle exactly twice corpus-wide (once to count, with
+    // map-side partial aggregation collapsing the very repeats we're
+    // hunting; once on doc_id to reassemble survivors in order). Probe
+    // keys are (xxhash64, length) — q77's convention: a false removal
+    // needs a 64-bit collision AND equal lengths; the DuckDB twin
+    // groups by the chunk string itself. 3-token chunks and k=3 keep
+    // the fixture non-degenerate; production would raise both.
+    // Builders are shared with the STATELESS streaming twin
+    // (streaming/StreamingDedup.boilerplateStripNew).
+    "q114_boilerplate_strip" -> ((s, d) => {
+      val ch = chunkedOf(docs(s, d))
+      ch.join(broadcast(boilerDict(docs(s, d))), Seq("ck", "clen"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(col("boiler")).as("n_removed"),
+          concat_ws(" ", expr(
+            """transform(
+                 array_sort(collect_list(
+                   CASE WHEN boiler IS NULL THEN struct(p, chunk) END)),
+                 x -> x.chunk)""")).as("clean_text"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Mixture construction and corpus forensics (q106–q108) — a second
@@ -697,6 +752,26 @@ object TextOps {
           SELECT doc_id, count(*) AS n_chunks,
             string_agg(chunk, ' ' ORDER BY p) AS clean_text
           FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+
+    "q114_boilerplate_strip" ->
+      s"""WITH t AS (SELECT doc_id, $duckTok AS tok FROM documents),
+          ch0 AS (SELECT doc_id,
+                    list_transform(range(CAST(ceil(len(tok) / 3.0) AS BIGINT)),
+                      i -> array_to_string(list_slice(tok,
+                        i * 3 + 1, i * 3 + 3), ' ')) AS chunks
+                  FROM t),
+          ch AS (SELECT doc_id,
+                   CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS p,
+                   unnest(chunks) AS chunk
+                 FROM ch0),
+          freq AS (SELECT chunk, count(*) AS n FROM ch GROUP BY chunk),
+          fl AS (SELECT c.doc_id, c.p, c.chunk, f.n >= 3 AS boiler
+                 FROM ch c JOIN freq f USING (chunk))
+          SELECT doc_id, count(*) AS n_chunks,
+            count(*) FILTER (WHERE boiler) AS n_removed,
+            coalesce(string_agg(chunk, ' ' ORDER BY p)
+              FILTER (WHERE NOT boiler), '') AS clean_text
+          FROM fl GROUP BY doc_id ORDER BY doc_id""",
 
     "q80_mixture_sample" ->
       """WITH t AS (SELECT lang,

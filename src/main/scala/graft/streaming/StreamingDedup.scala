@@ -170,6 +170,31 @@ object StreamingDedup {
         round(col("jac_raw"), 4).as("jac"))
   }
 
+  /** Static boilerplate dictionary for [[boilerplateStripNew]] — built
+    * by batch q114's OWN builder (queries.TextOps.boilerDict; one
+    * source for the parity guarantee) and persisted: bounded by
+    * construction at total_chunks/k rows, it is the small static side
+    * of every micro-batch's probe. In production an incrementally-
+    * maintained table bucketed on (ck, clen). */
+  def boilerState(corpus: DataFrame, k: Int = 3): DataFrame =
+    graft.queries.TextOps.boilerDict(
+      graft.queries.Dedup.withTok(corpus), k).persist()
+
+  /** Streaming twin of batch q114: boilerplate-span removal of ARRIVING
+    * documents against the static corpus-frequency dictionary.
+    * Entirely STATELESS: chunking is a map-side explode
+    * (TextOps.chunkedOf — the same builder as batch) and the
+    * dictionary probe is a stream-static LEFT ANTI join against the
+    * bounded dict — no watermark, no state store, nothing grows with
+    * stream length. Emits the chunk-level SURVIVOR stream
+    * (doc_id, p, chunk); per-document reassembly is the sink
+    * compaction's job on an unbounded stream (StreamingSpec reassembles
+    * and pins parity with batch q114's clean_text). */
+  def boilerplateStripNew(stream: DataFrame, dict: DataFrame): DataFrame =
+    graft.queries.TextOps.chunkedOf(graft.queries.Dedup.withTok(stream))
+      .join(dict, Seq("ck", "clen"), "left_anti")
+      .select("doc_id", "p", "chunk")
+
   def nearDupNew(stream: DataFrame, corpusHash: DataFrame,
       corpusBands: DataFrame): DataFrame = {
     val dd = graft.queries.Dedup

@@ -80,6 +80,17 @@ class PlanSpec extends SparkSpec {
       "eval-set semi join must be broadcast")
   }
 
+  test("q114 probes the boilerplate dictionary as a broadcast") {
+    // the dictionary is bounded by construction (<= total_chunks/k rows
+    // reach frequency k), so the rewrite pass must probe it map-side —
+    // a shuffle join here would move every chunk instance a second time
+    val p = finalPlan("q114_boilerplate_strip")
+    assert(p.contains("BroadcastHashJoin"),
+      "frequent-chunk dictionary must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"chunk instances must not shuffle into the dictionary probe:\n$p")
+  }
+
   test("q12 bucketed twin stays a hash join (the scale-safe shape)") {
     // q12_range_join is the declared BNLJ semantics demo; the bucketed
     // twin is the shape to use at 100x. Guard against an optimizer or

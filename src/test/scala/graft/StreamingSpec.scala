@@ -317,6 +317,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming boilerplate strip matches batch q114 kept chunks") {
+    import org.apache.spark.sql.functions._
+    // dictionary from the full static corpus; the same docs then arrive
+    // as a stream — the chunk-level survivor stream, reassembled per
+    // doc (the sink compaction's job on an unbounded stream), must
+    // equal batch q114's clean_text. Docs stripped to nothing have no
+    // survivor rows, so they are excluded from the batch side.
+    val corpus = Tables.load(spark, sf, "documents")
+    val dict = graft.streaming.StreamingDedup.boilerState(corpus)
+    val stream = graft.streaming.StreamingDedup.docsStream(spark, sf)
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamingDedup.boilerplateStripNew(stream, dict),
+      "boilerstrip")
+    try {
+      val got = spark.table("boilerstrip").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(p, chunk))), x -> x.chunk)"))
+            .as("clean_text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val batch = SparkEntry.queries("q114_boilerplate_strip")(spark, sf)
+        .filter(col("n_chunks") > col("n_removed"))
+        .select(col("doc_id"),
+          (col("n_chunks") - col("n_removed")).as("n_kept"),
+          col("clean_text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(batch.nonEmpty, "fixture must keep at least one doc")
+      assert(got == batch,
+        s"streaming ${got.size} vs batch ${batch.size} rewritten docs")
+    } finally { q.stop(); dict.unpersist() }
+  }
+
   test("streaming RAG chunking equals batch q101 exactly") {
     // the chunk projection is map-only (no aggregation, no watermark),
     // so the BATCH builder runs unchanged on the unbounded stream —
