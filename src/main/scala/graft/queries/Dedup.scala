@@ -392,6 +392,79 @@ object Dedup {
         round(col("jac_raw"), 4).as("jac"))
   }
 
+  /** Exact Jaccard >= t pairs via the lossless PPJoin prefix filter —
+    * the q103 builder, shared with the q115 recall audit (see the
+    * q103 map entry's comment for the full losslessness argument and
+    * plan-shape story). Returns (a_id, b_id, inter, jac), a_id < b_id,
+    * unordered. */
+  def exactJaccardPairsOf(s: SparkSession, docsDf: DataFrame,
+      t: Double): DataFrame = {
+    val nPart = s.sessionState.conf.numShufflePartitions
+    // numbered repartition: exempt from AQE coalescing, so the df
+    // aggregate, df join and candidate join that all sit on this one
+    // exchange keep full parallelism (the keyless form was coalesced
+    // to a handful of tasks and serialized the probe stage)
+    val sh = shingledOf(
+        graft.operators.Parallelism.widen(docsDf, col("doc_id")))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+      .repartition(nPart, col("shk"))
+    val dfreq = sh.groupBy("shk").agg(count(lit(1)).as("df"))
+    // one row per document: its shingle set, rarest-first. Three
+    // consumers (prefix explode + both verification joins) read this
+    // doc-count-sized table; column pruning specializes each branch
+    // differently, which defeats exchange reuse and would re-run the
+    // scan+shingle+df-join pipeline per consumer — so materialize it
+    // once (Materialize.truncate — localCheckpoint by default, the
+    // durable checkpoint() under spark.graft.reliableCheckpoints;
+    // doc-level state, far smaller than the shingle stream it
+    // replaces).
+    // the PRE-aggregate numbered repartition doubles as the agg's
+    // required distribution AND the checkpoint's partition layout
+    // (exempt from AQE coalescing): without it the small doc-set
+    // aggregate coalesces to a couple of tasks and the explode
+    // consumers + verification joins below inherit that serial
+    // layout from the materialized blocks
+    val docsets = graft.operators.Materialize.truncate(
+      sh.join(dfreq, Seq("shk"))
+        .repartition(nPart, col("doc_id"))
+        .groupBy("doc_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(df, shk))), x -> x.shk)")
+          .as("os"),
+          expr("array_sort(collect_list(shk))").as("osh")))
+    // both candidate sides explode the CHECKPOINTED docsets —
+    // deriving them from `sh` would re-run the scan -> shingle ->
+    // hash pipeline again (the checkpoint barrier splits the plan,
+    // so within the final job that subtree has no reusable
+    // exchange); exploding materialized long arrays costs a
+    // fraction of that
+    def prefixSide(as: String) = docsets
+      .select(col("doc_id").as(as), explode(expr(
+        s"slice(os, 1, cast(size(os) - ceil(size(os) * $t) + 1 as int))"))
+        .as("shk"))
+    // candidates stay UN-deduplicated through verification: the
+    // duplication factor (one row per shared prefix shingle, ~1.05
+    // here) is far cheaper to carry through the broadcast joins and
+    // the merge-walk than a half-second million-key distinct; the
+    // final distinct runs on the handful of surviving rows
+    val cand = prefixSide("a_id").join(prefixSide("b_id"), Seq("shk"))
+      .filter(col("a_id") < col("b_id"))
+    cand
+      .join(docsets.select(col("doc_id").as("a_id"), col("osh").as("la")),
+        Seq("a_id"))
+      .join(docsets.select(col("doc_id").as("b_id"), col("osh").as("lb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("sorted_intersect_count(la, lb)").as("inter"),
+        size(col("la")).as("na"), size(col("lb")).as("nb"))
+      .withColumn("jac_raw",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac_raw") >= t)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        round(col("jac_raw"), 4).as("jac"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // q35: minhash band signatures (deterministic; property-tested)
     "q35_minhash_sig" -> ((s, d) =>
@@ -550,74 +623,8 @@ object Dedup {
     // candidate verification is a codegen'd sorted merge walk
     // (sorted_intersect_count), no per-row hash set, no re-join of
     // per-shingle rows.
-    "q103_prefix_jaccard" -> ((s, d) => {
-      val t = 0.5
-      val nPart = s.sessionState.conf.numShufflePartitions
-      // numbered repartition: exempt from AQE coalescing, so the df
-      // aggregate, df join and candidate join that all sit on this one
-      // exchange keep full parallelism (the keyless form was coalesced
-      // to a handful of tasks and serialized the probe stage)
-      val sh = shingledOf(
-          graft.operators.Parallelism.widen(docs(s, d), col("doc_id")))
-        .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
-        .repartition(nPart, col("shk"))
-      val dfreq = sh.groupBy("shk").agg(count(lit(1)).as("df"))
-      // one row per document: its shingle set, rarest-first. Three
-      // consumers (prefix explode + both verification joins) read this
-      // doc-count-sized table; column pruning specializes each branch
-      // differently, which defeats exchange reuse and would re-run the
-      // scan+shingle+df-join pipeline per consumer — so materialize it
-      // once (Materialize.truncate — localCheckpoint by default, the
-      // durable checkpoint() under spark.graft.reliableCheckpoints;
-      // doc-level state, far smaller than the shingle stream it
-      // replaces).
-      // the PRE-aggregate numbered repartition doubles as the agg's
-      // required distribution AND the checkpoint's partition layout
-      // (exempt from AQE coalescing): without it the small doc-set
-      // aggregate coalesces to a couple of tasks and the explode
-      // consumers + verification joins below inherit that serial
-      // layout from the materialized blocks
-      val docsets = graft.operators.Materialize.truncate(
-        sh.join(dfreq, Seq("shk"))
-          .repartition(nPart, col("doc_id"))
-          .groupBy("doc_id")
-          .agg(expr(
-            "transform(sort_array(collect_list(struct(df, shk))), x -> x.shk)")
-            .as("os"),
-            expr("array_sort(collect_list(shk))").as("osh")))
-      // both candidate sides explode the CHECKPOINTED docsets —
-      // deriving them from `sh` would re-run the scan -> shingle ->
-      // hash pipeline again (the checkpoint barrier splits the plan,
-      // so within the final job that subtree has no reusable
-      // exchange); exploding materialized long arrays costs a
-      // fraction of that
-      def prefixSide(as: String) = docsets
-        .select(col("doc_id").as(as), explode(expr(
-          s"slice(os, 1, cast(size(os) - ceil(size(os) * $t) + 1 as int))"))
-          .as("shk"))
-      // candidates stay UN-deduplicated through verification: the
-      // duplication factor (one row per shared prefix shingle, ~1.05
-      // here) is far cheaper to carry through the broadcast joins and
-      // the merge-walk than a half-second million-key distinct; the
-      // final distinct runs on the handful of surviving rows
-      val cand = prefixSide("a_id").join(prefixSide("b_id"), Seq("shk"))
-        .filter(col("a_id") < col("b_id"))
-      cand
-        .join(docsets.select(col("doc_id").as("a_id"), col("osh").as("la")),
-          Seq("a_id"))
-        .join(docsets.select(col("doc_id").as("b_id"), col("osh").as("lb")),
-          Seq("b_id"))
-        .select(col("a_id"), col("b_id"),
-          expr("sorted_intersect_count(la, lb)").as("inter"),
-          size(col("la")).as("na"), size(col("lb")).as("nb"))
-        .withColumn("jac_raw",
-          col("inter") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jac_raw") >= t)
-        .select(col("a_id"), col("b_id"), col("inter"),
-          round(col("jac_raw"), 4).as("jac"))
-        .distinct()
-        .orderBy("a_id", "b_id")
-    }),
+    "q103_prefix_jaccard" -> ((s, d) =>
+      exactJaccardPairsOf(s, docs(s, d), 0.5).orderBy("a_id", "b_id")),
 
     // q104: triangle count on the near-dup graph — the density signal
     // that distinguishes a tight duplicate CLIQUE (template spam — one
@@ -658,6 +665,41 @@ object Dedup {
         .join(e, least(col("v"), col("w")) === col("a_id") &&
           greatest(col("v"), col("w")) === col("b_id"))
         .agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // q115: LSH dedup-recall audit — "measure, don't guess", pointed
+    // at the dedup pipeline (q89 is the same honesty knob for ANN):
+    // banded-minhash candidate pairs vs the EXACT Jaccard >= t pairs
+    // from q103's lossless machinery, as ONE summary row — counts,
+    // recall and precision in integer basis points (no FP ties). The
+    // expected recall is the banding S-curve 1-(1-s^r)^b, NOT 1 — the
+    // audit is what tells an operator whether the curve matches their
+    // threshold before they dedup 100 TB with it (there, it runs on a
+    // stratified sample — q55/q92 samplers — with identical shape).
+    // Both pair sets are near-dup-sized, so the semi join and the
+    // 1-row aggregate cross-joins (the q88 pattern) are noise next to
+    // the two pipelines that produce them.
+    "q115_dedup_recall" -> ((s, d) => {
+      // each pair set feeds TWO consumers (its own count + the hit
+      // semi-join); materialize both so the expensive producing
+      // pipelines — the PPJoin verify and the band self-join — run
+      // exactly once. Near-dup-sized state, a rounding error next to
+      // the shingle streams behind it.
+      val ex = graft.operators.Materialize.truncate(
+        exactJaccardPairsOf(s, docs(s, d), 0.5)
+          .select("a_id", "b_id"))
+      val lsh = graft.operators.Materialize.truncate(
+        bandPairsOf(signaturesOf(docs(s, d)))
+          .select("a_id", "b_id"))
+      val hit = lsh.join(ex, Seq("a_id", "b_id"), "left_semi")
+      ex.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh_pairs")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_lsh_pairs"), col("n_hit"),
+          expr("CASE WHEN n_exact = 0 THEN 10000 " +
+            "ELSE n_hit * 10000 div n_exact END").as("recall_bp"),
+          expr("CASE WHEN n_lsh_pairs = 0 THEN 10000 " +
+            "ELSE n_hit * 10000 div n_lsh_pairs END").as("precision_bp"))
     }),
 
     // q107: cross-source NEAR-dup overlap — the corpus-forensics matrix
@@ -877,6 +919,32 @@ object Dedup {
           FROM sig a JOIN sig b2
             ON a.band = b2.band AND a.mh = b2.mh AND a.doc_id < b2.doc_id
           GROUP BY 1, 2 ORDER BY a_id, b_id""",
+
+    // exact side = q103's uncapped formulation; LSH side = q35's band
+    // self-join (both already hash-verified on their own entries —
+    // this audits their OVERLAP)
+    "q115_dedup_recall" ->
+      s"""WITH $docsTokCte,
+          ${duckPairCtes("t", 1000000000)},
+          ex AS (SELECT a_id, b_id FROM p
+                 WHERE inter / (na + nb - inter) >= 0.5),
+          sig AS ($minhashSigSql),
+          lsh AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id
+                  FROM sig a JOIN sig b2
+                    ON a.band = b2.band AND a.mh = b2.mh
+                      AND a.doc_id < b2.doc_id
+                  GROUP BY 1, 2),
+          m AS (SELECT
+                  (SELECT count(*) FROM ex) AS n_exact,
+                  (SELECT count(*) FROM lsh) AS n_lsh_pairs,
+                  (SELECT count(*) FROM lsh JOIN ex USING (a_id, b_id))
+                    AS n_hit)
+          SELECT n_exact, n_lsh_pairs, n_hit,
+            CASE WHEN n_exact = 0 THEN 10000
+                 ELSE n_hit * 10000 // n_exact END AS recall_bp,
+            CASE WHEN n_lsh_pairs = 0 THEN 10000
+                 ELSE n_hit * 10000 // n_lsh_pairs END AS precision_bp
+          FROM m""",
 
     "q36_simhash" ->
       s"""WITH $docsTokCte,

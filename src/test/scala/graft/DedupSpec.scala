@@ -242,6 +242,21 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "unique batch docs must survive")
   }
 
+  test("dedup recall audit: hit count bounded, basis points in range") {
+    val r = SparkEntry.queries("q115_dedup_recall")(spark, sf).head()
+    val (nExact, nLsh, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nExact > 0, "fixture near-dups must produce exact pairs")
+    assert(nHit <= math.min(nExact, nLsh),
+      "the semi-join hit set is a subset of both pair sets")
+    assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+    assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000)
+    // exact pairs have jac >= 0.5 where the 4x4 banding S-curve is
+    // steep but high — the audit must report a sane (non-degenerate)
+    // recall on the fixture, not 0 (that would mean the band join and
+    // the prefix filter disagree on the SAME shingle universe)
+    assert(r.getLong(3) >= 5000, s"recall collapsed: $r")
+  }
+
   test("exact dedup is idempotent and keeps min doc_id") {
     val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
       .toDF("doc_id", "text")

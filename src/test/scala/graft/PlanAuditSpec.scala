@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "q89_ann_recall", "q91_zorder_layout", "q96_psi_drift",
     "q97_bigram_lm", "q106_temperature_mix", "q108_source_drift",
     "q105_rolling_zscore", // q105: the q58-style day-grid cross
-    "q113_phrase_search") // q113: the probe phrase is ONE broadcast row
+    "q113_phrase_search", // q113: the probe phrase is ONE broadcast row
+    "q115_dedup_recall") // q115: three 1-row count aggregates crossed
 
   test("no CartesianProduct anywhere; BNLJ only where declared") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
