@@ -35,11 +35,12 @@ object MediaCodec {
     * via [[AudioOps.decodeWav]]. mp3/ogg/aac stay undecodable here
     * (None -> row dropped): no pure-Java decoder exists in this
     * offline container; a codec-equipped deploy plugs its own
-    * [[MediaCodec]] in. Video [[sampleFrames]] demuxes + decodes +
-    * composites animated GIF FOR REAL ([[GifFrames]] — the one timed
-    * multi-frame container the JDK can read); every other container
-    * (mp4/webm/mkv) is undecodable here and its rows are dropped,
-    * same policy as audio. */
+    * [[MediaCodec]] in. Video [[sampleFrames]] demuxes + decodes FOR
+    * REAL from two containers: animated GIF ([[GifFrames]] — timed
+    * LZW frames composited per disposal method) and AVI/MJPEG
+    * ([[AviMjpeg]] — RIFF demux + per-frame baseline JPEG); every
+    * inter-frame codec (mp4/webm/mkv) is undecodable here and its
+    * rows are dropped, same policy as audio. */
   object Jvm extends MediaCodec {
 
     override def audioFeatures(bytes: Array[Byte],
@@ -49,7 +50,9 @@ object MediaCodec {
 
     override def sampleFrames(bytes: Array[Byte], everyMs: Long,
         maxFrames: Int): Seq[(Long, Array[Byte])] =
-      GifFrames.sample(bytes, everyMs, maxFrames).getOrElse(Seq.empty)
+      GifFrames.sample(bytes, everyMs, maxFrames)
+        .orElse(AviMjpeg.sample(bytes, everyMs, maxFrames))
+        .getOrElse(Seq.empty)
   }
 
   /** STUB — deterministic fakes, honestly marked: this container ships

@@ -308,6 +308,97 @@ class ImagePipelineSpec extends SparkSpec {
       spark, media, everyMs = 300, maxFrames = 3).count() == 3)
   }
 
+  /** Minimal RIFF AVI/MJPEG writer twin: avih + vids strh clock, one
+    * `00dc` chunk per ImageIO-encoded JPEG frame (tables included —
+    * i.e. the well-formed variant of MJPEG). Exercises even-padding
+    * and the nested `rec ` grouping some muxers emit. */
+  private def aviMjpeg(frames: Seq[java.awt.image.BufferedImage],
+      scale: Int, rate: Int): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, typ: String, body: Array[Byte]): Array[Byte] =
+      kind.getBytes("US-ASCII") ++ le32(body.length + 4) ++
+        typ.getBytes("US-ASCII") ++ body
+    val jpegs = frames.map { img =>
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", baos)
+      baos.toByteArray
+    }
+    val avih = le32(1000000L * scale / rate) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(frames.head.getWidth) ++ le32(frames.head.getHeight) ++
+      Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      le32(0) ++ le32(0) ++ // flags, priority+language
+      le32(0) ++ le32(scale) ++ le32(rate) ++ le32(0) ++
+      le32(frames.length) ++ Array.fill(20)(0.toByte)
+    val strf = le32(40) ++ le32(frames.head.getWidth) ++
+      le32(frames.head.getHeight) ++ Array.fill(28)(0.toByte)
+    val strl = list("LIST", "strl",
+      chunk("strh", strh) ++ chunk("strf", strf))
+    val hdrl = list("LIST", "hdrl", chunk("avih", avih) ++ strl)
+    // first frame nested in a rec  group, rest top-level in movi
+    val movi = list("LIST", "movi",
+      list("LIST", "rec ", chunk("00dc", jpegs.head)) ++
+        jpegs.tail.flatMap(j => chunk("00dc", j)).toArray)
+    list("RIFF", "AVI ", hdrl ++ movi)
+  }
+
+  test("video: AVI/MJPEG frame sampling decodes real pixels") {
+    import java.awt.image.BufferedImage
+    def frame(rgb: Int): BufferedImage = {
+      val img = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb))
+      g.fillRect(0, 0, 16, 12)
+      g.dispose()
+      img
+    }
+    // 4 frames at scale/rate = 1/2 (500 ms each) => timeline [0, 2000)
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val avi = aviMjpeg(colors.map(frame), scale = 1, rate = 2)
+    val media = Multimodal.asMediaFrame(
+      Seq((9L, avi)).toDF("id", "bytes"), "id", "video", "bytes")
+    val rows = Multimodal.sampleVideoFrames(
+        spark, media, everyMs = 1000, maxFrames = 8)
+      .orderBy("frame_ts_ms").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 1000L),
+      "samples must stop at the clip's total duration")
+    // JPEG is lossy: assert channel dominance of the DECODED pixels,
+    // not exact values — sample 0 = frame 0 (red), 1000ms = frame 2
+    // (blue; frame 0 arrives inside a rec  group, so this also proves
+    // the nested walk)
+    val expected = Seq((true, false), (false, true)) // (redDominant, blue)
+    rows.zip(expected).foreach { case (r, (isRed, isBlue)) =>
+      val png = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(png.getWidth == 16 && png.getHeight == 12)
+      val p = png.getRGB(8, 6)
+      val (red, blue) = ((p >> 16) & 0xff, p & 0xff)
+      if (isRed) assert(red > 200 && blue < 80, f"not red: $p%08x")
+      if (isBlue) assert(blue > 200 && red < 80, f"not blue: $p%08x")
+    }
+    // determinism: identical bytes for identical input
+    val again = Multimodal.sampleVideoFrames(
+        spark, media, everyMs = 1000, maxFrames = 8)
+      .orderBy("frame_ts_ms").collect()
+    rows.zip(again).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(
+        a.getAs[Array[Byte]](2), b.getAs[Array[Byte]](2)))
+    }
+    // maxFrames caps; truncated/garbage RIFF is dropped, not thrown
+    assert(Multimodal.sampleVideoFrames(
+      spark, media, everyMs = 300, maxFrames = 3).count() == 3)
+    val junk = Multimodal.asMediaFrame(
+      Seq((1L, avi.take(40)), (2L, Array.fill(64)(7.toByte)))
+        .toDF("id", "bytes"), "id", "video", "bytes")
+    assert(Multimodal.sampleVideoFrames(spark, junk).count() == 0)
+  }
+
   test("multimodal: a custom MediaCodec swaps in without pipeline changes") {
     // the production swap point: one injectable value, everything else
     // (schema, drop policy, frame shape) unchanged
