@@ -35,6 +35,38 @@ object Similarity {
     Tables.load(s, d, "embeddings")
   }
 
+  /** PQ distance terms (vec_id, sub, c_id, d2): every vector's exact
+    * DECIMAL(38,20) squared distance to each of the K=8 codebook
+    * centroids in each of the M=4 16-dim subspaces (init = the first 8
+    * vectors' subvectors, broadcast). Shared by q99 (code assignment)
+    * and q116 (the assembled IVF-PQ search, where the probe's rows ARE
+    * its ADC table). The vec_id repartition ahead of the broadcast
+    * join is the ONLY exchange the whole PQ pipeline needs: hash
+    * (vec_id) co-partitions every downstream grouping — (vec_id, sub,
+    * c_id), (vec_id, sub), (vec_id) — so the per-subspace argmin and
+    * the final per-vector fold all run exchange-free on top of it.
+    * At 10⁹ vectors this is one all-to-all of the exploded dims and
+    * nothing else; the serial AQE stage chain of the naive form (an
+    * exchange per grouping) was also the local-latency killer. Kept
+    * keyless-numbered-free on purpose (unlike the shingle pipelines):
+    * every downstream op is a per-vector aggregate, so AQE coalescing
+    * tiny post-shuffle partitions is pure win, and at scale it sizes
+    * them by bytes. */
+  private def pqDistanceTerms(s: SparkSession, d: String): DataFrame = {
+    val lf = emb(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), expr("pos div 16").as("sub"), col("pos"),
+        col("col").cast("double").as("v"))
+    val init = lf.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("sub"), col("pos"),
+        col("v").as("cv"))
+    lf.repartition(col("vec_id"))
+      .join(broadcast(init), Seq("sub", "pos"))
+      .groupBy("vec_id", "sub", "c_id")
+      .agg(sum(expr("cast((v - cv) * (v - cv) as decimal(38,20))"))
+        .as("d2"))
+  }
+
   val queries: Map[String, Q] = Map(
     // q34: brute-force cosine top-10 vs probe vec_id = 0
     "q34_cosine_topk" -> ((s, d) => {
@@ -255,17 +287,7 @@ object Similarity {
     // picks the same code in every engine/run; everything else is
     // map-side + vec-keyed partial aggs.
     "q99_pq_codes" -> ((s, d) => {
-      val lf = emb(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), expr("pos div 16").as("sub"), col("pos"),
-          col("col").cast("double").as("v"))
-      val init = lf.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("sub"), col("pos"),
-          col("v").as("cv"))
-      lf.join(broadcast(init), Seq("sub", "pos"))
-        .groupBy("vec_id", "sub", "c_id")
-        .agg(sum(expr("cast((v - cv) * (v - cv) as decimal(38,20))"))
-          .as("d2"))
+      pqDistanceTerms(s, d)
         .groupBy("vec_id", "sub")
         .agg(min(struct(col("d2"), col("c_id"))).as("m"))
         .groupBy("vec_id")
@@ -276,6 +298,45 @@ object Similarity {
           min(when(col("sub") === 3, col("m.c_id"))).as("c3"),
           round(sum(col("m.d2")).cast("double"), 6).as("qerr"))
         .orderBy("vec_id")
+    }),
+
+    // q116: the ASSEMBLED billion-scale ANN read path — IVF coarse
+    // routing (q39's sign-bucket quantizer picks the probe's inverted
+    // list) + PQ compression (q99's codes stand in for the vectors) +
+    // ADC: the probe precomputes ONE distance table dt(sub, c_id) =
+    // ||probe_sub − centroid||² (M·K = 32 rows, broadcast), and each
+    // list member's approximate distance is just Σ_sub dt(code) — a
+    // 4-key lookup-sum per vector, never touching the original floats.
+    // This is why PQ indexes fit RAM at 10⁹ vectors: the scan reads
+    // 4-byte codes + a broadcast table. Distance terms accumulate as
+    // DECIMAL(38,20) (q99's exactness argument), so the code
+    // assignment, the table, and the final ranking are engine-exact;
+    // ties break on vec_id. Top-5 is TakeOrdered — no global sort.
+    // The probe is vec 0, a corpus member, so its ADC table is just its
+    // OWN rows of the shared distance-term pipeline — one filter on the
+    // same exchange, not a second scan→explode→join chain.
+    "q116_ivf_pq" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"))
+      val d2t = pqDistanceTerms(s, d)
+      // index build = q99's code assignment (exact decimal argmin),
+      // restricted to the probe's inverted list up front: everything
+      // below the semi join stays on the one vec_id exchange
+      val pb = e.filter(col("vec_id") === 0)
+        .select(col("bucket").as("p_bucket"))
+      val members = e.join(broadcast(pb), col("bucket") === col("p_bucket"))
+        .filter(col("vec_id") =!= 0)
+        .select("vec_id")
+      val dt = d2t.filter(col("vec_id") === 0)
+        .select(col("sub"), col("c_id"), col("d2").as("pd2"))
+      d2t.join(broadcast(members), Seq("vec_id"), "left_semi")
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("c_id"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.c_id").as("c_id"))
+        .join(broadcast(dt), Seq("sub", "c_id"))
+        .groupBy("vec_id")
+        .agg(round(sum(col("pd2")).cast("double"), 6).as("adist"))
+        .orderBy(col("adist"), col("vec_id"))
+        .limit(5)
     })
   )
 
@@ -445,6 +506,38 @@ object Similarity {
             min(c_id) FILTER (WHERE sub = 2) AS c2,
             min(c_id) FILTER (WHERE sub = 3) AS c3,
             round(CAST(sum(d2) AS DOUBLE), 6) AS qerr
-          FROM best GROUP BY vec_id ORDER BY vec_id"""
+          FROM best GROUP BY vec_id ORDER BY vec_id""",
+
+    // q99's code assignment + a probe-side ADC table; the coarse list
+    // filter is q39's bucket predicate
+    "q116_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                       $duckBucket AS bucket
+                     FROM embeddings),
+          lf AS (SELECT vec_id, (i - 1) // 16 AS sub,
+                   CAST(i - 1 AS BIGINT) AS pos, emb[i] AS v
+                 FROM e, UNNEST(generate_series(1, 64)) AS u(i)),
+          init AS (SELECT vec_id AS c_id, sub, pos, v AS cv
+                   FROM lf WHERE vec_id < 8),
+          d AS (SELECT l.vec_id, l.sub, i.c_id,
+                  sum(CAST((l.v - i.cv) * (l.v - i.cv)
+                    AS DECIMAL(38,20))) AS d2
+                FROM lf l JOIN init i ON l.sub = i.sub AND l.pos = i.pos
+                GROUP BY 1, 2, 3),
+          codes AS (SELECT vec_id, sub, c_id FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                        ORDER BY d2, c_id) AS rn FROM d) t
+                    WHERE rn = 1),
+          dt AS (SELECT l.sub, i.c_id,
+                   sum(CAST((l.v - i.cv) * (l.v - i.cv)
+                     AS DECIMAL(38,20))) AS pd2
+                 FROM lf l JOIN init i ON l.sub = i.sub AND l.pos = i.pos
+                 WHERE l.vec_id = 0 GROUP BY 1, 2),
+          m AS (SELECT vec_id FROM e WHERE vec_id <> 0 AND bucket =
+                  (SELECT bucket FROM e WHERE vec_id = 0))
+          SELECT c.vec_id, round(CAST(sum(dt.pd2) AS DOUBLE), 6) AS adist
+          FROM codes c JOIN m USING (vec_id)
+          JOIN dt ON dt.sub = c.sub AND dt.c_id = c.c_id
+          GROUP BY 1 ORDER BY adist, vec_id LIMIT 5"""
   )
 }

@@ -46,6 +46,21 @@ class TextSimilaritySpec extends SparkSpec {
     assert(iMax <= bMax + 1e-9)
   }
 
+  test("IVF-PQ ADC: distances non-decreasing, bounded below by PQ error") {
+    val rows = SparkEntry.queries("q116_ivf_pq")(spark, sf).collect()
+    assert(rows.length == 5, "the probe's inverted list must hold >= 5 vecs")
+    val ds = rows.map(_.getDouble(1)).toSeq
+    assert(ds.forall(_ >= 0.0), "ADC distances are sums of squares")
+    assert(ds == ds.sorted, "top-k must be sorted by approx distance")
+    // codebook members (vec_id < 8) quantize to themselves: if one is
+    // in the probe's list, its ADC distance equals the PROBE's table
+    // entry sum — which for the probe itself (vec 0, also a codebook
+    // entry) is 0; vec 0 is excluded, so no result may be exactly the
+    // probe. All ids must be positive and distinct.
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(ids.forall(_ > 0) && ids.distinct.length == ids.length)
+  }
+
   test("token counts: bpe tokenization never undercounts ws tokens") {
     val q = SparkEntry.queries("q42_token_count")(spark, sf)
     assert(q.filter($"bpe_tokens" < $"ws_tokens").count() == 0)
