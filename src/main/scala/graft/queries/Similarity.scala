@@ -337,6 +337,36 @@ object Similarity {
         .agg(round(sum(col("pd2")).cast("double"), 6).as("adist"))
         .orderBy(col("adist"), col("vec_id"))
         .limit(5)
+    }),
+
+    // q117: SemDeDup-style SEMANTIC dedup — the embedding-space twin of
+    // the text dedup chain (q35 LSH candidates -> q67 clusters -> q102
+    // canon): near-duplicate MEANING, not near-duplicate bytes, is what
+    // survives paraphrase and templating at web scale. Candidate edges
+    // are exactly q38's sub-quadratic set (cosine >= tau inside a
+    // sign-bit LSH bucket — never all-pairs), the transitive grouping is
+    // the shared ConnectedComponents operator (O(log diameter) BSP,
+    // durable-checkpoint knob), and each group keeps its minimum vec_id.
+    // Output is the dedup DECISION: one row per DROPPED vector with the
+    // keeper it lost to — the table a 100 TB curation job anti-joins
+    // against the corpus (the q73 pattern). Oracle: DuckDB recursive-CTE
+    // closure over the same edge predicate.
+    "q117_semantic_dedup" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"),
+        col("embedding").as("emb"))
+      val a = e.select(col("vec_id").as("a_id"), col("bucket"),
+        col("emb").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("bucket"),
+        col("emb").as("b_emb"))
+      val edges = a.join(b, Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(cosine("a_emb", "b_emb") >= 0.3)
+        .select("a_id", "b_id")
+      graft.operators.ConnectedComponents.run(edges, "a_id", "b_id",
+          reliable = graft.operators.Materialize.reliable(s))
+        .filter(col("node") =!= col("cluster_id"))
+        .select(col("node").as("vec_id"), col("cluster_id").as("kept_by"))
+        .orderBy("vec_id")
     })
   )
 
@@ -538,6 +568,24 @@ object Similarity {
           SELECT c.vec_id, round(CAST(sum(dt.pd2) AS DOUBLE), 6) AS adist
           FROM codes c JOIN m USING (vec_id)
           JOIN dt ON dt.sub = c.sub AND dt.c_id = c.c_id
-          GROUP BY 1 ORDER BY adist, vec_id LIMIT 5"""
+          GROUP BY 1 ORDER BY adist, vec_id LIMIT 5""",
+
+    // q38's edge predicate + q67's recursive-CTE transitive closure;
+    // dropped = every node whose component holds a smaller id
+    "q117_semantic_dedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, $duckBucket AS bucket,
+              CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          edges AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                    FROM e a JOIN e b
+                      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3),
+          sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+                  UNION SELECT b_id, a_id FROM edges),
+          reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src)
+          SELECT src AS vec_id, min(dst) AS kept_by
+          FROM reach GROUP BY src HAVING min(dst) < src ORDER BY vec_id"""
   )
 }

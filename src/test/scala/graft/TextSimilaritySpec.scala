@@ -61,6 +61,17 @@ class TextSimilaritySpec extends SparkSpec {
     assert(ids.forall(_ > 0) && ids.distinct.length == ids.length)
   }
 
+  test("semantic dedup: keepers are smaller, never themselves dropped") {
+    val rows = SparkEntry.queries("q117_semantic_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture near-dup graph must drop something")
+    val dropped = rows.map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0), "keeper is the component min")
+      assert(!dropped.contains(r.getLong(1)),
+        "a keeper must survive the dedup it anchors")
+    }
+  }
+
   test("token counts: bpe tokenization never undercounts ws tokens") {
     val q = SparkEntry.queries("q42_token_count")(spark, sf)
     assert(q.filter($"bpe_tokens" < $"ws_tokens").count() == 0)
