@@ -750,6 +750,50 @@ object Dedup {
         .filter(col("n_occ") > 0)
         .select(col("doc_id"), col("phrase"), col("n_occ"))
         .orderBy("doc_id")
+    }),
+
+    // q118: BM25 ranked retrieval — the RELEVANCE layer on top of
+    // q113's probe primitive (Okapi BM25, k1 = 1.2, b = 0.75): query
+    // terms are the 3 words of q113's deterministic most-shared
+    // trigram, scoring is the textbook idf · tf·(k1+1) / (tf + k1·(1 −
+    // b + b·dl/avgdl)) sum. Scale shape: the query terms broadcast
+    // (3 rows), so the token stream prunes MAP-SIDE before the only
+    // per-doc-term aggregate — the inverted-index probe pattern, never
+    // a corpus-wide score-everything pass; df/avgdl are 1-row/3-row
+    // broadcast side tables. Every FP term is the same IEEE expression
+    // tree in both engines (double literals only — 22e-1 not the
+    // DECIMAL literal 2.2), summed per doc as DECIMAL(28,12) (exact,
+    // order-independent; the q97 argument), ranked on the exact sum
+    // with a doc_id tie-break, rounded only for display.
+    "q118_bm25_rank" -> ((s, d) => {
+      val dd = docs(s, d)
+        .select(col("doc_id"), col("tok"),
+          size(col("tok")).cast("bigint").as("dl"))
+      val terms = shingledOf(docs(s, d))
+        .groupBy("sh").agg(count(lit(1)).as("dfq"))
+        .agg(max(struct(col("dfq"), col("sh"))).as("t"))
+        .select(explode(split(col("t").getField("sh"), " ")).as("term"))
+        .distinct()
+      val tf = graft.operators.Materialize.truncate(
+        dd.select(col("doc_id"), col("dl"), explode(col("tok")).as("term"))
+          .join(broadcast(terms), Seq("term"))
+          .groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).as("tf")))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dd.agg(count(lit(1)).as("n"),
+        expr("cast(sum(dl) as double) / count(1)").as("avgdl"))
+      tf.join(broadcast(dft), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(sum(expr(
+          """cast(ln(1e0 + (n - df + 5e-1) / (df + 5e-1))
+               * ((tf * 22e-1)
+                  / (tf + 12e-1 * (25e-2 + 75e-2 * dl / avgdl)))
+             as decimal(28,12))""")).as("sc"))
+        .orderBy(col("sc").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"),
+          round(col("sc").cast("double"), 4).as("score"))
     })
   )
 
@@ -970,6 +1014,36 @@ object Dedup {
                   FROM t CROSS JOIN top)
           SELECT doc_id, phrase, CAST(n_occ AS BIGINT) AS n_occ
           FROM occ WHERE n_occ > 0 ORDER BY doc_id""",
+
+    // q113's phrase pick feeds the term set; the FP expression tree is
+    // byte-for-byte the Spark one (double literals, same associativity),
+    // ranking is on the exact decimal sum so both engines agree on the
+    // top-10 cut and its order
+    "q118_bm25_rank" ->
+      s"""WITH $docsTokCte,
+          ${duckShingleCte("t")},
+          e AS (SELECT doc_id, unnest(sh) AS sh FROM __s),
+          dfq AS (SELECT sh, count(*) AS df FROM e GROUP BY sh),
+          top AS (SELECT sh AS phrase FROM dfq
+                  ORDER BY df DESC, sh DESC LIMIT 1),
+          terms AS (SELECT DISTINCT unnest(string_split(phrase, ' '))
+                      AS term FROM top),
+          dl AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS dl FROM t),
+          stats AS (SELECT count(*) AS n,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                 FROM (SELECT doc_id, dl, unnest(tok) AS term FROM dl) x
+                 JOIN terms USING (term) GROUP BY 1, 2, 3),
+          dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          sc AS (SELECT doc_id,
+                   sum(CAST(ln(1e0 + (n - df + 5e-1) / (df + 5e-1))
+                     * ((tf * 22e-1)
+                        / (tf + 12e-1 * (25e-2 + 75e-2 * dl / avgdl)))
+                     AS DECIMAL(28,12))) AS sc
+                 FROM tf JOIN dft USING (term) CROSS JOIN stats
+                 GROUP BY doc_id)
+          SELECT doc_id, round(CAST(sc AS DOUBLE), 4) AS score
+          FROM (SELECT * FROM sc ORDER BY sc DESC, doc_id LIMIT 10) r""",
 
     // Oracle knows NOTHING about the LSH: the block-permutation probe is
     // recall-1 for hamming <= 3 (pigeonhole over 6 blocks), so any

@@ -257,6 +257,16 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(3) >= 5000, s"recall collapsed: $r")
   }
 
+  test("bm25: top-10 ranked, scores positive and non-increasing") {
+    val rows = SparkEntry.queries("q118_bm25_rank")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores.forall(_ > 0.0), "matched docs must score positive")
+    assert(scores == scores.sorted.reverse, "ranked by descending score")
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("exact dedup is idempotent and keeps min doc_id") {
     val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
       .toDF("doc_id", "text")

@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     "q97_bigram_lm", "q106_temperature_mix", "q108_source_drift",
     "q105_rolling_zscore", // q105: the q58-style day-grid cross
     "q113_phrase_search", // q113: the probe phrase is ONE broadcast row
-    "q115_dedup_recall") // q115: three 1-row count aggregates crossed
+    "q115_dedup_recall", // q115: three 1-row count aggregates crossed
+    "q118_bm25_rank") // q118: the n/avgdl stats are ONE broadcast row
 
   test("no CartesianProduct anywhere; BNLJ only where declared") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
