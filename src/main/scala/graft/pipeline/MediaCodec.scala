@@ -29,10 +29,12 @@ trait MediaCodec extends Serializable {
 object MediaCodec {
 
   /** REAL pure-JVM codec (the default for compressed-audio features):
-    * decodes IMA/DVI ADPCM WAV via [[ImaAdpcm]] — an actual compressed
-    * codec, ~4:1, bytes-in/samples-out tested — and falls back to
-    * anything the JDK's javax.sound parses (PCM / u-law / a-law WAV)
-    * via [[AudioOps.decodeWav]]. mp3/ogg/aac stay undecodable here
+    * decodes native FLAC via [[Flac]] (lossless compression — Rice-coded
+    * LPC/fixed prediction, stereo decorrelation) and IMA/DVI ADPCM WAV
+    * via [[ImaAdpcm]] (lossy ~4:1) — both actual compressed codecs,
+    * bytes-in/samples-out tested — and falls back to anything the JDK's
+    * javax.sound parses (PCM / u-law / a-law WAV) via
+    * [[AudioOps.decodeWav]]. mp3/ogg/aac stay undecodable here
     * (None -> row dropped): no pure-Java decoder exists in this
     * offline container; a codec-equipped deploy plugs its own
     * [[MediaCodec]] in. Video [[sampleFrames]] demuxes + decodes FOR
@@ -45,7 +47,8 @@ object MediaCodec {
 
     override def audioFeatures(bytes: Array[Byte],
         nMel: Int): Option[Array[Float]] =
-      ImaAdpcm.decode(bytes).orElse(AudioOps.decodeWav(bytes))
+      Flac.decode(bytes).orElse(ImaAdpcm.decode(bytes))
+        .orElse(AudioOps.decodeWav(bytes))
         .map { case (_, mono) => AudioOps.segmentEnergies(mono, nMel) }
 
     override def sampleFrames(bytes: Array[Byte], everyMs: Long,

@@ -539,6 +539,122 @@ class ImagePipelineSpec extends SparkSpec {
     assert(out.head.getSeq[Float](1).length == 4)
   }
 
+  /** Minimal FLAC encoder twin — emits the subset structures the
+    * decoder claims (fixed/LPC prediction, Rice residuals, constant +
+    * wasted bits, verbatim, stereo decorrelation) so decode is checked
+    * against independently-constructed bits, not self-consistency. */
+  private final class FlacW {
+    private val out = new java.io.ByteArrayOutputStream
+    private var cur = 0
+    private var nb = 0
+    def bit(v: Int): Unit = {
+      cur = (cur << 1) | (v & 1); nb += 1
+      if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
+    }
+    def bits(v: Long, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bit(((v >> i) & 1).toInt))
+    def align(): Unit = while (nb != 0) bit(0)
+    def toBytes: Array[Byte] = { align(); out.toByteArray }
+  }
+
+  private def flacStreamInfo(w: FlacW, rate: Int, chans: Int,
+      bps: Int): Unit = {
+    "fLaC".foreach(c => w.bits(c.toLong, 8))
+    w.bit(1); w.bits(0, 7); w.bits(34, 24) // last block, STREAMINFO
+    w.bits(4096, 16); w.bits(4096, 16)     // min/max block size
+    w.bits(0, 24); w.bits(0, 24)           // min/max frame size unknown
+    w.bits(rate.toLong, 20); w.bits(chans - 1L, 3); w.bits(bps - 1L, 5)
+    w.bits(0, 36)                          // total samples unknown
+    (0 until 16).foreach(_ => w.bits(0, 8)) // md5 unverified
+  }
+
+  private def flacFrameHeader(w: FlacW, blockSize: Int,
+      chCode: Int): Unit = {
+    w.bits(0x3ffe, 14); w.bit(0); w.bit(0)
+    w.bits(6, 4)  // block size: 8-bit field at header end
+    w.bits(0, 4)  // sample rate: from STREAMINFO
+    w.bits(chCode.toLong, 4)
+    w.bits(4, 3)  // 16-bit samples
+    w.bit(0)
+    w.bits(0, 8)  // frame number 0 (1-byte coded number)
+    w.bits(blockSize - 1L, 8)
+    w.bits(0, 8)  // header CRC-8 (decoder parses past it)
+  }
+
+  private def flacRice(w: FlacW, res: Seq[Long], param: Int): Unit = {
+    w.bits(0, 2)            // method 0: 4-bit Rice parameters
+    w.bits(0, 4)            // partition order 0
+    w.bits(param.toLong, 4)
+    res.foreach { x =>
+      val u = (x << 1) ^ (x >> 63) // zigzag
+      (0L until (u >>> param)).foreach(_ => w.bit(0)); w.bit(1)
+      w.bits(u, param)
+    }
+  }
+
+  test("multimodal: REAL FLAC decode — prediction, Rice, stereo") {
+    val bs = 32
+    val sine = Array.tabulate(4 * bs)(i =>
+      math.round(8000 * math.sin(2 * math.Pi * i / 64.0)))
+    val w = new FlacW
+    flacStreamInfo(w, 8000, 1, 16)
+    // frame 0: FIXED order 2
+    val f0 = sine.slice(0, bs)
+    flacFrameHeader(w, bs, 0)
+    w.bit(0); w.bits(0x0a, 6); w.bit(0) // subframe: fixed, order 2
+    w.bits(f0(0) & 0xffff, 16); w.bits(f0(1) & 0xffff, 16)
+    flacRice(w, (2 until bs).map(i => f0(i) - 2 * f0(i - 1) + f0(i - 2)), 6)
+    w.align(); w.bits(0, 16) // frame CRC-16 (parsed past)
+    // frame 1: LPC order 1, coef 1, shift 0 (prediction = previous)
+    val f1 = sine.slice(bs, 2 * bs)
+    flacFrameHeader(w, bs, 0)
+    w.bit(0); w.bits(0x20, 6); w.bit(0) // subframe: lpc, order 1
+    w.bits(f1(0) & 0xffff, 16)
+    w.bits(2, 4)  // precision 3
+    w.bits(0, 5)  // shift 0
+    w.bits(1, 3)  // coefficient +1
+    flacRice(w, (1 until bs).map(i => f1(i) - f1(i - 1)), 6)
+    w.align(); w.bits(0, 16)
+    // frame 2: CONSTANT 600 with one wasted bit (value stored >> 1)
+    flacFrameHeader(w, bs, 0)
+    w.bit(0); w.bits(0, 6); w.bit(1); w.bit(1) // wasted-bits count = 1
+    w.bits(300, 15)
+    w.align(); w.bits(0, 16)
+    // frame 3: VERBATIM
+    val f3 = sine.slice(3 * bs, 4 * bs)
+    flacFrameHeader(w, bs, 0)
+    w.bit(0); w.bits(1, 6); w.bit(0)
+    f3.foreach(v => w.bits(v & 0xffff, 16))
+    w.align(); w.bits(0, 16)
+
+    val (rate, mono) = graft.pipeline.Flac.decode(w.toBytes).get
+    assert(rate == 8000f && mono.length == 4 * bs)
+    val expected = (f0 ++ f1 ++ Array.fill(bs)(600L) ++ f3)
+      .map(_ / 32768.0)
+    assert(mono.sameElements(expected),
+      "lossless decode must reproduce the encoded samples bit-exactly")
+
+    // stereo mid/side frame: left/right reconstruct exactly, then
+    // average to mono (the shared codec-chain output convention)
+    val l = Array.tabulate(16)(i => (500 * i - 3000).toLong)
+    val r = Array.tabulate(16)(i => (7001 - 400 * i).toLong)
+    val w2 = new FlacW
+    flacStreamInfo(w2, 16000, 2, 16)
+    flacFrameHeader(w2, 16, 10) // mid/side
+    w2.bit(0); w2.bits(1, 6); w2.bit(0) // mid channel, verbatim, 16 bit
+    l.indices.foreach(i => w2.bits((l(i) + r(i)) >> 1 & 0xffff, 16))
+    w2.bit(0); w2.bits(1, 6); w2.bit(0) // side channel, verbatim, 17 bit
+    l.indices.foreach(i => w2.bits(l(i) - r(i) & 0x1ffff, 17))
+    w2.align(); w2.bits(0, 16)
+    val (r2, mono2) = graft.pipeline.Flac.decode(w2.toBytes).get
+    val exp2 = l.indices.map(i => (l(i) / 32768.0 + r(i) / 32768.0) / 2)
+    assert(r2 == 16000f && mono2.toSeq == exp2)
+
+    // the default codec chain picks FLAC up without any WAV fallback
+    val feats = MediaCodec.Jvm.audioFeatures(w.toBytes, 4)
+    assert(feats.exists(_.length == 4))
+  }
+
   test("multimodal: REAL wav decode -> per-segment RMS energies") {
     // 0.1 s @ 8 kHz: first half a 440 Hz sine at amplitude 0.5, second
     // half silence -> with 4 segments, energies ~ (0.354, 0.354, 0, 0)
