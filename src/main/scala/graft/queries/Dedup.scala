@@ -794,6 +794,50 @@ object Dedup {
         .limit(10)
         .select(col("doc_id"),
           round(col("sc").cast("double"), 4).as("score"))
+    }),
+
+    // q119: PageRank over the LSH collision graph — the second
+    // iterative-BSP graph operator next to ConnectedComponents:
+    // centrality on the near-dup graph ranks the documents whose
+    // content RADIATES through a corpus (template hubs, syndicated
+    // articles) where CC only says who touches whom. Five synchronous
+    // iterations of r' = (1-d)/N + d·Σ r(u)/deg(u), d = 0.85, on the
+    // symmetric band-collision edge set (sub-quadratic by
+    // construction). Every quantity is a SCALED BIGINT (1e12 units,
+    // truncating `div`), so five rounds of both engines produce
+    // IDENTICAL integers — no FP drift across iteration order — and
+    // the DuckDB oracle is the same recurrence unrolled as five CTEs.
+    // Per-iteration lineage truncation (durable-checkpoint knob) keeps
+    // the BSP loop restartable at cluster scale, exactly like CC; each
+    // round is one join + one aggregate on the node key, and the
+    // degree/base constants ride the rows (no per-round broadcast).
+    "q119_pagerank" -> ((s, d) => {
+      val scale = 1000000000000L
+      val edges = bandPairsOf(signaturesOf(docs(s, d)))
+        .select("a_id", "b_id")
+      val sym = graft.operators.Materialize.truncate(
+        edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .union(edges.select(col("b_id").as("src"),
+            col("a_id").as("dst"))))
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nDf = deg.agg(count(lit(1)).as("n"))
+      var pr = graft.operators.Materialize.truncate(
+        deg.crossJoin(broadcast(nDf))
+          .select(col("src").as("node"), col("deg"),
+            expr(s"$scale div n").as("r"),
+            expr(s"(15 * ($scale div n)) div 100").as("base")))
+      for (_ <- 1 to 5) {
+        val contrib = pr.join(sym, col("node") === col("src"))
+          .select(col("dst"), expr("r div deg").as("c"), col("base"))
+        pr = graft.operators.Materialize.truncate(
+          contrib.groupBy("dst")
+            .agg(sum(col("c")).as("cs"), max(col("base")).as("base"))
+            .join(deg, col("dst") === col("src"))
+            .select(col("dst").as("node"), col("deg"),
+              expr("base + (85 * cs) div 100").as("r"), col("base")))
+      }
+      pr.orderBy(col("r").desc, col("node")).limit(20)
+        .select(col("node").as("doc_id"), col("r").as("pr"))
     })
   )
 
@@ -1044,6 +1088,38 @@ object Dedup {
                  GROUP BY doc_id)
           SELECT doc_id, round(CAST(sc AS DOUBLE), 4) AS score
           FROM (SELECT * FROM sc ORDER BY sc DESC, doc_id LIMIT 10) r""",
+
+    // q102's band-collision edges + the same scaled-integer recurrence
+    // unrolled as five CTEs: every division is truncating integer
+    // division, so both engines produce identical BIGINTs per round
+    "q119_pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""pr$k AS (SELECT g.node, g.deg,
+            CAST((SELECT b FROM bs) + (85 * x.cs) // 100 AS BIGINT) AS r
+          FROM (SELECT s.dst AS nd, sum(p.r // p.deg) AS cs
+                FROM pr${k - 1} p JOIN sym s ON p.node = s.src
+                GROUP BY s.dst) x
+          JOIN degs g ON g.node = x.nd)"""
+      }.mkString(",\n          ")
+      s"""WITH sig AS ($minhashSigSql),
+          edges AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id
+                    FROM sig a JOIN sig b2
+                      ON a.band = b2.band AND a.mh = b2.mh
+                        AND a.doc_id < b2.doc_id
+                    GROUP BY 1, 2),
+          sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+                  UNION ALL SELECT b_id, a_id FROM edges),
+          degs AS (SELECT src AS node, count(*) AS deg FROM sym
+                   GROUP BY src),
+          nn AS (SELECT count(*) AS n FROM degs),
+          bs AS (SELECT (15 * (1000000000000 // n)) // 100 AS b,
+                   1000000000000 // n AS r0 FROM nn),
+          pr0 AS (SELECT node, deg,
+                    CAST((SELECT r0 FROM bs) AS BIGINT) AS r FROM degs),
+          $iters
+          SELECT node AS doc_id, r AS pr
+          FROM (SELECT * FROM pr5 ORDER BY r DESC, node LIMIT 20) f"""
+    },
 
     // Oracle knows NOTHING about the LSH: the block-permutation probe is
     // recall-1 for hamming <= 3 (pigeonhole over 6 blocks), so any

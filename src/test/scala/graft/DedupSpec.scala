@@ -267,6 +267,18 @@ class DedupSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("pagerank: scaled mass bounded, ranks ordered, ids distinct") {
+    val rows = SparkEntry.queries("q119_pagerank")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val prs = rows.map(_.getLong(1)).toSeq
+    // truncating div only ever LOSES mass: every rank sits in
+    // (0, scale], and the listing is (pr desc, doc_id) deterministic
+    assert(prs.forall(p => p > 0 && p <= 1000000000000L))
+    assert(prs == prs.sorted.reverse)
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("exact dedup is idempotent and keeps min doc_id") {
     val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
       .toDF("doc_id", "text")
