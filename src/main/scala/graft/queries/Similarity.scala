@@ -339,6 +339,44 @@ object Similarity {
         .limit(5)
     }),
 
+    // q120: MULTI-PROBE IVF — the recall/cost knob every production ANN
+    // index exposes (probe > 1 inverted lists): the probe scans its own
+    // sign bucket PLUS the four Hamming-1 neighbors (one flipped sign
+    // bit each — the buckets a borderline vector most likely fell
+    // into), and the summary row reports hits + recall_bp against the
+    // exact brute-force top-5 (the q89 audit) NEXT TO n_scanned, the
+    // price paid: recall rises with list count, scan cost rises
+    // linearly, and this query measures both sides of that trade
+    // instead of asserting it. The 5 probe buckets are ONE broadcast
+    // row exploded; the corpus side still prunes map-side on the
+    // bucket equi-join — never a full-corpus distance pass (that is
+    // the brute arm, which exists here only as the audit's ground
+    // truth).
+    "q120_multiprobe_ivf" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"),
+        col("embedding").as("emb"))
+      val pr = e.filter(col("vec_id") === 0)
+      val pb = pr.select(explode(expr(
+          "array(bucket, bucket ^ 1, bucket ^ 2, bucket ^ 4, bucket ^ 8)"))
+          .as("p_bucket"), col("emb").as("pe"))
+      val cand = e.join(broadcast(pb), col("bucket") === col("p_bucket"))
+        .filter(col("vec_id") =!= 0)
+      val scanned = cand.agg(count(lit(1)).as("n_scanned"))
+      val top = cand
+        .select(col("vec_id"), round(cosine("emb", "pe"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      val probe = pr.select(col("emb").as("pe2"))
+      val brute = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(expr("cosine_sim(emb, pe2)"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      brute.join(top.select("vec_id"), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(col("hits"), (col("hits") * 2000).as("recall_bp"))
+        .crossJoin(broadcast(scanned))
+    }),
+
     // q117: SemDeDup-style SEMANTIC dedup — the embedding-space twin of
     // the text dedup chain (q35 LSH candidates -> q67 clusters -> q102
     // canon): near-duplicate MEANING, not near-duplicate bytes, is what
@@ -569,6 +607,32 @@ object Similarity {
           FROM codes c JOIN m USING (vec_id)
           JOIN dt ON dt.sub = c.sub AND dt.c_id = c.c_id
           GROUP BY 1 ORDER BY adist, vec_id LIMIT 5""",
+
+    // the probe's own bucket + 4 Hamming-1 neighbors via xor; brute arm
+    // is q89's ground truth, n_scanned is the candidate-list price
+    "q120_multiprobe_ivf" ->
+      s"""WITH e AS (SELECT vec_id, $duckBucket AS bucket,
+              CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          p AS (SELECT bucket, emb AS pe FROM e WHERE vec_id = 0),
+          pb AS (SELECT unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                          xor(bucket, 4), xor(bucket, 8)]) AS p_bucket, pe
+                 FROM p),
+          cand AS (SELECT e.vec_id, e.emb, pb.pe FROM e
+                   JOIN pb ON e.bucket = pb.p_bucket WHERE e.vec_id <> 0),
+          sc AS (SELECT count(*) AS n_scanned FROM cand),
+          top5 AS (SELECT vec_id FROM (
+                     SELECT vec_id,
+                       round(list_cosine_similarity(emb, pe), 4) AS sim
+                     FROM cand ORDER BY sim DESC, vec_id LIMIT 5) t),
+          brute AS (SELECT vec_id FROM (
+                     SELECT e.vec_id,
+                       round(list_cosine_similarity(e.emb, p.pe), 4) AS sim
+                     FROM e, p WHERE e.vec_id <> 0
+                     ORDER BY sim DESC, vec_id LIMIT 5) t),
+          h AS (SELECT count(*) AS hits FROM brute
+                WHERE vec_id IN (SELECT vec_id FROM top5))
+          SELECT hits, hits * 2000 AS recall_bp,
+            (SELECT n_scanned FROM sc) AS n_scanned FROM h""",
 
     // q38's edge predicate + q67's recursive-CTE transitive closure;
     // dropped = every node whose component holds a smaller id

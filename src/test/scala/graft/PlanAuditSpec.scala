@@ -33,7 +33,8 @@ class PlanAuditSpec extends SparkSpec {
     "q113_phrase_search", // q113: the probe phrase is ONE broadcast row
     "q115_dedup_recall", // q115: three 1-row count aggregates crossed
     "q118_bm25_rank", // q118: the n/avgdl stats are ONE broadcast row
-    "q119_pagerank") // q119: the node-count init is ONE broadcast row
+    "q119_pagerank", // q119: the node-count init is ONE broadcast row
+    "q120_multiprobe_ivf") // q120: brute audit arm + 1-row scan count
 
   test("no CartesianProduct anywhere; BNLJ only where declared") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

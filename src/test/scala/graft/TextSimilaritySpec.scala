@@ -72,6 +72,18 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe IVF: recall >= single-probe, cost stays partial") {
+    val mp = SparkEntry.queries("q120_multiprobe_ivf")(spark, sf).head()
+    val sp = SparkEntry.queries("q89_ann_recall")(spark, sf).head()
+    assert(mp.getLong(0) >= sp.getLong(0),
+      "probing 5 lists must never find fewer true neighbors than 1 list")
+    assert(mp.getLong(2) > 0)
+    // 5 of 16 sign buckets: the scan must stay well under the corpus
+    val total = Tables.load(spark, sf, "embeddings").count()
+    assert(mp.getLong(2) < total,
+      "multi-probe must still scan a strict subset of the corpus")
+  }
+
   test("token counts: bpe tokenization never undercounts ws tokens") {
     val q = SparkEntry.queries("q42_token_count")(spark, sf)
     assert(q.filter($"bpe_tokens" < $"ws_tokens").count() == 0)
