@@ -807,10 +807,15 @@ object Dedup {
     // truncating `div`), so five rounds of both engines produce
     // IDENTICAL integers — no FP drift across iteration order — and
     // the DuckDB oracle is the same recurrence unrolled as five CTEs.
-    // Per-iteration lineage truncation (durable-checkpoint knob) keeps
-    // the BSP loop restartable at cluster scale, exactly like CC; each
-    // round is one join + one aggregate on the node key, and the
-    // degree/base constants ride the rows (no per-round broadcast).
+    // Only the MULTI-CONSUMER inputs materialize (sym and deg feed all
+    // five rounds; durable-checkpoint knob) — the fixed-depth
+    // recurrence itself stays ONE lazy lineage, a 5-deep join+agg
+    // chain Catalyst/AQE handle in a single job with zero per-round
+    // driver actions. That is the deliberate contrast with CC, whose
+    // UNBOUNDED convergence loop must truncate and probe every round;
+    // a fixed iteration count needs neither. Each round is one join +
+    // one aggregate on the node key, and the degree/base constants
+    // ride the rows (no per-round broadcast).
     "q119_pagerank" -> ((s, d) => {
       val scale = 1000000000000L
       val edges = bandPairsOf(signaturesOf(docs(s, d)))
@@ -819,22 +824,21 @@ object Dedup {
         edges.select(col("a_id").as("src"), col("b_id").as("dst"))
           .union(edges.select(col("b_id").as("src"),
             col("a_id").as("dst"))))
-      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      val deg = graft.operators.Materialize.truncate(
+        sym.groupBy("src").agg(count(lit(1)).as("deg")))
       val nDf = deg.agg(count(lit(1)).as("n"))
-      var pr = graft.operators.Materialize.truncate(
-        deg.crossJoin(broadcast(nDf))
-          .select(col("src").as("node"), col("deg"),
-            expr(s"$scale div n").as("r"),
-            expr(s"(15 * ($scale div n)) div 100").as("base")))
+      var pr = deg.crossJoin(broadcast(nDf))
+        .select(col("src").as("node"), col("deg"),
+          expr(s"$scale div n").as("r"),
+          expr(s"(15 * ($scale div n)) div 100").as("base"))
       for (_ <- 1 to 5) {
         val contrib = pr.join(sym, col("node") === col("src"))
           .select(col("dst"), expr("r div deg").as("c"), col("base"))
-        pr = graft.operators.Materialize.truncate(
-          contrib.groupBy("dst")
-            .agg(sum(col("c")).as("cs"), max(col("base")).as("base"))
-            .join(deg, col("dst") === col("src"))
-            .select(col("dst").as("node"), col("deg"),
-              expr("base + (85 * cs) div 100").as("r"), col("base")))
+        pr = contrib.groupBy("dst")
+          .agg(sum(col("c")).as("cs"), max(col("base")).as("base"))
+          .join(deg, col("dst") === col("src"))
+          .select(col("dst").as("node"), col("deg"),
+            expr("base + (85 * cs) div 100").as("r"), col("base"))
       }
       pr.orderBy(col("r").desc, col("node")).limit(20)
         .select(col("node").as("doc_id"), col("r").as("pr"))
