@@ -205,6 +205,17 @@ object Dedup {
   def shingleCounts(shingles: DataFrame): DataFrame =
     shingles.groupBy("doc_id").agg(count(lit(1)).as("ns"))
 
+  /** The deterministic BM25 query-term set: the distinct words of
+    * q113's most-shared trigram. ONE source for batch q118 and the
+    * streaming scorer's serve state, so their parity is by
+    * construction. Input: a (doc_id, tok, ...) frame. */
+  def bm25Terms(dd: DataFrame): DataFrame =
+    shingledOf(dd)
+      .groupBy("sh").agg(count(lit(1)).as("dfq"))
+      .agg(max(struct(col("dfq"), col("sh"))).as("t"))
+      .select(explode(split(col("t").getField("sh"), " ")).as("term"))
+      .distinct()
+
   /** The incremental-dedup corpus state: (distinct exact content hashes
     * `h`, distinct minhash band fingerprints (band, mh)) of a corpus
     * frame with a `text` column. The SINGLE source for both the batch
@@ -769,11 +780,7 @@ object Dedup {
       val dd = docs(s, d)
         .select(col("doc_id"), col("tok"),
           size(col("tok")).cast("bigint").as("dl"))
-      val terms = shingledOf(docs(s, d))
-        .groupBy("sh").agg(count(lit(1)).as("dfq"))
-        .agg(max(struct(col("dfq"), col("sh"))).as("t"))
-        .select(explode(split(col("t").getField("sh"), " ")).as("term"))
-        .distinct()
+      val terms = bm25Terms(docs(s, d))
       val tf = graft.operators.Materialize.truncate(
         dd.select(col("doc_id"), col("dl"), explode(col("tok")).as("term"))
           .join(broadcast(terms), Seq("term"))

@@ -195,6 +195,59 @@ object StreamingDedup {
       .join(dict, Seq("ck", "clen"), "left_anti")
       .select("doc_id", "p", "chunk")
 
+  /** One-row BM25 serve state: the deterministic query terms
+    * (queries.Dedup.bm25Terms — the SAME builder batch q118 uses) with
+    * their document frequencies as an array of structs, plus corpus
+    * size and average doc length. Bounded by construction (|terms| =
+    * 3), persisted: it is the tiny static side every micro-batch
+    * crosses with. In production this is the periodically-refreshed
+    * index-statistics table of a serving tier. */
+  def bm25State(corpus: DataFrame): DataFrame = {
+    val dd = graft.queries.Dedup.withTok(corpus)
+    val dl = dd.select(col("doc_id"), col("tok"),
+      size(col("tok")).cast("bigint").as("dl"))
+    val terms = graft.queries.Dedup.bm25Terms(dd)
+    val dft = dl.select(col("doc_id"), explode(col("tok")).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      expr("cast(sum(dl) as double) / count(1)").as("avgdl"))
+    dft.agg(collect_list(struct(col("term"), col("df"))).as("terms"))
+      .crossJoin(stats)
+      .persist()
+  }
+
+  /** Streaming twin of batch q118: BM25-score ARRIVING documents
+    * against the static index statistics. Entirely STATELESS — per-doc
+    * term frequencies come from array HOFs over the row's own token
+    * array (no explode-and-aggregate, no state store), the one-row
+    * state arrives via a constant-key stream-static equi-join, and the
+    * per-term contributions are the IDENTICAL IEEE expression tree as
+    * batch q118 cast to the same DECIMAL(28,12) before an exact
+    * decimal fold — so a doc's streaming score EQUALS its batch score
+    * bit-for-bit. Emits the scored match stream (doc_id, sc exact);
+    * global top-k ranking is the sink's job on an unbounded stream
+    * (StreamingSpec ranks the collected sink and pins parity with
+    * q118's top-10). */
+  def bm25ScoreNew(stream: DataFrame, state: DataFrame): DataFrame =
+    graft.queries.Dedup.withTok(stream)
+      .withColumn("dl", size(col("tok")).cast("bigint"))
+      .withColumn("__k", lit(1))
+      .join(state.withColumn("__k", lit(1)), Seq("__k"))
+      .withColumn("sc", expr(
+        """aggregate(
+             transform(terms, t -> struct(
+               size(filter(tok, x -> x = t.term)) AS tf, t.df AS df)),
+             cast(0 as decimal(38,12)),
+             (acc, p) -> cast(acc + CASE WHEN p.tf > 0 THEN
+                 cast(ln(1e0 + (n - p.df + 5e-1) / (p.df + 5e-1))
+                   * ((p.tf * 22e-1)
+                      / (p.tf + 12e-1 * (25e-2 + 75e-2 * dl / avgdl)))
+                   as decimal(28,12))
+               ELSE cast(0 as decimal(28,12)) END as decimal(38,12)))"""))
+      .filter(col("sc") > 0)
+      .select(col("doc_id"), col("sc"))
+
   def nearDupNew(stream: DataFrame, corpusHash: DataFrame,
       corpusBands: DataFrame): DataFrame = {
     val dd = graft.queries.Dedup

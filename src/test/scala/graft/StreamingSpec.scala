@@ -351,6 +351,29 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); dict.unpersist() }
   }
 
+  test("streaming BM25 scoring matches batch q118 top-10 exactly") {
+    import org.apache.spark.sql.functions._
+    // serve state from the static corpus; the same docs then arrive as
+    // a stream. Every doc's streaming score is the identical decimal
+    // sum as batch, so ranking the collected sink by (sc desc, doc_id)
+    // and rounding must reproduce q118's top-10 row for row.
+    val corpus = Tables.load(spark, sf, "documents")
+    val state = graft.streaming.StreamingDedup.bm25State(corpus)
+    val stream = graft.streaming.StreamingDedup.docsStream(spark, sf)
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamingDedup.bm25ScoreNew(stream, state), "bm25s")
+    try {
+      val got = spark.table("bm25s")
+        .orderBy(col("sc").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), round(col("sc").cast("double"), 4))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = SparkEntry.queries("q118_bm25_rank")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.nonEmpty)
+      assert(got == batch, s"streaming $got vs batch $batch")
+    } finally { q.stop(); state.unpersist() }
+  }
+
   test("streaming RAG chunking equals batch q101 exactly") {
     // the chunk projection is map-only (no aggregation, no watermark),
     // so the BATCH builder runs unchanged on the unbounded stream —
