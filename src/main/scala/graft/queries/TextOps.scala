@@ -397,6 +397,29 @@ object TextOps {
         .orderBy("lang", "rn")
     }),
 
+    // q121: WEIGHTED sampling without replacement — importance sampling
+    // by a quality proxy (weight = n_chars), the knob between q92's
+    // uniform strata samples and q80's fixed per-lang rates. The
+    // Efraimidis–Spirakis key ln(u)/w (order-equivalent to the textbook
+    // u^(1/w), minus the cross-engine pow() risk) makes "keep the
+    // top-k keys" EXACTLY a weighted draw; u is the q92 52-bit md5
+    // prefix (+1 so ln never sees 0), so the sample is a pure content
+    // function — reproducible across runs/engines/partitionings and
+    // stable under append, and the scan stays map-side feeding ONE
+    // TakeOrdered (no shuffle, no global sort, no RNG state). Ranked
+    // on the exact double key (identical expression tree both
+    // engines), doc_id tie-break; rounded only for display.
+    "q121_weighted_sample" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("""ln((cast(conv(substr(md5(text), 1, 13), 16, 10)
+                    as double) + 1e0) / 4503599627370496e0)
+                  / greatest(n_chars, 1)""").as("skey"))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(25)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("skey"), 8).as("skey"))),
+
     // q95: per-language unigram (token) entropy — the corpus-diversity
     // signal next to q86's type-token ratio: H = ln(N) − (Σ c·ln c)/N
     // nats over the language's token distribution. Two stacked hash
@@ -819,6 +842,16 @@ object TextOps {
             CAST(sum(cnt) AS BIGINT) AS tokens,
             CAST((count(*) * 10000) // sum(cnt) AS BIGINT) AS ttr_bp
           FROM wc GROUP BY lang ORDER BY lang""",
+
+    // the same Efraimidis–Spirakis key, identical IEEE expression tree
+    "q121_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars, round(skey, 8) AS skey
+         FROM (SELECT doc_id, lang, n_chars,
+                 ln((CAST(CAST('0x' || substr(md5(text), 1, 13) AS UBIGINT)
+                      AS DOUBLE) + 1e0) / 4503599627370496e0)
+                   / greatest(n_chars, 1) AS skey
+               FROM documents
+               ORDER BY skey DESC, doc_id LIMIT 25) t""",
 
     // fixed-width lowercase hex: string order == numeric order of the
     // 52-bit prefix the Spark side ranks on

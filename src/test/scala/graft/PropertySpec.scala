@@ -32,6 +32,21 @@ class PropertySpec extends SparkSpec {
   private val textGen: Gen[String] =
     Gen.listOfN(12, vocab).map(_.mkString(" "))
 
+  test("weighted sample: biased toward heavy docs, fully deterministic") {
+    val rows = SparkEntry.queries("q121_weighted_sample")(spark, sf)
+      .collect()
+    assert(rows.length == 25)
+    val sampleMean = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    val corpusMean = Tables.load(spark, sf, "documents")
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"length-weighted draw must skew long: $sampleMean vs $corpusMean")
+    // pure content function: a rerun draws the identical sample
+    val again = SparkEntry.queries("q121_weighted_sample")(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("property: exact dedup is idempotent on generated corpora") {
     forSamples(Gen.listOfN(12, textGen), 5) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
