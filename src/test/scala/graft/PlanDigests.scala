@@ -41,5 +41,22 @@ object PlanDigests {
     "q73_incremental_dedup" ->
       "AQEShuffleRead x3 | BroadcastExchange x3 | BroadcastHashJoin x3 | ColumnarToRow x3 | Exchange x4 | Filter x5 | Generate x2 | HashAggregate x3 | Project x9 | ReusedExchange x1 | Scan parquet x3 | Sort x1",
     "q88_equidepth_hist" ->
-      "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Exchange x4 | HashAggregate x6 | Project x2 | Scan parquet x2 | Sort x2 | Window x2")
+      "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Exchange x4 | HashAggregate x6 | Project x2 | Scan parquet x2 | Sort x2 | Window x2",
+    // r8: the two pair pipelines hide behind Materialize; the visible
+    // tail is the count/semi-join summary
+    "q115_dedup_recall" ->
+      "AQEShuffleRead x2 | BroadcastExchange x3 | BroadcastHashJoin x1 | BroadcastNestedLoopJoin x2 | Exchange x5 | HashAggregate x6 | Project x4 | Scan ExistingRDD x4",
+    // r8: CC interior is behind checkpoints (q67 pattern); tail only
+    "q117_semantic_dedup" ->
+      "AQEShuffleRead x1 | Exchange x1 | Filter x1 | Project x1 | Scan ExistingRDD x1 | Sort x1",
+    // r8: the whole fixed 5-round recurrence is ONE lazy lineage —
+    // 10 broadcast joins (5 sym + 5 deg probes), 7 reused exchanges;
+    // a digest drift here means the loop fell back to per-round
+    // materialization or lost exchange reuse
+    "q119_pagerank" ->
+      "AQEShuffleRead x8 | BroadcastExchange x4 | BroadcastHashJoin x10 | BroadcastNestedLoopJoin x1 | Exchange x9 | HashAggregate x12 | Project x13 | ReusedExchange x7 | Scan ExistingRDD x5 | TakeOrderedAndProject x1",
+    // r8: term broadcast prunes the token stream BEFORE the per-doc
+    // aggregate; the 1-row stats ride the BNLJ
+    "q118_bm25_rank" ->
+      "AQEShuffleRead x2 | BroadcastExchange x2 | BroadcastHashJoin x1 | BroadcastNestedLoopJoin x1 | ColumnarToRow x1 | Exchange x3 | HashAggregate x6 | Project x3 | Scan ExistingRDD x2 | Scan parquet x1 | TakeOrderedAndProject x1")
 }
