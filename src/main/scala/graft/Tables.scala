@@ -14,13 +14,28 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects outright; read it as a nanos-since-epoch long and convert
-      // (values carry microsecond precision, so the division is exact).
+      // Fixture layouts observed across driver generations: events.ts as
+      // parquet TIMESTAMP(NANOS) (Spark rejects it outright -> read as a
+      // nanos-since-epoch long and convert; values carry microsecond
+      // precision, so the division is exact) or as TIMESTAMP(MICROS)
+      // without UTC adjustment (Spark reads TIMESTAMP_NTZ). Both
+      // normalize to TimestampType here; the session timezone is pinned
+      // to UTC, so the NTZ cast is value-preserving.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      tsToTimestamp(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize an events frame's `ts` to TimestampType whatever the
+    * on-disk physical type was (nanos-long / TIMESTAMP_NTZ / TIMESTAMP).
+    * Shared by the batch loader and the streaming events source so both
+    * sides see the identical column type. */
+  private[graft] def tsToTimestamp(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   /** Register every table as a temp view (for spark.sql-based queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types._
 import graft.queries.EventTime
 
 /** Structured Streaming variants of the event-time queries (SURVEY.md §7
@@ -18,23 +17,17 @@ import graft.queries.EventTime
   */
 object StreamingWindows {
 
-  /** Parquet schema of the events table as stored on disk (ts is
-    * TIMESTAMP(NANOS), which Spark reads as long under nanosAsLong).
-    * private[graft] so the multi-batch test harness reads its split
-    * files with the SAME schema the stream source uses. */
-  private[graft] val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming scan of the events table (one parquet file = one
     * micro-batch in tests; a directory of arriving files in production).
     * `maxFilesPerTrigger > 0` caps files per micro-batch — the
     * multi-batch arrival harness (files named events*.parquet arrive in
-    * modification-time order, one per trigger). */
+    * modification-time order, one per trigger).
+    *
+    * The streaming source needs an explicit schema; it is inferred from
+    * the on-disk footers with a one-off batch read so the stream adapts
+    * to whichever physical ts layout the fixture generation used
+    * (nanos-long or TIMESTAMP(_NTZ) — see Tables.tsToTimestamp, shared
+    * with the batch loader so both sides see the identical column). */
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -44,12 +37,12 @@ object StreamingWindows {
     // staged sibling files) — the default glob must stay events.parquet so
     // every batch-parity query reads exactly what the batch side reads.
     val glob = if (maxFilesPerTrigger > 0) "events*.parquet" else "events.parquet"
-    val r = spark.readStream.schema(rawSchema)
+    val onDisk = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val r = spark.readStream.schema(onDisk)
       .option("pathGlobFilter", glob)
     val r2 = if (maxFilesPerTrigger > 0)
       r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else r
-    r2.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.tsToTimestamp(r2.parquet(dir))
   }
 
   def tumbling(spark: SparkSession, dir: String,

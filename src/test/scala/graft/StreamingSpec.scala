@@ -71,9 +71,13 @@ class StreamingSpec extends SparkSpec {
     // exact vs a driver-side reference
     import org.apache.spark.sql.functions.{col, expr, lit}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(StreamingWindows.rawSchema)
-      .parquet(s"$sf/events.parquet")
-    val cutNs = 1705363200L * 1000000000L // 2024-01-16 00:00:00 UTC
+    // normalize ts to TimestampType whatever the fixture's physical
+    // layout (nanos-long or TIMESTAMP_NTZ); the staged split files then
+    // carry plain TIMESTAMP and the stream source adapts via the same
+    // helper, so this harness is layout-independent
+    val raw = graft.Tables.tsToTimestamp(
+      spark.read.parquet(s"$sf/events.parquet"))
+    val cutUs = 1705363200L * 1000000L // 2024-01-16 00:00:00 UTC
     val dir = java.nio.file.Files.createTempDirectory("graft_sd").toFile
     def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
         mtime: Long): Unit = {
@@ -85,8 +89,8 @@ class StreamingSpec extends SparkSpec {
       dst.setLastModified(mtime)
     }
     val now = System.currentTimeMillis()
-    writeOne(raw.filter(col("ts") < cutNs), "a", now - 60000L)
-    writeOne(raw.filter(col("ts") >= cutNs), "b", now)
+    writeOne(raw.filter(expr("unix_micros(ts)") < cutUs), "a", now - 60000L)
+    writeOne(raw.filter(expr("unix_micros(ts)") >= cutUs), "b", now)
 
     val q = StreamingWindows.runToMemory(
       StreamingWindows.slidingDistinct(spark, dir.getAbsolutePath,
@@ -94,8 +98,11 @@ class StreamingSpec extends SparkSpec {
     try {
       // driver-side reference: distinct (user, epoch-day), then exact
       // distinct counts per trailing-7-day window
+      // integer epoch-day arithmetic (no double division: micros near
+      // 1.7e15 are exact in long, and `div` matches the streaming
+      // path's date_trunc day bucketing)
       val ud = raw.select(col("user_id"),
-          expr("ts div 86400000000000").as("day"))
+          expr("unix_micros(ts) div 86400000000").as("day"))
         .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
       val dmin = ud.map(_._2).min
       val dmax = ud.map(_._2).max
@@ -112,7 +119,7 @@ class StreamingSpec extends SparkSpec {
       // the final watermark (dmax+6 - 7d) finalizes windows <= dmax-2;
       // in particular days AFTER the split boundary must be present —
       // proving batch-2 events were not treated as late
-      val boundaryDay = cutNs / 86400000000000L
+      val boundaryDay = cutUs / 86400000000L
       assert(got.keySet.exists(_ >= boundaryDay),
         "no finalized window past the batch boundary")
       assert((dmin to (dmax - 2)).forall(got.contains),
