@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -216,6 +217,58 @@ object Dedup {
       .select(explode(split(col("t").getField("sh"), " ")).as("term"))
       .distinct()
 
+  /** (doc_id, dl, term, tf): per-document term frequencies restricted to
+    * the deterministic BM25 query-term set ([[bm25Terms]] — 3 broadcast
+    * rows, so the token stream prunes MAP-SIDE; never a corpus-wide
+    * score-everything pass). MATERIALIZED: three consumers (scoring,
+    * per-term df, q123's relevance grades) read this doc-count-sized
+    * table. Shared by q118/q122/q123. */
+  private def bm25Tf(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+      .select(col("doc_id"), col("tok"),
+        size(col("tok")).cast("bigint").as("dl"))
+    val terms = bm25Terms(docs(s, d))
+    graft.operators.Materialize.truncate(
+      dd.select(col("doc_id"), col("dl"), explode(col("tok")).as("term"))
+        .join(broadcast(terms), Seq("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).as("tf")))
+  }
+
+  /** (doc_id, sc): exact-decimal Okapi BM25 scores (k1 = 1.2, b = 0.75)
+    * over [[bm25Tf]] — the un-truncated q118 score table, reused by the
+    * q122 fusion arm. Every FP term is the same IEEE expression tree in
+    * both engines (double literals only), summed per doc as
+    * DECIMAL(28,12) (exact, order-independent); df/avgdl are
+    * 1-row/3-row broadcast side tables. */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+      .select(col("doc_id"), col("tok"),
+        size(col("tok")).cast("bigint").as("dl"))
+    val tf = bm25Tf(s, d)
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dd.agg(count(lit(1)).as("n"),
+      expr("cast(sum(dl) as double) / count(1)").as("avgdl"))
+    tf.join(broadcast(dft), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        """cast(ln(1e0 + (n - df + 5e-1) / (df + 5e-1))
+             * ((tf * 22e-1)
+                / (tf + 12e-1 * (25e-2 + 75e-2 * dl / avgdl)))
+           as decimal(28,12))""")).as("sc"))
+  }
+
+  /** The rank->discount table for q123's DCG@10: disc(r) =
+    * floor(1e12 / log2(r+1)) PRECOMPUTED as Scala Long constants and
+    * embedded as literals in BOTH the Spark plan and the DuckDB oracle
+    * (string-interpolated from this one sequence) — engine log()
+    * implementations differ in the last ulp, so the discount curve is
+    * pinned as data, the way a real eval job broadcasts its qrels. */
+  private val ndcgDiscounts: IndexedSeq[(Int, Long)] =
+    (1 to 10).map(r =>
+      (r, math.floor(1e12 / (math.log(r + 1.0) / math.log(2.0))).toLong))
+
   /** The incremental-dedup corpus state: (distinct exact content hashes
     * `h`, distinct minhash band fingerprints (band, mh)) of a corpus
     * frame with a `text` column. The SINGLE source for both the batch
@@ -403,39 +456,32 @@ object Dedup {
         round(col("jac_raw"), 4).as("jac"))
   }
 
-  /** Exact Jaccard >= t pairs via the lossless PPJoin prefix filter —
-    * the q103 builder, shared with the q115 recall audit (see the
-    * q103 map entry's comment for the full losslessness argument and
-    * plan-shape story). Returns (a_id, b_id, inter, jac), a_id < b_id,
-    * unordered. */
-  def exactJaccardPairsOf(s: SparkSession, docsDf: DataFrame,
-      t: Double): DataFrame = {
+  /** One row per document: its hashed 3-shingle set as both a
+    * rarest-first array `os` (prefix-filter order: global df asc, shk
+    * tiebreak) and a value-sorted array `osh` (merge-walk verification
+    * input) — MATERIALIZED (Materialize.truncate: localCheckpoint by
+    * default, durable checkpoint() under
+    * spark.graft.reliableCheckpoints). Shared by the q103 exact-Jaccard
+    * join and the q124 containment join, whose candidate + verification
+    * branches would each re-run the scan -> shingle -> df-join pipeline
+    * without it (column pruning specializes each consumer differently,
+    * defeating exchange reuse).
+    *
+    * The numbered repartitions are exempt from AQE coalescing: the shk
+    * one keeps the df aggregate + df join at full parallelism, the
+    * doc_id one doubles as the doc-set aggregate's required
+    * distribution AND the checkpoint's partition layout (without it
+    * the small aggregate coalesces to a couple of tasks and every
+    * downstream explode/join inherits that serial layout from the
+    * materialized blocks). */
+  def docsetsOf(s: SparkSession, docsDf: DataFrame): DataFrame = {
     val nPart = s.sessionState.conf.numShufflePartitions
-    // numbered repartition: exempt from AQE coalescing, so the df
-    // aggregate, df join and candidate join that all sit on this one
-    // exchange keep full parallelism (the keyless form was coalesced
-    // to a handful of tasks and serialized the probe stage)
     val sh = shingledOf(
         graft.operators.Parallelism.widen(docsDf, col("doc_id")))
       .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
       .repartition(nPart, col("shk"))
     val dfreq = sh.groupBy("shk").agg(count(lit(1)).as("df"))
-    // one row per document: its shingle set, rarest-first. Three
-    // consumers (prefix explode + both verification joins) read this
-    // doc-count-sized table; column pruning specializes each branch
-    // differently, which defeats exchange reuse and would re-run the
-    // scan+shingle+df-join pipeline per consumer — so materialize it
-    // once (Materialize.truncate — localCheckpoint by default, the
-    // durable checkpoint() under spark.graft.reliableCheckpoints;
-    // doc-level state, far smaller than the shingle stream it
-    // replaces).
-    // the PRE-aggregate numbered repartition doubles as the agg's
-    // required distribution AND the checkpoint's partition layout
-    // (exempt from AQE coalescing): without it the small doc-set
-    // aggregate coalesces to a couple of tasks and the explode
-    // consumers + verification joins below inherit that serial
-    // layout from the materialized blocks
-    val docsets = graft.operators.Materialize.truncate(
+    graft.operators.Materialize.truncate(
       sh.join(dfreq, Seq("shk"))
         .repartition(nPart, col("doc_id"))
         .groupBy("doc_id")
@@ -443,6 +489,16 @@ object Dedup {
           "transform(sort_array(collect_list(struct(df, shk))), x -> x.shk)")
           .as("os"),
           expr("array_sort(collect_list(shk))").as("osh")))
+  }
+
+  /** Exact Jaccard >= t pairs via the lossless PPJoin prefix filter —
+    * the q103 builder, shared with the q115 recall audit (see the
+    * q103 map entry's comment for the full losslessness argument and
+    * plan-shape story). Returns (a_id, b_id, inter, jac), a_id < b_id,
+    * unordered. */
+  def exactJaccardPairsOf(s: SparkSession, docsDf: DataFrame,
+      t: Double): DataFrame = {
+    val docsets = docsetsOf(s, docsDf)
     // both candidate sides explode the CHECKPOINTED docsets —
     // deriving them from `sh` would re-run the scan -> shingle ->
     // hash pipeline again (the checkpoint barrier splits the plan,
@@ -473,6 +529,49 @@ object Dedup {
       .filter(col("jac_raw") >= t)
       .select(col("a_id"), col("b_id"), col("inter"),
         round(col("jac_raw"), 4).as("jac"))
+      .distinct()
+  }
+
+  /** Exact asymmetric CONTAINMENT >= t ordered pairs — C(A,B) =
+    * |A∩B| / |A|, the near-SUBSET detector Jaccard misses (a short doc
+    * embedded verbatim in a long one scores high containment but low
+    * Jaccard because the union is dominated by B). Same lossless
+    * prefix-filter family as [[exactJaccardPairsOf]], adapted to the
+    * asymmetric measure: C >= t needs inter >= ceil(t·|A|), so if A∩B
+    * misses ALL of A's (|A| − ceil(t·|A|) + 1) globally-RAREST shingles
+    * the intersection is at most ceil(t·|A|) − 1 — too small. Hence
+    * prefix-explode only the contained side; the containing side must
+    * index its FULL shingle set (it can never be pruned — any of B's
+    * shingles might be the one A's prefix hits), which is the inherent
+    * extra cost of containment vs symmetric Jaccard. Candidates still
+    * concentrate on rare shingles (the prefix is rarest-first), the
+    * probe is one equi-join on shk, and verification is the same
+    * merge-walk over the checkpointed doc-level arrays. t must be
+    * dyadic (0.75 here) so ceil(size·t) is FP-exact in both engines.
+    * Returns ordered (sub_id, sup_id, inter, cont) — both directions
+    * can match independently. */
+  def containmentPairsOf(s: SparkSession, docsDf: DataFrame,
+      t: Double): DataFrame = {
+    val docsets = docsetsOf(s, docsDf)
+    val subPrefix = docsets.select(col("doc_id").as("sub_id"),
+      explode(expr(
+        s"slice(os, 1, cast(size(os) - ceil(size(os) * $t) + 1 as int))"))
+        .as("shk"))
+    val supAll = docsets.select(col("doc_id").as("sup_id"),
+      explode(col("os")).as("shk"))
+    subPrefix.join(supAll, Seq("shk"))
+      .filter(col("sub_id") =!= col("sup_id"))
+      .join(docsets.select(col("doc_id").as("sub_id"), col("osh").as("la")),
+        Seq("sub_id"))
+      .join(docsets.select(col("doc_id").as("sup_id"), col("osh").as("lb")),
+        Seq("sup_id"))
+      .select(col("sub_id"), col("sup_id"),
+        expr("sorted_intersect_count(la, lb)").as("inter"),
+        size(col("la")).as("na"))
+      .withColumn("cont_raw", col("inter") / col("na"))
+      .filter(col("cont_raw") >= t)
+      .select(col("sub_id"), col("sup_id"), col("inter"),
+        round(col("cont_raw"), 4).as("cont"))
       .distinct()
   }
 
@@ -776,32 +875,12 @@ object Dedup {
     // DECIMAL literal 2.2), summed per doc as DECIMAL(28,12) (exact,
     // order-independent; the q97 argument), ranked on the exact sum
     // with a doc_id tie-break, rounded only for display.
-    "q118_bm25_rank" -> ((s, d) => {
-      val dd = docs(s, d)
-        .select(col("doc_id"), col("tok"),
-          size(col("tok")).cast("bigint").as("dl"))
-      val terms = bm25Terms(docs(s, d))
-      val tf = graft.operators.Materialize.truncate(
-        dd.select(col("doc_id"), col("dl"), explode(col("tok")).as("term"))
-          .join(broadcast(terms), Seq("term"))
-          .groupBy("doc_id", "dl", "term")
-          .agg(count(lit(1)).as("tf")))
-      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val stats = dd.agg(count(lit(1)).as("n"),
-        expr("cast(sum(dl) as double) / count(1)").as("avgdl"))
-      tf.join(broadcast(dft), Seq("term"))
-        .crossJoin(broadcast(stats))
-        .groupBy("doc_id")
-        .agg(sum(expr(
-          """cast(ln(1e0 + (n - df + 5e-1) / (df + 5e-1))
-               * ((tf * 22e-1)
-                  / (tf + 12e-1 * (25e-2 + 75e-2 * dl / avgdl)))
-             as decimal(28,12))""")).as("sc"))
+    "q118_bm25_rank" -> ((s, d) =>
+      bm25Scores(s, d)
         .orderBy(col("sc").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"),
-          round(col("sc").cast("double"), 4).as("score"))
-    }),
+          round(col("sc").cast("double"), 4).as("score"))),
 
     // q119: PageRank over the LSH collision graph — the second
     // iterative-BSP graph operator next to ConnectedComponents:
@@ -849,6 +928,126 @@ object Dedup {
       }
       pr.orderBy(col("r").desc, col("node")).limit(20)
         .select(col("node").as("doc_id"), col("r").as("pr"))
+    }),
+
+    // q122: reciprocal-rank fusion — HYBRID retrieval, the standard way
+    // production search combines a sparse (BM25) and a dense (embedding
+    // cosine) arm: rrf = Σ 1/(60 + rank) over the lists a doc appears
+    // in. Each arm is ranked by its own PROVEN-exact ordering (BM25 on
+    // the exact decimal sum, cosine on the q34 rounded value, doc_id
+    // tie-break), cut to 20 by TakeOrderedAndProject (scale-safe), and
+    // only THEN ranked by a window — the window input is 20 rows by
+    // construction, never the corpus. The fused score is scaled-integer
+    // (1e6 div (60+r)): exact BIGINTs in both engines, no FP summation
+    // order to disagree on. Doc ids and embedding vec_ids share the id
+    // space (the q66 convention).
+    "q122_rrf_fusion" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val sparse = bm25Scores(s, d)
+        .orderBy(col("sc").desc, col("doc_id")).limit(20)
+        .withColumn("r_sparse", row_number()
+          .over(Window.orderBy(col("sc").desc, col("doc_id")))
+          .cast("bigint"))
+        .select(col("doc_id"), col("r_sparse"))
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val probe = e.filter(col("vec_id") === 0).select(col("emb").as("pe"))
+      val dense = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          round(expr("cosine_sim(emb, pe)"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(20)
+        .withColumn("r_dense", row_number()
+          .over(Window.orderBy(col("sim").desc, col("doc_id")))
+          .cast("bigint"))
+        .select(col("doc_id"), col("r_dense"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          expr("coalesce(1000000 div (60 + r_sparse), 0)" +
+            " + coalesce(1000000 div (60 + r_dense), 0)"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("r_sparse"), col("r_dense"), col("rrf"))
+    }),
+
+    // q123: retrieval-quality eval (nDCG@10 + MRR) of the BM25 ranking
+    // — the metric layer a retrieval pipeline reports. Relevance is
+    // DETERMINISTIC data, not a judgment call: grade = #distinct query
+    // terms the doc contains (0..3, exact integers from the bm25Tf
+    // probe). The log2 discount curve is pinned as a 10-row literal
+    // table (ndcgDiscounts — engine log() differs in the last ulp, so
+    // it ships as data, like a broadcast qrels file), making
+    // DCG/IDCG/nDCG pure BIGINT arithmetic. IDCG ranks the CORPUS-wide
+    // top-10 relevance grades (TakeOrderedAndProject again), so nDCG is
+    // against the true ideal, not the retrieved list reshuffled.
+    "q123_ndcg" -> ((s, d) => {
+      import s.implicits._
+      val discDf = ndcgDiscounts.toDF("rank", "disc")
+      val rel = bm25Tf(s, d).groupBy("doc_id")
+        .agg(count(lit(1)).as("rel"))
+      val ranked = bm25Scores(s, d)
+        .orderBy(col("sc").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("sc").desc, col("doc_id"))))
+      val dcg = ranked.join(rel, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("rel"))
+        .join(broadcast(discDf), Seq("rank"))
+        .agg(sum(col("rel") * col("disc")).as("dcg"),
+          min(when(col("rel") > 0, col("rank"))).as("fh"))
+      val idcg = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("rel").desc, col("doc_id"))))
+        .join(broadcast(discDf), Seq("rank"))
+        .agg(sum(col("rel") * col("disc")).as("idcg"))
+      dcg.crossJoin(idcg).select(
+        col("dcg"), col("idcg"),
+        expr("(10000 * dcg) div idcg").as("ndcg_bp"),
+        expr("coalesce(10000 div fh, 0)").as("mrr_bp"))
+    }),
+
+    // q124: exact containment pairs — see containmentPairsOf for the
+    // asymmetric prefix-filter argument (contained side prunes to its
+    // rarest (1-t) fraction, containing side indexes in full).
+    "q124_containment" -> ((s, d) =>
+      containmentPairsOf(s, docs(s, d), 0.75)
+        .orderBy("sub_id", "sup_id")),
+
+    // q125: sorted-neighborhood record linkage — the classic
+    // entity-resolution BLOCKING family (sort by key, compare only
+    // rank-neighbors within w) none of the shingle/minhash ops cover.
+    // The global rank is built scale-safely: ranks are computed
+    // PER-BLOCK (window partitioned by the key's first character — ~26
+    // parallel partitions whose union order equals the total key order,
+    // since the block key is a prefix of the sort key), then shifted by
+    // per-block offsets from a prefix sum over the TINY block-count
+    // table (the q88 cutpoints pattern: one window over ~26 rows, then
+    // broadcast). Neighbor candidates come from ONE equi-join: each row
+    // explodes its w successor ranks — no global window, no range scan.
+    // Verification is levenshtein <= 3 (identical edit-distance
+    // semantics in both engines).
+    "q125_sorted_neighborhood" -> ((s, d) => {
+      val w = 5
+      val names = Tables.load(s, d, "part").select(col("p_name")).distinct()
+      val blocked = names.withColumn("blk", substring(col("p_name"), 1, 1))
+      val intra = blocked.withColumn("ir", row_number()
+        .over(Window.partitionBy("blk").orderBy("p_name")))
+      val offsets = blocked.groupBy("blk").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(
+          Window.orderBy("blk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val ranked = intra
+        .join(broadcast(offsets.select(col("blk"), col("off"))), Seq("blk"))
+        .select(col("p_name"), (col("off") + col("ir")).as("rn"))
+      val cand = ranked
+        .select(col("p_name").as("a_name"), col("rn").as("ra"))
+        .select(col("a_name"),
+          explode(expr(s"sequence(ra + 1, ra + $w)")).as("rn"))
+      cand.join(ranked.select(col("p_name").as("b_name"), col("rn")),
+          Seq("rn"))
+        .withColumn("lev",
+          levenshtein(col("a_name"), col("b_name")).cast("bigint"))
+        .filter(col("lev") <= 3)
+        .select(col("a_name"), col("b_name"), col("lev"))
+        .orderBy("a_name", "b_name")
     })
   )
 
@@ -887,6 +1086,34 @@ object Dedup {
   private val docsTokCte =
     """t AS (SELECT doc_id,
            string_split_regex(trim(text), '\s+') AS tok FROM documents)"""
+
+  /** DuckDB CTE chain to the exact-decimal BM25 score table `sc`
+    * (doc_id, sc) — the oracle twin of [[bm25Scores]], shared by the
+    * q118/q122/q123 oracles (also exposes `tf`, q123's relevance
+    * source). */
+  private lazy val bm25ScCtes: String =
+    s"""$docsTokCte,
+        ${duckShingleCte("t")},
+        e AS (SELECT doc_id, unnest(sh) AS sh FROM __s),
+        dfq AS (SELECT sh, count(*) AS df FROM e GROUP BY sh),
+        top AS (SELECT sh AS phrase FROM dfq
+                ORDER BY df DESC, sh DESC LIMIT 1),
+        terms AS (SELECT DISTINCT unnest(string_split(phrase, ' '))
+                    AS term FROM top),
+        dl AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS dl FROM t),
+        stats AS (SELECT count(*) AS n,
+                    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, dl, term, count(*) AS tf
+               FROM (SELECT doc_id, dl, unnest(tok) AS term FROM dl) x
+               JOIN terms USING (term) GROUP BY 1, 2, 3),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        sc AS (SELECT doc_id,
+                 sum(CAST(ln(1e0 + (n - df + 5e-1) / (df + 5e-1))
+                   * ((tf * 22e-1)
+                      / (tf + 12e-1 * (25e-2 + 75e-2 * dl / avgdl)))
+                   AS DECIMAL(28,12))) AS sc
+               FROM tf JOIN dft USING (term) CROSS JOIN stats
+               GROUP BY doc_id)"""
 
   val oracle: Map[String, String] = Map(
     "q67_dedup_clusters" ->
@@ -1075,30 +1302,102 @@ object Dedup {
     // ranking is on the exact decimal sum so both engines agree on the
     // top-10 cut and its order
     "q118_bm25_rank" ->
-      s"""WITH $docsTokCte,
-          ${duckShingleCte("t")},
-          e AS (SELECT doc_id, unnest(sh) AS sh FROM __s),
-          dfq AS (SELECT sh, count(*) AS df FROM e GROUP BY sh),
-          top AS (SELECT sh AS phrase FROM dfq
-                  ORDER BY df DESC, sh DESC LIMIT 1),
-          terms AS (SELECT DISTINCT unnest(string_split(phrase, ' '))
-                      AS term FROM top),
-          dl AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS dl FROM t),
-          stats AS (SELECT count(*) AS n,
-                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-          tf AS (SELECT doc_id, dl, term, count(*) AS tf
-                 FROM (SELECT doc_id, dl, unnest(tok) AS term FROM dl) x
-                 JOIN terms USING (term) GROUP BY 1, 2, 3),
-          dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-          sc AS (SELECT doc_id,
-                   sum(CAST(ln(1e0 + (n - df + 5e-1) / (df + 5e-1))
-                     * ((tf * 22e-1)
-                        / (tf + 12e-1 * (25e-2 + 75e-2 * dl / avgdl)))
-                     AS DECIMAL(28,12))) AS sc
-                 FROM tf JOIN dft USING (term) CROSS JOIN stats
-                 GROUP BY doc_id)
+      s"""WITH $bm25ScCtes
           SELECT doc_id, round(CAST(sc AS DOUBLE), 4) AS score
           FROM (SELECT * FROM sc ORDER BY sc DESC, doc_id LIMIT 10) r""",
+
+    // each arm's rank CTE mirrors the Spark TakeOrdered-then-window
+    // shape; the fused score is pure BIGINT arithmetic
+    "q122_rrf_fusion" ->
+      s"""WITH $bm25ScCtes,
+          sp AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY sc DESC, doc_id)
+                     AS BIGINT) AS r_sparse
+                 FROM (SELECT * FROM sc
+                       ORDER BY sc DESC, doc_id LIMIT 20) s1),
+          dn0 AS (SELECT e2.vec_id AS doc_id,
+                    round(list_cosine_similarity(
+                      CAST(e2.embedding AS DOUBLE[]),
+                      CAST(p.pe AS DOUBLE[])), 4) AS sim
+                  FROM embeddings e2,
+                       (SELECT embedding AS pe FROM embeddings
+                        WHERE vec_id = 0) p
+                  WHERE e2.vec_id <> 0),
+          dn AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                     AS BIGINT) AS r_dense
+                 FROM (SELECT * FROM dn0
+                       ORDER BY sim DESC, doc_id LIMIT 20) s2),
+          f AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+                  r_sparse, r_dense,
+                  coalesce(1000000 // (60 + r_sparse), 0)
+                    + coalesce(1000000 // (60 + r_dense), 0) AS rrf
+                FROM sp FULL JOIN dn ON sp.doc_id = dn.doc_id)
+          SELECT doc_id, r_sparse, r_dense, rrf
+          FROM f ORDER BY rrf DESC, doc_id LIMIT 10""",
+
+    // the discount VALUES are string-interpolated from the SAME Scala
+    // constants the Spark plan embeds — the curve is data, not math
+    "q123_ndcg" -> {
+      val discValues = ndcgDiscounts.map { case (r, v) =>
+        s"(CAST($r AS BIGINT), CAST($v AS BIGINT))"
+      }.mkString(", ")
+      s"""WITH $bm25ScCtes,
+          rnk AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY sc DESC, doc_id)
+                      AS BIGINT) AS rank
+                  FROM (SELECT * FROM sc
+                        ORDER BY sc DESC, doc_id LIMIT 10) s1),
+          rel AS (SELECT doc_id, count(*) AS rel FROM tf GROUP BY doc_id),
+          disc(rank, disc) AS (VALUES $discValues),
+          dc AS (SELECT CAST(sum(coalesce(rel.rel, 0) * disc.disc)
+                      AS BIGINT) AS dcg,
+                   min(CASE WHEN coalesce(rel.rel, 0) > 0
+                       THEN rnk.rank END) AS fh
+                 FROM rnk LEFT JOIN rel ON rnk.doc_id = rel.doc_id
+                 JOIN disc ON disc.rank = rnk.rank),
+          irnk AS (SELECT rel,
+                     CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+                       AS BIGINT) AS rank
+                   FROM (SELECT * FROM rel
+                         ORDER BY rel DESC, doc_id LIMIT 10) s2),
+          ic AS (SELECT CAST(sum(irnk.rel * disc.disc) AS BIGINT) AS idcg
+                 FROM irnk JOIN disc ON disc.rank = irnk.rank)
+          SELECT dcg, idcg, (10000 * dcg) // idcg AS ndcg_bp,
+            coalesce(10000 // fh, 0) AS mrr_bp
+          FROM dc CROSS JOIN ic"""
+    },
+
+    // the asymmetric prefix filter is lossless (see containmentPairsOf),
+    // so the oracle is the UNCAPPED exact all-ordered-pairs formulation
+    "q124_containment" ->
+      s"""WITH $docsTokCte,
+          ${duckShingleCte("t")},
+          n AS (SELECT doc_id, unnest(sh) AS s FROM __s),
+          nc AS (SELECT doc_id, count(*) AS ns FROM n GROUP BY doc_id),
+          p AS (SELECT a.doc_id AS sub_id, b.doc_id AS sup_id,
+                  count(*) AS inter
+                FROM n a JOIN n b ON a.s = b.s AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+          SELECT p.sub_id, p.sup_id, p.inter,
+            round(p.inter / nc.ns, 4) AS cont
+          FROM p JOIN nc ON nc.doc_id = p.sub_id
+          WHERE p.inter / nc.ns >= 0.75
+          ORDER BY sub_id, sup_id""",
+
+    // oracle uses the plain single-window global rank — the Spark side's
+    // block-rank + offset construction must equal it exactly
+    "q125_sorted_neighborhood" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+          r AS (SELECT p_name,
+                  CAST(row_number() OVER (ORDER BY p_name) AS BIGINT)
+                    AS rn FROM n),
+          pr AS (SELECT a.p_name AS a_name, b.p_name AS b_name,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+                 FROM r a JOIN r b
+                   ON b.rn > a.rn AND b.rn <= a.rn + 5)
+          SELECT a_name, b_name, lev FROM pr
+          WHERE lev <= 3 ORDER BY a_name, b_name""",
 
     // q102's band-collision edges + the same scaled-integer recurrence
     // unrolled as five CTEs: every division is truncating integer

@@ -279,6 +279,71 @@ class DedupSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("containment: prefix filter matches brute force exactly") {
+    val dd = Dedup.withTok(Tables.load(spark, sf, "documents"))
+    // brute-force ordered pairs over the SAME hashed shingle universe
+    val n = Dedup.shingledOf(dd)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+    val nc = n.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val brute = n.as("a")
+      .join(n.as("b"), col("a.shk") === col("b.shk")
+        && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("sub_id"), col("b.doc_id").as("sup_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(nc.select(col("doc_id").as("sub_id"), col("ns").as("na")),
+        Seq("sub_id"))
+      .filter(col("inter") / col("na") >= 0.75)
+      .select("sub_id", "sup_id")
+    val got = Dedup.containmentPairsOf(spark, dd, 0.75)
+      .select("sub_id", "sup_id")
+    assert(got.exceptAll(brute).count() == 0
+      && brute.exceptAll(got).count() == 0)
+  }
+
+  test("rrf fusion: fused docs come from >= 1 arm, score is the exact sum") {
+    val rows = SparkEntry.queries("q122_rrf_fusion")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val rs = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rd = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(rs.isDefined || rd.isDefined, "doc in neither arm")
+      val expect = rs.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        rd.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getLong(3) == expect, s"rrf mismatch: $r")
+    }
+    val rrfs = rows.map(_.getLong(3)).toSeq
+    assert(rrfs == rrfs.sorted.reverse)
+  }
+
+  test("ndcg: metrics bounded, dcg never exceeds the ideal") {
+    val r = SparkEntry.queries("q123_ndcg")(spark, sf).collect().head
+    val (dcg, idcg) = (r.getLong(0), r.getLong(1))
+    // rearrangement: the ideal ordering maximizes the discounted sum
+    assert(dcg > 0 && idcg >= dcg)
+    assert(r.getLong(2) >= 0 && r.getLong(2) <= 10000)
+    assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+  }
+
+  test("sorted neighborhood: block-built rank equals one global window") {
+    val got = SparkEntry.queries("q125_sorted_neighborhood")(spark, sf)
+    // reference: the oracle's shape — ONE global window (fine in a
+    // test at fixture scale; the production path avoids it)
+    val names = Tables.load(spark, sf, "part").select("p_name").distinct()
+    val ranked = names.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy("p_name"))
+      .cast("long"))
+    val a = ranked.select(col("p_name").as("a_name"), col("rn").as("ra"))
+    val b = ranked.select(col("p_name").as("b_name"), col("rn").as("rb"))
+    val ref = a.join(b,
+        col("rb") > col("ra") && col("rb") <= col("ra") + 5)
+      .withColumn("lev",
+        levenshtein(col("a_name"), col("b_name")).cast("bigint"))
+      .filter(col("lev") <= 3)
+      .select("a_name", "b_name", "lev")
+    assert(got.exceptAll(ref).count() == 0
+      && ref.exceptAll(got).count() == 0)
+  }
+
   test("exact dedup is idempotent and keeps min doc_id") {
     val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
       .toDF("doc_id", "text")

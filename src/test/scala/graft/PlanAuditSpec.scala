@@ -34,7 +34,9 @@ class PlanAuditSpec extends SparkSpec {
     "q115_dedup_recall", // q115: three 1-row count aggregates crossed
     "q118_bm25_rank", // q118: the n/avgdl stats are ONE broadcast row
     "q119_pagerank", // q119: the node-count init is ONE broadcast row
-    "q120_multiprobe_ivf") // q120: brute audit arm + 1-row scan count
+    "q120_multiprobe_ivf", // q120: brute audit arm + 1-row scan count
+    "q122_rrf_fusion", // q122: BM25 stats row + 1-row dense probe
+    "q123_ndcg") // q123: BM25 stats row + 1-row dcg x idcg cross
 
   test("no CartesianProduct anywhere; BNLJ only where declared") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
