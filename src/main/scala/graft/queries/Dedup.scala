@@ -241,11 +241,17 @@ object Dedup {
     * both engines (double literals only), summed per doc as
     * DECIMAL(28,12) (exact, order-independent); df/avgdl are
     * 1-row/3-row broadcast side tables. */
-  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+  private def bm25Scores(s: SparkSession, d: String): DataFrame =
+    bm25ScoresFrom(s, d, bm25Tf(s, d))
+
+  /** [[bm25Scores]] over a CALLER-provided tf table — q123 derives both
+    * its relevance grades and its ranking from ONE bm25Tf
+    * materialization instead of running the term pipeline twice. */
+  private def bm25ScoresFrom(s: SparkSession, d: String,
+      tf: DataFrame): DataFrame = {
     val dd = docs(s, d)
       .select(col("doc_id"), col("tok"),
         size(col("tok")).cast("bigint").as("dl"))
-    val tf = bm25Tf(s, d)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dd.agg(count(lit(1)).as("n"),
       expr("cast(sum(dl) as double) / count(1)").as("avgdl"))
@@ -559,8 +565,14 @@ object Dedup {
         .as("shk"))
     val supAll = docsets.select(col("doc_id").as("sup_id"),
       explode(col("os")).as("shk"))
+    // UNLIKE q103 (prefix x prefix, duplication ~1.05 — cheaper to
+    // carry through), prefix x FULL candidates duplicate once per
+    // shared prefix shingle: a true subset pair repeats ~|prefix| ~
+    // 0.25·|A| times (~15x here, measured 7.8 s -> ~3 s at sf0.1), so
+    // dedup the pair ids BEFORE the verification joins
     subPrefix.join(supAll, Seq("shk"))
       .filter(col("sub_id") =!= col("sup_id"))
+      .select("sub_id", "sup_id").distinct()
       .join(docsets.select(col("doc_id").as("sub_id"), col("osh").as("la")),
         Seq("sub_id"))
       .join(docsets.select(col("doc_id").as("sup_id"), col("osh").as("lb")),
@@ -572,7 +584,6 @@ object Dedup {
       .filter(col("cont_raw") >= t)
       .select(col("sub_id"), col("sup_id"), col("inter"),
         round(col("cont_raw"), 4).as("cont"))
-      .distinct()
   }
 
   val queries: Map[String, Q] = Map(
@@ -982,9 +993,9 @@ object Dedup {
     "q123_ndcg" -> ((s, d) => {
       import s.implicits._
       val discDf = ndcgDiscounts.toDF("rank", "disc")
-      val rel = bm25Tf(s, d).groupBy("doc_id")
-        .agg(count(lit(1)).as("rel"))
-      val ranked = bm25Scores(s, d)
+      val tf = bm25Tf(s, d)
+      val rel = tf.groupBy("doc_id").agg(count(lit(1)).as("rel"))
+      val ranked = bm25ScoresFrom(s, d, tf)
         .orderBy(col("sc").desc, col("doc_id")).limit(10)
         .withColumn("rank", row_number()
           .over(Window.orderBy(col("sc").desc, col("doc_id"))))

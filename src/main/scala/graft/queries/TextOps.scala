@@ -17,6 +17,38 @@ object TextOps {
   private def docs(s: SparkSession, d: String) =
     Dedup.withTok(Tables.load(s, d, "documents"))
 
+  /** (doc_id, n_bigrams, avg_logp): the q97 KenLM-style bigram LM score
+    * — add-one-smoothed token-bigram probabilities trained ON the
+    * corpus, each doc scored by its mean log-prob. The bigram-count
+    * model joins on the bigram key and STAYS on the shuffle (at 100 TB
+    * it is corpus-sized — never broadcast); the unigram table is
+    * vocabulary-bounded and broadcasts; V is one row. Per-doc log-prob
+    * sums go through DECIMAL(28,12) — exact, order-independent — and
+    * ln() ulp drift is invisible at round(·,4). Shared by q97 and
+    * q126's perplexity bucketing. */
+  private def bigramLogProb(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).filter(size(col("tok")) >= 2)
+    val bg = dd.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(tok) - 2),
+             i -> struct(tok[i] AS w1, tok[i+1] AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
+    val uni = docs(s, d).select(explode(col("tok")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("nw"))
+    val v = uni.agg(count(lit(1)).as("vsz"))
+    bg.join(bc, Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("nw").as("n1"))),
+        Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(
+          "cast(ln((nb + 1) / cast(n1 + vsz as double)) as decimal(28,12))"))
+          .as("lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(expr("cast(lp as double) / n_bigrams"), 4).as("avg_logp"))
+  }
+
   // per-language stopword profiles for the langid heuristic
   private val profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is", "to"),
@@ -448,28 +480,46 @@ object TextOps {
     // vocabulary-bounded and broadcasts; V is one row. Per-doc log-prob
     // sums go through DECIMAL(28,12) — exact, order-independent — and
     // ln() ulp drift is invisible at round(·,4).
-    "q97_bigram_lm" -> ((s, d) => {
-      val dd = docs(s, d).filter(size(col("tok")) >= 2)
-      val bg = dd.select(col("doc_id"), explode(expr(
-          """transform(sequence(0, size(tok) - 2),
-               i -> struct(tok[i] AS w1, tok[i+1] AS w2))""")).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
-      val uni = docs(s, d).select(explode(col("tok")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("nw"))
-      val v = uni.agg(count(lit(1)).as("vsz"))
-      bg.join(bc, Seq("w1", "w2"))
-        .join(broadcast(uni.select(col("w").as("w1"), col("nw").as("n1"))),
-          Seq("w1"))
-        .crossJoin(broadcast(v))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(expr(
-            "cast(ln((nb + 1) / cast(n1 + vsz as double)) as decimal(28,12))"))
-            .as("lp"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(expr("cast(lp as double) / n_bigrams"), 4).as("avg_logp"))
-        .orderBy("doc_id")
+    "q97_bigram_lm" -> ((s, d) => bigramLogProb(s, d).orderBy("doc_id")),
+
+    // q126: CCNet-style perplexity buckets — the corpus-curation step
+    // downstream of q97's LM score: split docs into head/middle/tail
+    // LM-quality tertiles (head = highest avg log-prob = lowest
+    // perplexity; CCNet trains on head+middle and drops tail). The
+    // tertile cutpoints come from the q88 value-domain-bounded cume
+    // trick: scores are 4-decimal-quantized, so the distinct-score
+    // table is DOMAIN-bounded (~1e5 rows whatever the corpus size) and
+    // the single-task cume window runs over THAT, never over docs.
+    // Cut selection is pure integer arithmetic (3·run >= tot /
+    // 3·run >= 2·tot — no FP ratio to disagree on); cutpoints are
+    // ACTUAL data values broadcast as ONE row; binning is a map-side
+    // exact-double compare.
+    "q126_perplexity_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // TWO consumers (the cutpoint derivation and the final binning)
+      // read the doc-level score table — materialize it once or the
+      // whole bigram-LM pipeline runs twice (measured 2.6 s -> 1.7 s)
+      val lp = graft.operators.Materialize.truncate(bigramLogProb(s, d))
+      val vc = lp.groupBy("avg_logp").agg(count(lit(1)).as("cnt"))
+      val cume = vc
+        .withColumn("run", sum(col("cnt")).over(Window.orderBy("avg_logp")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot", sum(col("cnt")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      val cut = cume.agg(
+        min(when(col("run") * 3 >= col("tot"), col("avg_logp"))).as("c1"),
+        min(when(col("run") * 3 >= col("tot") * 2, col("avg_logp")))
+          .as("c2"))
+      lp.crossJoin(broadcast(cut))
+        .select(col("avg_logp"), expr(
+          """CASE WHEN avg_logp <= c1 THEN 'tail'
+                  WHEN avg_logp <= c2 THEN 'middle'
+                  ELSE 'head' END""").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("avg_logp").as("min_lp"), max("avg_logp").as("max_lp"))
+        .orderBy("bucket")
     }),
 
     // q98: normalization-aware exact dedup — the practical first pass
@@ -630,6 +680,26 @@ object TextOps {
         md5(concat_ws(" ", col("col"))).as("h"))
 
   private val duckTok = "string_split_regex(trim(text), '\\s+')"
+
+  /** DuckDB CTE chain to the per-doc bigram-LM score table `lp`
+    * (doc_id, n_bigrams, avg_logp) — the oracle twin of
+    * [[bigramLogProb]], shared by the q97/q126 oracles. */
+  private lazy val bigramLpCtes: String =
+    s"""t AS (SELECT doc_id, $duckTok AS tk FROM documents),
+        bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+               FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+               WHERE len(tk) >= 2),
+        bc AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY w1, w2),
+        uc AS (SELECT w, count(*) AS nw
+               FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+        v AS (SELECT count(*) AS vsz FROM uc),
+        lp AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                 round(CAST(sum(CAST(ln((c.nb + 1)
+                     / CAST(u.nw + v.vsz AS DOUBLE)) AS DECIMAL(28,12)))
+                   AS DOUBLE) / count(*), 4) AS avg_logp
+               FROM bg b JOIN bc c ON b.w1 = c.w1 AND b.w2 = c.w2
+               JOIN uc u ON b.w1 = u.w CROSS JOIN v
+               GROUP BY b.doc_id)"""
   private def duckHits(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString(", ")
     s"CAST(len(list_filter(tok, x -> list_contains([$arr], x))) AS BIGINT)"
@@ -874,21 +944,30 @@ object TextOps {
           FROM wc GROUP BY lang ORDER BY lang""",
 
     "q97_bigram_lm" ->
-      s"""WITH t AS (SELECT doc_id, $duckTok AS tk FROM documents),
-          bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-                 FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
-                 WHERE len(tk) >= 2),
-          bc AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY w1, w2),
-          uc AS (SELECT w, count(*) AS nw
-                 FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
-          v AS (SELECT count(*) AS vsz FROM uc)
-          SELECT b.doc_id, count(*) AS n_bigrams,
-            round(CAST(sum(CAST(ln((c.nb + 1)
-                / CAST(u.nw + v.vsz AS DOUBLE)) AS DECIMAL(28,12)))
-              AS DOUBLE) / count(*), 4) AS avg_logp
-          FROM bg b JOIN bc c ON b.w1 = c.w1 AND b.w2 = c.w2
-          JOIN uc u ON b.w1 = u.w CROSS JOIN v
-          GROUP BY b.doc_id ORDER BY doc_id""",
+      s"""WITH $bigramLpCtes
+          SELECT doc_id, n_bigrams, avg_logp FROM lp ORDER BY doc_id""",
+
+    // the same integer cut selection (3·run >= tot) over the
+    // 4-decimal-quantized score domain — no FP ratio in the cutpoints
+    "q126_perplexity_buckets" ->
+      s"""WITH $bigramLpCtes,
+          vc AS (SELECT avg_logp, count(*) AS cnt FROM lp
+                 GROUP BY avg_logp),
+          cume AS (SELECT avg_logp AS x,
+                     sum(cnt) OVER (ORDER BY avg_logp
+                       ROWS UNBOUNDED PRECEDING) AS run,
+                     sum(cnt) OVER () AS tot
+                   FROM vc),
+          cut AS (SELECT min(CASE WHEN 3 * run >= tot THEN x END) AS c1,
+                    min(CASE WHEN 3 * run >= 2 * tot THEN x END) AS c2
+                  FROM cume)
+          SELECT CASE WHEN avg_logp <= c1 THEN 'tail'
+                      WHEN avg_logp <= c2 THEN 'middle'
+                      ELSE 'head' END AS bucket,
+            count(*) AS n_docs, min(avg_logp) AS min_lp,
+            max(avg_logp) AS max_lp
+          FROM lp CROSS JOIN cut
+          GROUP BY 1 ORDER BY bucket""",
 
     "q98_normalized_dedup" ->
       """WITH n AS (SELECT doc_id,

@@ -170,6 +170,52 @@ object StreamingDedup {
         round(col("jac_raw"), 4).as("jac"))
   }
 
+  /** Streaming twin of batch q124: CONTAINMENT (>= t) of each ARRIVING
+    * document in a static corpus document — near-subset screening of a
+    * stream against a reference corpus (catches a corpus doc pasted
+    * into an arriving one padded with boilerplate, which Jaccard
+    * misses). Same stateless shape as [[prefixJaccardNew]], and the
+    * SAME [[prefixIndex]] state: the postings are already the corpus's
+    * FULL shingle sets, which is exactly what the containing side of
+    * the asymmetric measure requires (it can never be pruned). The
+    * prefix slice on the arriving doc stays lossless under hash order
+    * for the same reason as Jaccard's: C(A,B) >= t needs
+    * inter >= ceil(t·|A|) while the suffix holds only ceil(t·|A|) - 1.
+    * Emits (a_id = arriving/contained, b_id = corpus/containing,
+    * inter, cont) — the arriving-inside-corpus direction (the
+    * screening one; the reverse would need corpus-side prefixes).
+    * Witness dedup is the prefixJaccardNew trick: only the row whose
+    * join key is the smallest common shingle hash survives, map-side. */
+  def containmentNew(stream: DataFrame, docsets: DataFrame,
+      postings: DataFrame, t: Double = 0.75): DataFrame = {
+    val dd = graft.queries.Dedup
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val withOs = dd.withTok(stream)
+      .withColumn("os",
+        expr("sort_array(transform(shingles3(tok), x -> xxhash64(x)))"))
+      .filter(size(col("os")) > 0)
+    val probes = withOs
+      .withColumn("pa", expr(
+        s"slice(os, 1, cast(size(os) - ceil(size(os) * $t) + 1 as int))"))
+      .select(col("doc_id").as("a_id"), col("os"), col("pa"),
+        explode(col("pa")).as("shk"))
+    probes
+      .join(postings, Seq("shk"))
+      .filter(col("a_id") =!= col("b_id"))
+      .join(docsets.select(col("doc_id").as("b_id"), col("os").as("lb")),
+        Seq("b_id"))
+      .filter(col("shk") ===
+        array_min(array_intersect(col("pa"), col("lb"))))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("os"), col("lb"))).cast("long")
+          .as("inter"),
+        size(col("os")).as("na"))
+      .withColumn("cont_raw", col("inter") / col("na"))
+      .filter(col("cont_raw") >= t)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        round(col("cont_raw"), 4).as("cont"))
+  }
+
   /** Static boilerplate dictionary for [[boilerplateStripNew]] — built
     * by batch q114's OWN builder (queries.TextOps.boilerDict; one
     * source for the parity guarantee) and persisted: bounded by

@@ -26,6 +26,12 @@ object PlanDigests {
       "AQEShuffleRead x4 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x1 | Exchange x4 | Project x3 | Scan ExistingRDD x1 | Scan parquet x1 | Sort x3 | SortAggregate x2",
     "q103_prefix_jaccard" ->
       "AQEShuffleRead x2 | BroadcastExchange x2 | BroadcastHashJoin x3 | Exchange x2 | Filter x3 | Generate x2 | HashAggregate x2 | Project x9 | ReusedExchange x1 | Scan ExistingRDD x3 | Sort x1",
+    // same multiset as q103 by construction (prefix x full instead of
+    // prefix x prefix, pair-dedup HashAggregate instead of the final
+    // distinct) — a drift here means the candidate dedup or the shared
+    // docsets checkpoint shape regressed
+    "q124_containment" ->
+      "AQEShuffleRead x2 | BroadcastExchange x2 | BroadcastHashJoin x3 | Exchange x2 | Filter x3 | Generate x2 | HashAggregate x2 | Project x9 | ReusedExchange x1 | Scan ExistingRDD x3 | Sort x1",
     "q104_triangles" ->
       "AQEShuffleRead x6 | BroadcastExchange x4 | BroadcastHashJoin x4 | Exchange x5 | HashAggregate x5 | Project x7 | ReusedExchange x2 | Scan ExistingRDD x4 | Union x1",
     "q12_range_join" ->

@@ -324,6 +324,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming containment matches batch q124 cross pairs exactly") {
+    import org.apache.spark.sql.functions.col
+    // same split as the prefix-Jaccard twin. Batch q124 emits ORDERED
+    // (sub_id, sup_id) pairs in both directions; the twin covers the
+    // arriving-contained-in-corpus direction, i.e. exactly the batch
+    // pairs with sub_id >= 250 (arriving) and sup_id < 250 (corpus).
+    val corpus = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 250)
+    val (docsets, postings) =
+      graft.streaming.StreamingDedup.prefixIndex(corpus)
+    val stream = graft.streaming.StreamingDedup.docsStream(spark, sf)
+      .filter(col("doc_id") >= 250)
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamingDedup.containmentNew(
+        stream, docsets, postings), "contain")
+    try {
+      val got = spark.table("contain").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = SparkEntry.queries("q124_containment")(spark, sf)
+        .collect()
+        .filter(r => r.getLong(0) >= 250 && r.getLong(1) < 250)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(batch.nonEmpty, "fixture must contain cross-split pairs")
+      assert(got == batch,
+        s"streaming ${got.size} vs batch ${batch.size} qualifying pairs")
+    } finally q.stop()
+  }
+
   test("streaming boilerplate strip matches batch q114 kept chunks") {
     import org.apache.spark.sql.functions._
     // dictionary from the full static corpus; the same docs then arrive

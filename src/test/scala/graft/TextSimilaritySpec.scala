@@ -89,6 +89,22 @@ class TextSimilaritySpec extends SparkSpec {
     assert(q.filter($"bpe_tokens" < $"ws_tokens").count() == 0)
   }
 
+  test("perplexity buckets: tertiles partition the score line in order") {
+    val rows = SparkEntry.queries("q126_perplexity_buckets")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet.subsetOf(Set("head", "middle", "tail")))
+    assert(rows.nonEmpty)
+    // buckets are value intervals: ordering must be strict between them
+    for {
+      (lo, hi) <- Seq("tail" -> "middle", "middle" -> "head")
+      l <- rows.get(lo); h <- rows.get(hi)
+    } assert(l._3 < h._2, s"$lo max must sit below $hi min")
+    // the tertile split covers every scored doc
+    val scored = SparkEntry.queries("q97_bigram_lm")(spark, sf).count()
+    assert(rows.values.map(_._1).sum == scored)
+  }
+
   test("repetition: dup_bp is exact integer basis points, bounded") {
     val q = SparkEntry.queries("q70_repetition")(spark, sf)
     assert(q.filter($"dup_bp" < 0 || $"dup_bp" > 10000).count() == 0)
