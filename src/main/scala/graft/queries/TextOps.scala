@@ -26,12 +26,17 @@ object TextOps {
     * sums go through DECIMAL(28,12) — exact, order-independent — and
     * ln() ulp drift is invisible at round(·,4). Shared by q97 and
     * q126's perplexity bucketing. */
-  private def bigramLogProb(s: SparkSession, d: String): DataFrame = {
-    val dd = docs(s, d).filter(size(col("tok")) >= 2)
-    val bg = dd.select(col("doc_id"), explode(expr(
+  /** (doc_id, w1, w2): the document's consecutive token bigrams —
+    * shared by the LM scorer and q127's importance weighting. */
+  private def bigramsOf(dd: DataFrame): DataFrame =
+    dd.filter(size(col("tok")) >= 2)
+      .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(tok) - 2),
              i -> struct(tok[i] AS w1, tok[i+1] AS w2))""")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  private def bigramLogProb(s: SparkSession, d: String): DataFrame = {
+    val bg = bigramsOf(docs(s, d))
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
     val uni = docs(s, d).select(explode(col("tok")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("nw"))
@@ -522,6 +527,52 @@ object TextOps {
         .orderBy("bucket")
     }),
 
+    // q127: DSIR-style importance weights — domain-targeted data
+    // selection (Xie et al.'s Data Selection via Importance Resampling,
+    // simplified to bigram LMs): train a TARGET model on the target
+    // domain (lang = 'en' here) and a RAW model on the whole corpus,
+    // weight every doc by its mean per-bigram log-likelihood RATIO
+    // log p_t − p_raw, and keep the top-50 most target-like docs (the
+    // resampling candidate pool q121-style samplers draw from). The
+    // raw model joins stay on the shuffle (corpus-sized at 100 TB);
+    // unigram tables and both V scalars broadcast (vocab-bounded /
+    // 1-row). Target-model misses smooth to the add-one floor via LEFT
+    // join + coalesce(·, 0) — the same ln((0+1)/(0+V)) both engines.
+    // Per-doc sums in DECIMAL(28,12); ranking on the rounded mean with
+    // doc_id tie-break (the q34 convention).
+    "q127_dsir_weights" -> ((s, d) => {
+      val all = docs(s, d)
+      val bg = bigramsOf(all)
+      val bcR = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nbr"))
+      val uniR = all.select(explode(col("tok")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("nwr"))
+      val vR = uniR.agg(count(lit(1)).as("vr"))
+      val tgt = all.filter(col("lang") === "en")
+      val bcT = bigramsOf(tgt).groupBy("w1", "w2")
+        .agg(count(lit(1)).as("nbt"))
+      val uniT = tgt.select(explode(col("tok")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("nwt"))
+      val vT = uniT.agg(count(lit(1)).as("vt"))
+      bg.join(bcR, Seq("w1", "w2"))
+        .join(broadcast(uniR.select(col("w").as("w1"), col("nwr"))),
+          Seq("w1"))
+        .join(bcT, Seq("w1", "w2"), "left")
+        .join(broadcast(uniT.select(col("w").as("w1"), col("nwt"))),
+          Seq("w1"), "left")
+        .crossJoin(broadcast(vR)).crossJoin(broadcast(vT))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr(
+            """cast(ln((coalesce(nbt, 0) + 1)
+                     / cast(coalesce(nwt, 0) + vt as double))
+                 - ln((nbr + 1) / cast(nwr + vr as double))
+               as decimal(28,12))""")).as("lw"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(expr("cast(lw as double) / n_bigrams"), 4).as("logw"))
+        .orderBy(col("logw").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // q98: normalization-aware exact dedup — the practical first pass
     // of web-corpus cleaning: case, punctuation, and whitespace-run
     // differences should not defeat exact dedup. normalize = strip
@@ -968,6 +1019,45 @@ object TextOps {
             max(avg_logp) AS max_lp
           FROM lp CROSS JOIN cut
           GROUP BY 1 ORDER BY bucket""",
+
+    // LEFT joins + coalesce mirror the target model's add-one floor;
+    // ranking happens on the rounded mean (the q34 convention)
+    "q127_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, $duckTok AS tk FROM documents),
+          bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+                 FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+                 WHERE len(tk) >= 2),
+          bcr AS (SELECT w1, w2, count(*) AS nbr FROM bg GROUP BY 1, 2),
+          ucr AS (SELECT w, count(*) AS nwr
+                  FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+          v1 AS (SELECT count(*) AS vr FROM ucr),
+          t2 AS (SELECT doc_id, tk FROM
+                   (SELECT doc_id, lang, $duckTok AS tk FROM documents)
+                 WHERE lang = 'en'),
+          bgt AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+                  FROM t2, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+                  WHERE len(tk) >= 2),
+          bct AS (SELECT w1, w2, count(*) AS nbt FROM bgt GROUP BY 1, 2),
+          uct AS (SELECT w, count(*) AS nwt
+                  FROM (SELECT unnest(tk) AS w FROM t2) GROUP BY w),
+          v2 AS (SELECT count(*) AS vt FROM uct),
+          sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                   round(CAST(sum(CAST(
+                       ln((coalesce(ct.nbt, 0) + 1)
+                          / CAST(coalesce(ut.nwt, 0) + v2.vt AS DOUBLE))
+                       - ln((cr.nbr + 1)
+                            / CAST(ur.nwr + v1.vr AS DOUBLE))
+                     AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4)
+                     AS logw
+                 FROM bg b
+                 JOIN bcr cr ON b.w1 = cr.w1 AND b.w2 = cr.w2
+                 JOIN ucr ur ON b.w1 = ur.w
+                 LEFT JOIN bct ct ON b.w1 = ct.w1 AND b.w2 = ct.w2
+                 LEFT JOIN uct ut ON b.w1 = ut.w
+                 CROSS JOIN v1 CROSS JOIN v2
+                 GROUP BY b.doc_id)
+          SELECT doc_id, n_bigrams, logw
+          FROM (SELECT * FROM sc ORDER BY logw DESC, doc_id LIMIT 50) f""",
 
     "q98_normalized_dedup" ->
       """WITH n AS (SELECT doc_id,

@@ -105,6 +105,22 @@ class TextSimilaritySpec extends SparkSpec {
     assert(rows.values.map(_._1).sum == scored)
   }
 
+  test("dsir weights: ranked desc and the target domain dominates") {
+    val q = SparkEntry.queries("q127_dsir_weights")(spark, sf)
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val ws = rows.map(_.getDouble(2)).toSeq
+    assert(ws == ws.sorted.reverse, "importance-ranked descending")
+    // the en-trained target model must prefer its own domain: en docs
+    // hold the majority of the top-weight pool
+    val langOf = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enShare = rows.count(r => langOf(r.getLong(0)) == "en")
+    assert(enShare * 2 > rows.length,
+      s"en docs must dominate the pool: $enShare/${rows.length}")
+  }
+
   test("repetition: dup_bp is exact integer basis points, bounded") {
     val q = SparkEntry.queries("q70_repetition")(spark, sf)
     assert(q.filter($"dup_bp" < 0 || $"dup_bp" > 10000).count() == 0)
