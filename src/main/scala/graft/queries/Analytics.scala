@@ -18,6 +18,29 @@ object Analytics {
   private val fmtU = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   val queries: Map[String, Q] = Map(
+    // q129: event-type transition matrix — the first-order Markov view
+    // of user behavior (what follows what, and how often): per-user
+    // consecutive event pairs via lead() over (ts, event_id) — the
+    // deterministic q69 ordering — counted into a (cur, nxt) matrix
+    // with integer-bp conditional probabilities. The window partitions
+    // by user (parallel, never global); the per-row-total table is
+    // event-type-bounded and broadcasts; probabilities are truncating
+    // integer division, tie-free across engines.
+    "q129_event_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = Tables.load(s, d, "events")
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("cur").agg(sum("n").as("tot"))
+      tr.join(broadcast(tot), Seq("cur"))
+        .select(col("cur"), col("nxt"), col("n"),
+          expr("(n * 10000) div tot").as("p_bp"))
+        .orderBy("cur", "nxt")
+    }),
+
     // q58: hourly resample WITH gap filling over a fixed 2-day span —
     // empty hours must appear with zero counts
     "q58_gap_fill" -> ((s, d) => {
@@ -475,6 +498,19 @@ object Analytics {
     (2, 1099511628211L, 424242L))
 
   val oracle: Map[String, String] = Map(
+    "q129_event_transitions" ->
+      """WITH tr AS (SELECT user_id, event_type AS cur,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS nxt
+            FROM events),
+          c AS (SELECT cur, nxt, count(*) AS n FROM tr
+                WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          t2 AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot
+                 FROM c GROUP BY cur)
+          SELECT c.cur, c.nxt, c.n,
+            CAST((c.n * 10000) // t2.tot AS BIGINT) AS p_bp
+          FROM c JOIN t2 USING (cur) ORDER BY cur, nxt""",
+
     "q58_gap_fill" ->
       """WITH hours AS (SELECT h FROM generate_series(
               TIMESTAMP '2024-01-05 00:00:00',

@@ -573,6 +573,39 @@ object TextOps {
         .limit(50)
     }),
 
+    // q128: PMI collocations — the classic phrase-mining signal
+    // (Church & Hanks): pmi(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2))) over
+    // consecutive-token bigrams, min support 5, top-20. Computed as a
+    // SUM OF LOGS (ln nb + 2·ln NT − ln NB − ln n1 − ln n2) — the
+    // integer-product form overflows BIGINT at corpus scale (NT² alone
+    // at 1e14 tokens). Same identical-IEEE-tree + rounded-ranking
+    // discipline as q95/q34: each ln drifts <= 1 ulp, invisible at
+    // round(·,4), and the (w1, w2) tie-break pins the cut. Counts
+    // shuffle once; unigram tables broadcast (vocab-bounded); totals
+    // are 1-row crosses.
+    "q128_pmi_collocations" -> ((s, d) => {
+      val all = docs(s, d)
+      val bc = bigramsOf(all).groupBy("w1", "w2")
+        .agg(count(lit(1)).as("nb"))
+      val nbTot = bc.agg(sum("nb").as("nbt"))
+      val uni = all.select(explode(col("tok")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("nw"))
+      val ntTot = uni.agg(sum("nw").as("ntt"))
+      bc.filter(col("nb") >= 5)
+        .join(broadcast(uni.select(col("w").as("w1"), col("nw").as("n1"))),
+          Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("nw").as("n2"))),
+          Seq("w2"))
+        .crossJoin(broadcast(nbTot)).crossJoin(broadcast(ntTot))
+        .select(col("w1"), col("w2"), col("nb"),
+          round(expr(
+            """ln(cast(nb as double)) + 2 * ln(cast(ntt as double))
+               - ln(cast(nbt as double)) - ln(cast(n1 as double))
+               - ln(cast(n2 as double))"""), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // q98: normalization-aware exact dedup — the practical first pass
     // of web-corpus cleaning: case, punctuation, and whitespace-run
     // differences should not defeat exact dedup. normalize = strip
@@ -1058,6 +1091,30 @@ object TextOps {
                  GROUP BY b.doc_id)
           SELECT doc_id, n_bigrams, logw
           FROM (SELECT * FROM sc ORDER BY logw DESC, doc_id LIMIT 50) f""",
+
+    // the identical sum-of-logs tree; totals cast from HUGEINT sums
+    "q128_pmi_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $duckTok AS tk FROM documents),
+          bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+                 FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+                 WHERE len(tk) >= 2),
+          bc AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY 1, 2),
+          nbt AS (SELECT sum(nb) AS nbt FROM bc),
+          uni AS (SELECT w, count(*) AS nw
+                  FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+          ntt AS (SELECT sum(nw) AS ntt FROM uni),
+          p AS (SELECT bc.w1, bc.w2, bc.nb,
+                  round(ln(CAST(nb AS DOUBLE))
+                      + 2 * ln(CAST(ntt AS DOUBLE))
+                      - ln(CAST(nbt AS DOUBLE))
+                      - ln(CAST(u1.nw AS DOUBLE))
+                      - ln(CAST(u2.nw AS DOUBLE)), 4) AS pmi
+                FROM bc JOIN uni u1 ON bc.w1 = u1.w
+                JOIN uni u2 ON bc.w2 = u2.w
+                CROSS JOIN nbt CROSS JOIN ntt
+                WHERE nb >= 5)
+          SELECT w1, w2, nb, pmi
+          FROM (SELECT * FROM p ORDER BY pmi DESC, w1, w2 LIMIT 20) f""",
 
     "q98_normalized_dedup" ->
       """WITH n AS (SELECT doc_id,
