@@ -70,7 +70,36 @@ object EventTime {
     "q31_session_window" -> ((s, d) =>
       sessionAgg(Tables.load(s, d, "events")
         .select("user_id", "ts").distinct())
-        .orderBy("user_id", "sstart"))
+        .orderBy("user_id", "sstart")),
+
+    // q130: concurrency gauge — the interval -> step-function operator
+    // none of the fixed windows cover (sessions SPAN hour boundaries):
+    // how many user sessions are simultaneously live, as a compressed
+    // change-point series. Sessions (the q31 sessionizer) become
+    // minute-grain +1/-1 boundary deltas; the running sum over the
+    // delta table is the live-session gauge at each change point. The
+    // only global window runs over the PER-MINUTE aggregated deltas —
+    // a TIME-DOMAIN-bounded table (minutes in the corpus's time range,
+    // ~525k/year, independent of corpus size — the q88 argument), never
+    // over sessions. Everything else is the per-user session aggregate
+    // plus one tiny shuffle on the minute key; all integers, tie-free.
+    "q130_concurrency_gauge" -> ((s, d) => {
+      val sess = Tables.load(s, d, "events")
+        .select("user_id", "ts").distinct()
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(expr("unix_micros(min(ts)) div 60000000").as("m0"),
+          expr("unix_micros(max(ts)) div 60000000").as("m1"))
+      val deltas = sess.select(col("m0").as("m"), lit(1L).as("d"))
+        .unionAll(sess.select((col("m1") + 1).as("m"), lit(-1L).as("d")))
+        .groupBy("m").agg(sum("d").as("delta"))
+      deltas.withColumn("concurrent",
+          sum(col("delta")).over(org.apache.spark.sql.expressions.Window
+            .orderBy("m")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        .select(col("m"), col("delta"), col("concurrent"))
+        .orderBy("m")
+    })
   )
 
   import Det.sqlDsum
@@ -107,6 +136,31 @@ object EventTime {
            strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sstart,
            count(*) AS n_events,
            date_diff('microseconds', min(ts), max(ts)) AS dur_us
-         FROM g GROUP BY user_id, sid ORDER BY user_id, sstart"""
+         FROM g GROUP BY user_id, sid ORDER BY user_id, sstart""",
+
+    // the same gaps-and-islands sessions, folded to minute-grain
+    // boundary deltas and a running sum — all integer arithmetic
+    "q130_concurrency_gauge" ->
+      """WITH e AS (SELECT DISTINCT user_id, ts FROM events),
+         f AS (SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS newsess
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (SELECT user_id, ts,
+                 sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f),
+         s AS (SELECT epoch_us(min(ts)) // 60000000 AS m0,
+                 epoch_us(max(ts)) // 60000000 AS m1
+               FROM g GROUP BY user_id, sid),
+         d0 AS (SELECT m0 AS m, 1 AS d FROM s
+                UNION ALL SELECT m1 + 1, -1 FROM s),
+         dd AS (SELECT m, CAST(sum(d) AS BIGINT) AS delta
+                FROM d0 GROUP BY m)
+         SELECT m, delta,
+           CAST(sum(delta) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS concurrent
+         FROM dd ORDER BY m"""
   )
 }

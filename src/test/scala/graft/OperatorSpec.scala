@@ -9,6 +9,18 @@ import org.apache.spark.sql.expressions.Window
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("concurrency gauge: non-negative everywhere, closes at zero") {
+    val rows = SparkEntry.queries("q130_concurrency_gauge")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // every +1 has a matching -1 one minute past the session end, so
+    // the gauge never dips below zero and the final change point
+    // returns to exactly zero
+    assert(rows.forall(_.getLong(2) >= 0), "gauge dipped negative")
+    assert(rows.last.getLong(2) == 0, "gauge must close at zero")
+    assert(rows.map(_.getLong(1)).sum == 0, "deltas must cancel")
+  }
+
   test("prefix sum matches scanLeft for any block size") {
     // the two-phase blocked running total must equal the sequential
     // fold, and must be invariant to the block decomposition
