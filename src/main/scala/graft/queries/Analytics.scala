@@ -281,6 +281,49 @@ object Analytics {
         .orderBy("doc_id", "term")
     }),
 
+    // q131: sparse-vector retrieval — query-by-document cosine over
+    // the q61 tf-idf weights, the inverted-index dot product every
+    // sparse search engine runs (the SPARSE counterpart of q34's dense
+    // probe): the probe doc's weight vector is TINY (its own terms)
+    // and broadcasts, so the corpus weight stream prunes map-side on
+    // the term join — never a corpus-wide score-everything pass; norms
+    // are one per-doc aggregate. The weight table is materialized once
+    // for its three consumers (probe, norms, dot). FP discipline:
+    // products cast to DECIMAL(28,12) before the per-doc sums (exact,
+    // order-independent), sqrt/division in identically-shaped double
+    // trees, ranking on the rounded value with doc_id tie-break.
+    "q131_sparse_cosine" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(expr(Dedup.TokExpr)).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+      val nDocs = Tables.load(s, d, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+      val wm = graft.operators.Materialize.truncate(
+        tf.join(broadcast(dfreq), Seq("term"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("term"),
+            (col("tf") * log((col("n_docs") + 1).cast("double")
+              / (col("df_t") + 1))).as("w")))
+      val norms = wm.groupBy("doc_id")
+        .agg(expr("sum(cast(w * w as decimal(28,12)))").as("n2"))
+      val probe = wm.filter(col("doc_id") === 0)
+        .select(col("term"), col("w").as("pw"))
+      val pn = norms.filter(col("doc_id") === 0)
+        .select(col("n2").as("pn2"))
+      wm.filter(col("doc_id") =!= 0)
+        .join(broadcast(probe), Seq("term"))
+        .groupBy("doc_id")
+        .agg(expr("sum(cast(w * pw as decimal(28,12)))").as("dot"))
+        .join(norms, Seq("doc_id"))
+        .crossJoin(broadcast(pn))
+        .select(col("doc_id"),
+          round(expr("""cast(dot as double)
+              / (sqrt(cast(n2 as double)) * sqrt(cast(pn2 as double)))"""),
+            4).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(10)
+    }),
+
     // q96: distribution drift (PSI) between the first and second half
     // of the event stream — the pipeline-monitoring op that catches a
     // changed event mix before it poisons a training run. Per-category
@@ -498,6 +541,32 @@ object Analytics {
     (2, 1099511628211L, 424242L))
 
   val oracle: Map[String, String] = Map(
+    "q131_sparse_cosine" ->
+      """WITH t AS (SELECT doc_id,
+              unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+          nd AS (SELECT count(*) AS n_docs FROM documents),
+          w AS (SELECT doc_id, term,
+                  tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df_t + 1)) AS w
+                FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+          norms AS (SELECT doc_id, sum(CAST(w * w AS DECIMAL(28,12)))
+                      AS n2 FROM w GROUP BY doc_id),
+          probe AS (SELECT term, w AS pw FROM w WHERE doc_id = 0),
+          pn AS (SELECT n2 AS pn2 FROM norms WHERE doc_id = 0),
+          dots AS (SELECT w.doc_id,
+                     sum(CAST(w.w * probe.pw AS DECIMAL(28,12))) AS dot
+                   FROM w JOIN probe USING (term)
+                   WHERE w.doc_id <> 0 GROUP BY w.doc_id),
+          sc AS (SELECT dots.doc_id,
+                   round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(n2 AS DOUBLE))
+                        * sqrt(CAST(pn2 AS DOUBLE))), 4) AS cos
+                 FROM dots JOIN norms USING (doc_id) CROSS JOIN pn)
+          SELECT doc_id, cos
+          FROM (SELECT * FROM sc ORDER BY cos DESC, doc_id LIMIT 10) f""",
+
     "q129_event_transitions" ->
       """WITH tr AS (SELECT user_id, event_type AS cur,
               lead(event_type) OVER (PARTITION BY user_id

@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "q123_ndcg", // q123: BM25 stats row + 1-row dcg x idcg cross
     "q126_perplexity_buckets", // q126: V scalar + 1-row cutpoints
     "q127_dsir_weights", // q127: the two V scalars are 1-row crosses
-    "q128_pmi_collocations") // q128: the two totals are 1-row crosses
+    "q128_pmi_collocations", // q128: the two totals are 1-row crosses
+    "q131_sparse_cosine") // q131: n_docs + probe norm are 1-row crosses
 
   test("no CartesianProduct anywhere; BNLJ only where declared") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
