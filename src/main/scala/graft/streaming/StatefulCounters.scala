@@ -59,6 +59,37 @@ class TypeMixProcessor
   }
 }
 
+/** Per-user event-type TRANSITION extractor — the streaming twin of
+  * batch q129's lead() window: ValueState carries the user's last
+  * (ts_us, event_id, event_type) ACROSS micro-batches, each batch
+  * sorts only its OWN rows for the key (bounded by per-batch arrival,
+  * never the user's history) on the same deterministic (ts, event_id)
+  * order, and every consecutive pair is emitted exactly once — append
+  * semantics, O(users) state. In-order arrival gives exact batch
+  * parity (StreamingSpec); out-of-order arrival would need a
+  * watermark + buffer, deliberately out of scope for the twin.
+  */
+class TransitionProcessor extends StatefulProcessor[
+    Long, (Long, Long, Long, String), (Long, String, String)] {
+  @transient private var last: ValueState[(Long, Long, String)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[(Long, Long, String)]("last",
+      Encoders.product[(Long, Long, String)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, String)],
+      timerValues: TimerValues): Iterator[(Long, String, String)] = {
+    val sorted = rows.map(r => (r._2, r._3, r._4)).toSeq
+      .sortBy(x => (x._1, x._2))
+    val chain = (if (last.exists()) Seq(last.get()) else Nil) ++ sorted
+    if (chain.nonEmpty) last.update(chain.last)
+    chain.sliding(2).collect {
+      case Seq(a, b) => (key, a._3, b._3)
+    }
+  }
+}
+
 object StatefulCounters {
 
   /** transformWithState needs the RocksDB state store provider — set
@@ -89,5 +120,20 @@ object StatefulCounters {
       .groupByKey(_._1)
       .transformWithState(new TypeMixProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** (user_id, cur, nxt) event-type transitions over a streaming
+    * events frame — each transition emitted exactly once (append
+    * mode); counting them per (cur, nxt) converges to batch q129's
+    * matrix under in-order arrival. */
+  def transitions(spark: SparkSession,
+      events: DataFrame): Dataset[(Long, String, String)] = {
+    import spark.implicits._
+    events.select(col("user_id"), expr("unix_micros(ts)"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TransitionProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -463,6 +463,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState transitions match the batch q129 matrix") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.streaming.StatefulCounters.RocksDbProvider)
+    try {
+      val q = StreamingWindows.runToMemory(
+        graft.streaming.StatefulCounters.transitions(
+          spark, StreamingWindows.eventsStream(spark, sf)).toDF(),
+        "twstrans", mode = "append")
+      try {
+        // every transition is emitted exactly once -> counting them
+        // reproduces the batch matrix (n column) exactly
+        val got = spark.table("twstrans").collect()
+          .map(r => (r.getString(1), r.getString(2)))
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val batch = SparkEntry.queries("q129_event_transitions")(spark, sf)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        assert(got == batch,
+          s"streaming ${got.size} vs batch ${batch.size} transition cells")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState MapState type mix converges to batch distincts") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val key = "spark.sql.streaming.stateStore.providerClass"
