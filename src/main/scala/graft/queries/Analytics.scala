@@ -324,6 +324,51 @@ object Analytics {
         .orderBy(col("cos").desc, col("doc_id")).limit(10)
     }),
 
+    // q132: robust outlier stats — median + MAD (median absolute
+    // deviation) per event type, the heavy-tail-safe complement of
+    // q105's mean/stddev z-scores (one fat-tailed day poisons a mean;
+    // the median shrugs). Values quantize to CENTS (the q88 2-decimal
+    // money-domain argument), so both medians come from cume windows
+    // over per-(type, cents) count tables — domain-bounded, PARTITIONED
+    // by type (parallel), never a per-group value buffer — and median
+    // selection is pure integer arithmetic (2·run >= tot picks the
+    // lower median, an actual data value). Outlier rule: |v − med| >
+    // 3·MAD, all BIGINT compares, tie-free.
+    "q132_mad_outliers" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_type"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            .as("cents"))
+      def lowerMedian(df: DataFrame, valCol: String): DataFrame = {
+        val vc = df.groupBy("event_type", valCol)
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("event_type").orderBy(valCol)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wt = Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        vc.withColumn("run", sum(col("cnt")).over(w))
+          .withColumn("tot", sum(col("cnt")).over(wt))
+          .groupBy("event_type")
+          .agg(min(when(col("run") * 2 >= col("tot"), col(valCol)))
+            .as("med"))
+      }
+      val med = lowerMedian(ev, "cents")
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("cents") - col("med")))
+      val mad = lowerMedian(dev.select(col("event_type"), col("adev")),
+        "adev").withColumnRenamed("med", "mad")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // q96: distribution drift (PSI) between the first and second half
     // of the event stream — the pipeline-monitoring op that catches a
     // changed event mix before it poisons a training run. Per-category
@@ -541,6 +586,43 @@ object Analytics {
     (2, 1099511628211L, 424242L))
 
   val oracle: Map[String, String] = Map(
+    // the same two cume-window median picks (2*run >= tot = lower
+    // median, an actual value) on the cents-quantized domain
+    "q132_mad_outliers" ->
+      """WITH ev AS (SELECT event_type,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events),
+          vc AS (SELECT event_type, cents, count(*) AS cnt FROM ev
+                 GROUP BY 1, 2),
+          cume AS (SELECT event_type, cents,
+                     sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS run,
+                     sum(cnt) OVER (PARTITION BY event_type) AS tot
+                   FROM vc),
+          med AS (SELECT event_type,
+                    min(CASE WHEN 2 * run >= tot THEN cents END) AS med
+                  FROM cume GROUP BY event_type),
+          dev AS (SELECT ev.event_type, ev.cents, med.med,
+                    abs(ev.cents - med.med) AS adev
+                  FROM ev JOIN med USING (event_type)),
+          dc AS (SELECT event_type, adev, count(*) AS cnt FROM dev
+                 GROUP BY 1, 2),
+          dcume AS (SELECT event_type, adev,
+                      sum(cnt) OVER (PARTITION BY event_type ORDER BY adev
+                        ROWS UNBOUNDED PRECEDING) AS run,
+                      sum(cnt) OVER (PARTITION BY event_type) AS tot
+                    FROM dc),
+          mad AS (SELECT event_type,
+                    min(CASE WHEN 2 * run >= tot THEN adev END) AS mad
+                  FROM dcume GROUP BY event_type)
+          SELECT dev.event_type, count(*) AS n,
+            CAST(max(dev.med) AS BIGINT) AS med_cents,
+            CAST(max(mad.mad) AS BIGINT) AS mad_cents,
+            CAST(sum(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outliers
+          FROM dev JOIN mad USING (event_type)
+          GROUP BY dev.event_type ORDER BY event_type""",
+
     "q131_sparse_cosine" ->
       """WITH t AS (SELECT doc_id,
               unnest(string_split_regex(trim(text), '\s+')) AS term
