@@ -941,6 +941,40 @@ object Dedup {
         .select(col("node").as("doc_id"), col("r").as("pr"))
     }),
 
+    // q133: bounded k-core peel — the third graph operator next to CC
+    // (q67) and PageRank (q119): 3 synchronous peel rounds toward the
+    // 2-core of the LSH collision graph (drop nodes with degree < 2,
+    // recompute, repeat), isolating documents embedded in DENSE near-dup
+    // structure (template farms) from mere pairwise matches. Like
+    // PageRank — and deliberately unlike CC's convergence loop — the
+    // FIXED round count runs as ONE lazy lineage (3 unrolled
+    // degree-aggregate + semi-join rounds, zero per-round driver
+    // actions); the oracle unrolls the same 3 rounds as CTEs, and all
+    // quantities are exact integers. Only the multi-consumer symmetric
+    // edge list materializes (durable-checkpoint knob). A fixpoint
+    // k-core would swap the unrolled rounds for CC's loop harness; the
+    // bounded form is the honest scale shape when peel depth is a
+    // product decision (3 rounds kills >= 99% of shallow tendrils).
+    "q133_kcore_peel" -> ((s, d) => {
+      val edges = bandPairsOf(signaturesOf(docs(s, d)))
+        .select("a_id", "b_id")
+      val sym = graft.operators.Materialize.truncate(
+        edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .union(edges.select(col("b_id").as("src"),
+            col("a_id").as("dst"))))
+      var live = sym
+      for (_ <- 1 to 3) {
+        val keep = live.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select("src")
+        live = live.join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"),
+            "left_semi")
+      }
+      live.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("doc_id"), col("deg"))
+        .orderBy("doc_id")
+    }),
+
     // q122: reciprocal-rank fusion — HYBRID retrieval, the standard way
     // production search combines a sparse (BM25) and a dense (embedding
     // cosine) arm: rrf = Σ 1/(60 + rank) over the lists a doc appears
@@ -1440,6 +1474,29 @@ object Dedup {
           $iters
           SELECT node AS doc_id, r AS pr
           FROM (SELECT * FROM pr5 ORDER BY r DESC, node LIMIT 20) f"""
+    },
+
+    // the same 3 peel rounds unrolled; `src IN keep AND dst IN keep`
+    // is the semi-join pair
+    "q133_kcore_peel" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""k$k AS (SELECT src FROM e${k - 1} GROUP BY src
+                    HAVING count(*) >= 2),
+            e$k AS (SELECT src, dst FROM e${k - 1}
+                    WHERE src IN (SELECT src FROM k$k)
+                      AND dst IN (SELECT src FROM k$k))"""
+      }.mkString(",\n          ")
+      s"""WITH sig AS ($minhashSigSql),
+          edges AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id
+                    FROM sig a JOIN sig b2
+                      ON a.band = b2.band AND a.mh = b2.mh
+                        AND a.doc_id < b2.doc_id
+                    GROUP BY 1, 2),
+          e0 AS (SELECT a_id AS src, b_id AS dst FROM edges
+                 UNION ALL SELECT b_id, a_id FROM edges),
+          $rounds
+          SELECT src AS doc_id, count(*) AS deg
+          FROM e3 GROUP BY src ORDER BY doc_id"""
     },
 
     // Oracle knows NOTHING about the LSH: the block-permutation probe is

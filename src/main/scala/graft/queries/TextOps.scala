@@ -54,6 +54,23 @@ object TextOps {
         round(expr("cast(lp as double) / n_bigrams"), 4).as("avg_logp"))
   }
 
+  /** (doc_id, hits_*, pred): the q40 stopword-profile language-ID
+    * heuristic — map-only; shared by q40 and q134's confusion matrix. */
+  private def langidOf(s: SparkSession, d: String): DataFrame = {
+    val withHits = profiles.foldLeft(docs(s, d)) { case (df, (l, ws)) =>
+      df.withColumn(s"hits_$l", expr(hitsExpr(ws)))
+    }
+    withHits.select(col("doc_id"), col("hits_en"), col("hits_es"),
+      col("hits_de"), col("hits_fr"),
+      expr("""CASE
+        WHEN hits_en >= hits_es AND hits_en >= hits_de
+          AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+        WHEN hits_es >= hits_de AND hits_es >= hits_fr
+          AND hits_es > 0 THEN 'es'
+        WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+        WHEN hits_fr > 0 THEN 'fr' ELSE 'und' END""").as("pred"))
+  }
+
   // per-language stopword profiles for the langid heuristic
   private val profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is", "to"),
@@ -118,20 +135,24 @@ object TextOps {
 
     // q40: language-ID via stopword-profile hit counts (deterministic
     // n-gram-style heuristic; ties broken in profile order)
-    "q40_langid" -> ((s, d) => {
-      val withHits = profiles.foldLeft(docs(s, d)) { case (df, (l, ws)) =>
-        df.withColumn(s"hits_$l", expr(hitsExpr(ws)))
-      }
-      withHits.select(col("doc_id"), col("hits_en"), col("hits_es"),
-          col("hits_de"), col("hits_fr"),
-          expr("""CASE
-            WHEN hits_en >= hits_es AND hits_en >= hits_de
-              AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
-            WHEN hits_es >= hits_de AND hits_es >= hits_fr
-              AND hits_es > 0 THEN 'es'
-            WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
-            WHEN hits_fr > 0 THEN 'fr' ELSE 'und' END""").as("pred"))
-        .orderBy("doc_id")
+    "q40_langid" -> ((s, d) => langidOf(s, d).orderBy("doc_id")),
+
+    // q134: langid confusion matrix — the EVAL op for q40's heuristic
+    // (every classifier in a curation pipeline needs its quality
+    // measured on labeled data): predicted-vs-actual cell counts with
+    // per-actual recall share in integer bp. One doc-keyed join + a
+    // language-bounded aggregate; the per-actual totals table is tiny
+    // and broadcasts.
+    "q134_langid_confusion" -> ((s, d) => {
+      val m = Tables.load(s, d, "documents").select("doc_id", "lang")
+        .join(langidOf(s, d).select("doc_id", "pred"), Seq("doc_id"))
+        .groupBy(col("lang").as("actual"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+      val tot = m.groupBy("actual").agg(sum("n").as("tot"))
+      m.join(broadcast(tot), Seq("actual"))
+        .select(col("actual"), col("pred"), col("n"),
+          expr("(n * 10000) div tot").as("row_bp"))
+        .orderBy("actual", "pred")
     }),
 
     // q41: document quality scoring (length / punctuation / stopword ratios)
@@ -819,6 +840,28 @@ object TextOps {
               WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
               WHEN hits_fr > 0 THEN 'fr' ELSE 'und' END AS pred
           FROM h ORDER BY doc_id"""
+    },
+
+    "q134_langid_confusion" -> {
+      val hits = profiles.map { case (l, ws) =>
+        s"${duckHits(ws)} AS hits_$l" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $duckTok AS tok FROM documents),
+          h AS (SELECT doc_id, $hits FROM t),
+          p AS (SELECT doc_id, CASE
+              WHEN hits_en >= hits_es AND hits_en >= hits_de
+                AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+              WHEN hits_es >= hits_de AND hits_es >= hits_fr
+                AND hits_es > 0 THEN 'es'
+              WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+              WHEN hits_fr > 0 THEN 'fr' ELSE 'und' END AS pred
+            FROM h),
+          m AS (SELECT d.lang AS actual, p.pred, count(*) AS n
+                FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2),
+          tt AS (SELECT actual, CAST(sum(n) AS BIGINT) AS tot
+                 FROM m GROUP BY actual)
+          SELECT m.actual, m.pred, m.n,
+            CAST((m.n * 10000) // tt.tot AS BIGINT) AS row_bp
+          FROM m JOIN tt USING (actual) ORDER BY actual, pred"""
     },
 
     "q41_quality" ->
