@@ -941,6 +941,37 @@ object Dedup {
         .select(col("node").as("doc_id"), col("r").as("pr"))
     }),
 
+    // q135: source coverage curve — the submodular data-valuation
+    // signal curation uses to rank sources (facility-location style):
+    // in deterministic source order, how many NEW distinct 3-shingles
+    // does each source contribute beyond every earlier source, vs its
+    // own distinct count (own − new = redundancy against the prefix).
+    // Shapes: one (source, shk) distinct aggregate (the only
+    // corpus-sized shuffle), a min-source-per-shingle aggregate on top
+    // of it (first-contributor attribution without any ordered scan),
+    // and a cumulative window over the SOURCE-count-bounded summary
+    // (~20 rows). All integers.
+    "q135_source_coverage" -> ((s, d) => {
+      // shingledOf, not an inline explode — the InferFiltersFromGenerate
+      // trap (see shingledOf's scaladoc) applies to any new explode site
+      val ss = shingledOf(docs(s, d))
+        .join(Tables.load(s, d, "documents").select("doc_id", "source"),
+          Seq("doc_id"))
+        .select(col("source"), xxhash64(col("sh")).as("shk"))
+        .distinct()
+      val own = ss.groupBy("source").agg(count(lit(1)).as("own_shingles"))
+      val nw = ss.groupBy("shk").agg(min(col("source")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("new_shingles"))
+      own.join(nw, Seq("source"), "left")
+        .na.fill(0L, Seq("new_shingles"))
+        .withColumn("cum_new", sum(col("new_shingles")).over(
+          Window.orderBy("source")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("source"), col("own_shingles"),
+          col("new_shingles"), col("cum_new"))
+        .orderBy("source")
+    }),
+
     // q133: bounded k-core peel — the third graph operator next to CC
     // (q67) and PageRank (q119): 3 synchronous peel rounds toward the
     // 2-core of the LSH collision graph (drop nodes with degree < 2,
@@ -1475,6 +1506,30 @@ object Dedup {
           SELECT node AS doc_id, r AS pr
           FROM (SELECT * FROM pr5 ORDER BY r DESC, node LIMIT 20) f"""
     },
+
+    // first-contributor attribution = min(source) per distinct
+    // shingle. The oracle works on RAW shingle strings — the Spark
+    // side's xxhash64 keys are a shuffle compaction whose counts agree
+    // under the q103 no-collision assumption
+    "q135_source_coverage" ->
+      s"""WITH $docsTokCte,
+          ${duckShingleCte("t")},
+          ss AS (SELECT DISTINCT d.source, n.sh
+                 FROM (SELECT doc_id, unnest(sh) AS sh FROM __s) n
+                 JOIN documents d USING (doc_id)),
+          own AS (SELECT source, count(*) AS own_shingles FROM ss
+                  GROUP BY source),
+          nw AS (SELECT source, count(*) AS new_shingles FROM
+                   (SELECT sh, min(source) AS source FROM ss
+                    GROUP BY sh) f
+                 GROUP BY source)
+          SELECT own.source, own.own_shingles,
+            coalesce(nw.new_shingles, 0) AS new_shingles,
+            CAST(sum(coalesce(nw.new_shingles, 0))
+              OVER (ORDER BY own.source ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_new
+          FROM own LEFT JOIN nw USING (source)
+          ORDER BY own.source""",
 
     // the same 3 peel rounds unrolled; `src IN keep AND dst IN keep`
     // is the semi-join pair
