@@ -156,6 +156,39 @@ class PlanSpec extends SparkSpec {
       s"probe must stay an equi-join on the packed block key:\n$p")
   }
 
+  test("q131 sparse cosine probes via broadcast, never a term shuffle " +
+      "of the corpus against itself") {
+    val p = finalPlan("q131_sparse_cosine")
+    // the probe doc's weight vector and the probe norm are the ONLY
+    // join inputs allowed to broadcast-shape the dot product
+    assert(p.contains("BroadcastHashJoin"), s"probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-x-corpus merge join would mean the probe did not prune:\n$p")
+  }
+
+  test("q124 containment reuses ONE materialized docsets state for " +
+      "prefix, index, and both verification joins") {
+    val p = finalPlan("q124_containment")
+    // the checkpointed docsets surface as ExistingRDD scans; the
+    // shingle pipeline itself must NOT rerun inside the final job
+    assert(p.contains("Scan ExistingRDD"), s"docsets not materialized:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"a parquet scan in the final job means docsets were rebuilt:\n$p")
+  }
+
+  test("q125 neighbor candidates come from one equi-join (no range or " +
+      "nested-loop join) and blocks keep the rank window partitioned") {
+    val p = finalPlan("q125_sorted_neighborhood")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"rank-band candidates must be an equi-join:\n$p")
+    // the per-block rank window partitions by blk — a global
+    // single-partition Window over the names would print no
+    // partition spec
+    assert(p.contains("partitionBy" ) || p.contains("blk"),
+      s"rank window must be block-partitioned:\n$p")
+  }
+
   test("q93's manual bloom prune sits below the join; Spark's own " +
       "InjectRuntimeFilter engages on the same shape when shuffling") {
     // graft's explicit bloom (q93): the probe filter must be planned,
