@@ -37,9 +37,17 @@ object Tables {
       case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }
 
-  /** Register every table as a temp view (for spark.sql-based queries). */
+  /** Register the named tables as temp views (for spark.sql-based
+    * queries). Callers list only the tables the query touches: each
+    * registration re-reads a parquet footer for schema, and the
+    * all-tables form billed 10 footer reads per bench rep to queries
+    * that join two tables. */
+  def register(spark: SparkSession, dir: String, which: String*): Unit =
+    which.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register every table as a temp view. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, names: _*)
 }
 
 /** Determinism helpers (SURVEY.md §2-B determinism rules).

@@ -336,7 +336,12 @@ object Analytics {
     // 3·MAD, all BIGINT compares, tie-free.
     "q132_mad_outliers" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // NULL values are excluded explicitly: Spark window ORDER BY sorts
+      // NULLS FIRST, DuckDB's NULLS LAST, so a NULL reaching the cume
+      // windows would diverge the running counts between engines. The
+      // oracle mirrors the same WHERE, pinning the non-null domain.
       val ev = Tables.load(s, d, "events")
+        .filter(col("value").isNotNull)
         .select(col("event_type"),
           expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
             .as("cents"))
@@ -494,6 +499,38 @@ object Analytics {
         .orderBy("doc_id")
     }),
 
+    // q137: snapshot MERGE apply-side — the keyed upsert that APPLIES
+    // the q110 diff: insert + update + delete resolved in ONE full
+    // outer join pass over the (doc_id, digest) frames, then — and
+    // only then — document bodies join back for the survivors. The
+    // scale argument: the wide shuffle (full outer join, action
+    // decision) moves 16-byte digests, never bodies; bodies ride one
+    // final equi-join keyed on doc_id and project straight out.
+    // Deleted keys are applied by absence (the output IS the merged
+    // post-MERGE table, so rows_match catches a missed delete); each
+    // surviving row reports the action that produced it. In a real
+    // deployment the body side of an insert/update comes from the v2
+    // snapshot's files — here both versions derive from the shared
+    // fixture (v2Text), keeping the oracle exact.
+    "q137_merge_apply" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val (v1, v2) = snapshotSides(docs)
+      val act = v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("in1").isNull, "insert")
+            .when(col("in2").isNull, "delete")
+            .when(col("h1") =!= col("h2"), "update")
+            .otherwise("keep").as("action"))
+      val bodies = docs.select(col("doc_id"), col("text").as("t1"),
+        v2Text.as("t2"))
+      act.filter(col("action") =!= "delete")
+        .join(bodies, Seq("doc_id"))
+        .select(col("doc_id"), col("action"),
+          when(col("action") === "keep", col("t1")).otherwise(col("t2"))
+            .as("text"))
+        .orderBy("doc_id")
+    }),
+
     // q111: first-touch attribution — 30-minute-gap sessionization
     // (lag + running flag-sum; ONE shuffle on user_id shared by both
     // windows), each purchase's value attributed to the first event
@@ -562,15 +599,19 @@ object Analytics {
     * them. Explicit presence flags, NOT hash nullness: a NULL-text doc
     * has a NULL digest, and keying added/removed on h1/h2 would misread
     * side membership (the oracle keys on row presence). */
+  /** The v2 side's simulated edit (doc_id % 7 == 0 upper-cased) — ONE
+    * definition shared by the digest frames (snapshotSides) and the
+    * body projection (q137's merge apply) so the edit rule cannot
+    * drift between the diff and the apply. */
+  private def v2Text: org.apache.spark.sql.Column =
+    when(col("doc_id") % 7 === 0, upper(col("text"))).otherwise(col("text"))
+
   def snapshotSides(docsT: DataFrame): (DataFrame, DataFrame) = (
     docsT.filter(col("doc_id") < 400)
       .select(col("doc_id"), md5(col("text")).as("h1"),
         lit(true).as("in1")),
     docsT.filter(col("doc_id") >= 100)
-      .select(col("doc_id"),
-        md5(when(col("doc_id") % 7 === 0, upper(col("text")))
-          .otherwise(col("text"))).as("h2"),
-        lit(true).as("in2")))
+      .select(col("doc_id"), md5(v2Text).as("h2"), lit(true).as("in2")))
 
   /** CMS geometry: 3 independent mix61 rows × 128 buckets. Width is the
     * ε knob — expected collision mass N/w per row, P[over > e·N/w] <=
@@ -591,7 +632,7 @@ object Analytics {
     "q132_mad_outliers" ->
       """WITH ev AS (SELECT event_type,
               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-            FROM events),
+            FROM events WHERE value IS NOT NULL),
           vc AS (SELECT event_type, cents, count(*) AS cnt FROM ev
                  GROUP BY 1, 2),
           cume AS (SELECT event_type, cents,
@@ -896,6 +937,28 @@ object Analytics {
                  WHEN v1.h1 <> v2.h2 THEN 'changed' END AS status
           FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
           WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h1 <> v2.h2
+          ORDER BY doc_id""",
+
+    // the same full-join action decision, with the merged body
+    // materialized per the winning side (the INSERT … ON CONFLICT
+    // DO UPDATE equivalent, plus delete-by-absence)
+    "q137_merge_apply" ->
+      """WITH v1 AS (SELECT doc_id, text, md5(text) AS h1 FROM documents
+                     WHERE doc_id < 400),
+          v2 AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN upper(text)
+                        ELSE text END AS text,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN upper(text)
+                       ELSE text END) AS h2
+                 FROM documents WHERE doc_id >= 100)
+          SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+            CASE WHEN v1.doc_id IS NULL THEN 'insert'
+                 WHEN v1.h1 <> v2.h2 THEN 'update'
+                 ELSE 'keep' END AS action,
+            CASE WHEN v1.doc_id IS NULL OR v1.h1 <> v2.h2 THEN v2.text
+                 ELSE v1.text END AS text
+          FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+          WHERE v2.doc_id IS NOT NULL
           ORDER BY doc_id""",
 
     "q111_first_touch" ->

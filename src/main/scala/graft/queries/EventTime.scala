@@ -46,6 +46,13 @@ object EventTime {
 
   /** q31 aggregation; input must already be deduped on (user_id, ts) so
     * session semantics match the gaps-and-islands oracle. */
+  /** Session boundary semantics (pinned empirically by OperatorSpec's
+    * "exactly-30-min gap stays in the same session" case): Spark's
+    * session merge runs on window OVERLAP-OR-TOUCH, so an event at
+    * exactly `prev + gap` MERGES into the running session; only a
+    * STRICTLY larger gap opens a new one. The q31/q130 gaps-and-islands
+    * oracles mirror this with `ts - lag(ts) > INTERVAL 30 MINUTE`
+    * (strict `>`, not `>=`). */
   def sessionAgg(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))

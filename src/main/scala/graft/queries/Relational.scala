@@ -330,7 +330,7 @@ object Relational {
 
     // q16g: explicit GROUPING SETS via the SQL surface
     "q16_grouping_sets" -> ((s, d) => {
-      Tables.registerAll(s, d)
+      Tables.register(s, d, "orders")
       s.sql("""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS prio,
@@ -409,7 +409,7 @@ object Relational {
     // q22: correlated scalar subquery (Catalyst decorrelates); exercises
     // the SQL parser surface via spark.sql
     "q22_subquery" -> ((s, d) => {
-      Tables.registerAll(s, d)
+      Tables.register(s, d, "orders", "customer")
       s.sql("""
         SELECT o.o_orderkey, c.c_nationkey, o.o_totalprice
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -467,7 +467,7 @@ object Relational {
     // map-side count-of-cutpoints-below (q84's no-global-ntile trick);
     // per-bin money sums decimal-exact.
     "q88_equidepth_hist" -> ((s, d) => {
-      Tables.registerAll(s, d)
+      Tables.register(s, d, "orders")
       val cuts = (1 to 9).map(i =>
         s"min(CASE WHEN cast(run as double) / cast(tot as double) >= 0.$i " +
           s"THEN x END)").mkString(",\n            ")
@@ -574,7 +574,7 @@ object Relational {
       s.udf.register("bloom_agg_1m",
         udaf(new graft.functions.BloomFilterAgg(1 << 20),
           org.apache.spark.sql.Encoders.scalaLong))
-      Tables.registerAll(s, d)
+      Tables.register(s, d, "orders", "lineitem")
       s.sql(s"""
         WITH sel AS (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT'),

@@ -67,6 +67,88 @@ object Similarity {
         .as("d2"))
   }
 
+  /** q50's Lloyd loop (k = 16 seeded from the first 16 vectors):
+    * `iters` assign/recompute rounds over a micro-unit long format,
+    * returning the final (vec_id, c_id) assignment as ONE lazy lineage
+    * (the q133 bounded-round pattern — zero per-round driver actions;
+    * only the multi-consumer quantized long format materializes, with
+    * the durable-checkpoint knob).
+    *
+    * Exactness by construction, so the DuckDB oracle replays every
+    * round bit-identically: vi = floor(v·1e6 + 0.5) are exact BIGINTs;
+    * centroid state is the per-dim SUM vector (never the mean — cosine
+    * is scale-invariant so argmax against S ≡ argmax against S/n, and
+    * no cross-engine decimal-division scale rules are ever exercised);
+    * dots and norms are exact DECIMAL(38,0) sums of integer products;
+    * the only doubles are the final ranking values r = sign(dot)·dot²
+    * /cn2, derived from identical exact integers by identical IEEE ops
+    * in both engines. Ties break on c_id. Scale shape per round: one
+    * broadcast join on pos (centroids are k·dims rows), one partial
+    * agg to (vec_id, c_id), one per-vector ranking window, one
+    * (c_id, pos) agg — the corpus shuffles on vec_id once per round,
+    * centroids never shuffle. */
+  private[graft] def lloydAssignments(s: SparkSession, d: String,
+      iters: Int): DataFrame = {
+    val el = graft.operators.Materialize.truncate(
+      emb(s, d).select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos"),
+          expr("cast(floor(cast(col as double) * 1000000 + 0.5) as bigint)")
+            .as("vi")))
+    var cent = el.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("pos"), col("vi").as("si"))
+    var asg: DataFrame = el.sparkSession.emptyDataFrame
+    for (_ <- 1 to iters) {
+      // exact squared norm of each centroid sum vector; an (impossible
+      // in practice, but guarded identically in the oracle) all-zero
+      // sum vector drops out rather than dividing by zero
+      val cn2 = cent.groupBy("c_id")
+        .agg(sum(expr("cast(si as decimal(38,0)) * cast(si as decimal(38,0))"))
+          .as("cn2"))
+        .filter(col("cn2") > 0)
+      val wAsg = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("r").desc, col("c_id"))
+      asg = el.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "c_id")
+        .agg(sum(expr("cast(vi as decimal(38,0)) * si")).as("dot"))
+        .join(broadcast(cn2), Seq("c_id"))
+        .withColumn("r", expr(
+          """(case when dot >= 0 then 1.0d else -1.0d end)
+             * cast(dot as double) * cast(dot as double)
+             / cast(cn2 as double)"""))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select("vec_id", "c_id")
+      cent = el.join(asg, Seq("vec_id"))
+        .groupBy("c_id", "pos").agg(sum("vi").as("si"))
+    }
+    asg
+  }
+
+  /** The q50 oracle's unrolled Lloyd rounds: CTEs n_i (norms), s_i
+    * (dots), a_i (assignments), c_i (recomputed sum vectors) replaying
+    * lloydAssignments round by round with identical exact arithmetic. */
+  private def lloydRoundsSql(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""n$i AS (SELECT c_id,
+               sum(CAST(si AS DECIMAL(38,0)) * CAST(si AS DECIMAL(38,0)))
+                 AS cn2
+             FROM c${i - 1} GROUP BY c_id HAVING cn2 > 0),
+          s$i AS (SELECT el.vec_id, c.c_id,
+               sum(CAST(el.vi AS DECIMAL(38,0)) * c.si) AS dot
+             FROM el JOIN c${i - 1} c USING (pos)
+             GROUP BY el.vec_id, c.c_id),
+          a$i AS (SELECT vec_id, c_id FROM (
+               SELECT s.vec_id, s.c_id, row_number() OVER (
+                 PARTITION BY s.vec_id ORDER BY
+                   (CASE WHEN s.dot >= 0 THEN 1.0 ELSE -1.0 END)
+                     * CAST(s.dot AS DOUBLE) * CAST(s.dot AS DOUBLE)
+                     / CAST(n.cn2 AS DOUBLE) DESC,
+                   s.c_id) AS rn
+               FROM s$i s JOIN n$i n USING (c_id)) t WHERE rn = 1),
+          c$i AS (SELECT a.c_id, el.pos, sum(el.vi) AS si
+             FROM el JOIN a$i a USING (vec_id) GROUP BY a.c_id, el.pos)"""
+    }.mkString(",\n")
+
   val queries: Map[String, Q] = Map(
     // q34: brute-force cosine top-10 vs probe vec_id = 0
     "q34_cosine_topk" -> ((s, d) => {
@@ -138,55 +220,28 @@ object Similarity {
           max(col("n")).as("n_vecs"))
         .orderBy("label")),
 
-    // q50: IVF with LEARNED centroids — one deterministic Lloyd
-    // iteration, entirely relational (no array re-assembly): init
-    // centroids = first 16 vectors; assign every vector to its nearest
-    // init centroid (broadcast + per-vector ranking window); recompute
-    // centroids as per-dim decimal-exact means in long format; route the
-    // probe to its nearest learned centroid via a long-format dot
-    // product; then scan only that inverted list for the top-5. This is
-    // the production ANN shape: train once, assign map-side, probe
-    // touches 1/k of the corpus.
+    // q50: IVF with LEARNED centroids — THREE deterministic Lloyd
+    // rounds (lloydAssignments below), entirely relational: quantize
+    // every embedding to exact micro-unit integers, assign each vector
+    // to its nearest centroid by an EXACT ranking (cosine is
+    // scale-invariant, so ranking against the centroid's unnormalized
+    // SUM vector ≡ ranking against its mean — the mean division, and
+    // its engine-specific decimal scale rules, never happen), recompute
+    // the sum vectors, repeat. The probe (vec 0) routes to the cluster
+    // the final round assigned it to, and only that inverted list is
+    // scanned for the top-5. Production ANN shape: train on a sample,
+    // assign map-side (centroids broadcast), probe touches ~1/k of the
+    // corpus; more Lloyd rounds = tighter clusters = higher recall at
+    // the same probe cost (TextSimilaritySpec measures 1-round vs
+    // 3-round recall on the fixture).
     "q50_ivf_kmeans" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val init = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      val wAsg = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("sim").desc, col("c_id"))
-      val assigned = e.crossJoin(broadcast(init))
-        .withColumn("sim", cosine("embedding", "c_emb"))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("c_id"), col("embedding"))
-      // learned centroids, long format: (c_id, pos, mean)
-      val cent = assigned
-        .select(col("c_id"), posexplode(col("embedding")))
-        .groupBy("c_id", "pos")
-        .agg((sum(col("col").cast(
-            org.apache.spark.sql.types.DecimalType(18, 8))).cast("double")
-          / count(lit(1))).as("mean"))
-      // probe dims
-      val pd = e.filter(col("vec_id") === 0)
-        .select(posexplode(col("embedding")))
-        .select(col("pos"), col("col").cast("double").as("pv"))
-      val pn2 = pd.agg(sum(col("pv") * col("pv")).as("pn2"))
-      // probe -> nearest learned centroid
-      val wBest = org.apache.spark.sql.expressions.Window
-        .orderBy(col("csim").desc, col("c_id"))
-      val best = cent.join(broadcast(pd), Seq("pos"))
-        .groupBy("c_id")
-        .agg(sum(col("pv") * col("mean")).as("dot"),
-          sum(col("mean") * col("mean")).as("cn2"))
-        .crossJoin(broadcast(pn2))
-        .withColumn("csim",
-          col("dot") / (sqrt(col("cn2")) * sqrt(col("pn2"))))
-        .withColumn("rn", row_number().over(wBest))
-        .filter(col("rn") === 1)
-        .select(col("c_id"))
-      // scan only the probe's inverted list
+      val asg = lloydAssignments(s, d, 3)
+      val bestC = asg.filter(col("vec_id") === 0).select("c_id")
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("pe"))
-      assigned.join(broadcast(best), Seq("c_id"))
+      e.join(asg, Seq("vec_id"))
+        .join(broadcast(bestC), Seq("c_id"))
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
         .select(col("vec_id"), round(cosine("embedding", "pe"), 4).as("sim"))
@@ -463,43 +518,23 @@ object Similarity {
           FROM m GROUP BY label ORDER BY label""",
 
     "q50_ivf_kmeans" ->
-      """WITH e AS (SELECT vec_id, embedding,
+      s"""WITH e AS (SELECT vec_id, embedding,
               CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-          init AS (SELECT vec_id AS c_id, emb AS c_emb FROM e
-                   WHERE vec_id < 16),
-          sims AS (SELECT e.vec_id, i.c_id,
-                     list_cosine_similarity(e.emb, i.c_emb) AS sim
-                   FROM e CROSS JOIN init i),
-          asg AS (SELECT vec_id, c_id FROM (
-                    SELECT vec_id, c_id, row_number() OVER (
-                      PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
-                    FROM sims) t WHERE rn = 1),
-          dims AS (SELECT a.c_id,
-                     generate_subscripts(e.embedding, 1) - 1 AS pos,
-                     unnest(e.embedding) AS v
-                   FROM e JOIN asg a USING (vec_id)),
-          cent AS (SELECT c_id, pos,
-                     CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
-                       / count(*) AS mean
-                   FROM dims GROUP BY c_id, pos),
-          pd AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
-                   CAST(unnest(embedding) AS DOUBLE) AS pv
-                 FROM e WHERE vec_id = 0),
-          pn AS (SELECT sum(pv * pv) AS pn2 FROM pd),
-          cs AS (SELECT c.c_id, sum(p.pv * c.mean) AS dot,
-                   sum(c.mean * c.mean) AS cn2
-                 FROM cent c JOIN pd p USING (pos) GROUP BY c.c_id),
-          best AS (SELECT c_id FROM (
-                     SELECT c_id, row_number() OVER (ORDER BY
-                       dot / (sqrt(cn2) * sqrt((SELECT pn2 FROM pn))) DESC,
-                       c_id) AS rn
-                     FROM cs) t WHERE rn = 1)
+          el AS (SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                     + 0.5) AS BIGINT) AS vi
+                 FROM embeddings),
+          c0 AS (SELECT vec_id AS c_id, pos, vi AS si FROM el
+                 WHERE vec_id < 16),
+          ${lloydRoundsSql(3)}
           SELECT e.vec_id,
             round(list_cosine_similarity(e.emb, p.pe), 4) AS sim
           FROM e
-          JOIN asg USING (vec_id)
+          JOIN a3 USING (vec_id)
           CROSS JOIN (SELECT emb AS pe FROM e WHERE vec_id = 0) p
-          WHERE asg.c_id = (SELECT c_id FROM best) AND e.vec_id <> 0
+          WHERE a3.c_id = (SELECT c_id FROM a3 WHERE vec_id = 0)
+            AND e.vec_id <> 0
           ORDER BY sim DESC, vec_id LIMIT 5""",
 
     "q39_ann_ivf" ->

@@ -57,6 +57,46 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // q136: RANGE/interval window frames — value-based trailing frames
+    // ("sum over the last 7 DAYS", not 7 ROWS), the everyday analytics
+    // frame the rest of the suite's rowsBetween windows don't cover.
+    // All three frames share ONE window ordering (partition user_id,
+    // order ts), so Catalyst plans a single Window operator = a single
+    // shuffle + sort, same scale shape as q18 (PlanSpec pins this).
+    // RANGE frame boundaries are value-inclusive ([ts − 7d, ts]) and
+    // peer rows (equal ts) enter the frame together in both engines, so
+    // the results are tie-safe and deterministic; sums go through
+    // DECIMAL (Det policy) so partial-agg order can't flip a bit.
+    // Everything reports in exact integer units (cents / e4 basis
+    // points): a rounded double trailing average diverged from the
+    // oracle by one ulp-flip at a .00005 boundary on the fixture, so
+    // the division is floored integer arithmetic instead (values are
+    // non-negative, where Spark's div and DuckDB's // agree).
+    "q136_range_frames" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("cents",
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+        .selectExpr(
+          "event_id", "user_id",
+          "date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS tss",
+          """sum(cents) over (
+               partition by user_id order by ts
+               range between interval 7 days preceding and current row)
+             AS sum_7d_c""",
+          """count(*) over (
+               partition by user_id order by ts
+               range between interval 30 minutes preceding and current row)
+             AS n_30m""",
+          """(sum(cents) over (
+               partition by user_id order by ts
+               range between interval 1 day preceding and current row)
+             * 100) div count(*) over (
+               partition by user_id order by ts
+               range between interval 1 day preceding and current row)
+             AS avg_1d_e4""")
+        .orderBy("user_id", "tss", "event_id")),
+
     "q19_analytic_windows" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -101,6 +141,27 @@ object Windows {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
          ORDER BY o_custkey, o_orderkey""",
+
+    "q136_range_frames" ->
+      """WITH ev AS (SELECT event_id, user_id, ts,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL)
+         SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS tss,
+           sum(cents) OVER
+             (w RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+             AS sum_7d_c,
+           count(*) OVER
+             (w RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)
+             AS n_30m,
+           (sum(cents) OVER
+             (w RANGE BETWEEN INTERVAL 1 DAYS PRECEDING AND CURRENT ROW)
+             * 100) // count(*) OVER
+             (w RANGE BETWEEN INTERVAL 1 DAYS PRECEDING AND CURRENT ROW)
+             AS avg_1d_e4
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ORDER BY user_id, tss, event_id""",
 
     "q19_analytic_windows" ->
       """SELECT o_custkey, o_orderkey,

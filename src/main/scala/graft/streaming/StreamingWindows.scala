@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
 import graft.queries.EventTime
 
 /** Structured Streaming variants of the event-time queries (SURVEY.md §7
@@ -16,6 +17,18 @@ import graft.queries.EventTime
   * watermark has expired all state.
   */
 object StreamingWindows {
+
+  /** Canonical events fixture schema (ts as nanos-since-epoch long, the
+    * TIMESTAMP(NANOS) physical layout read under nanosAsLong) — the
+    * empty-directory fallback for a stream that starts before its first
+    * file arrives. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 
   /** Streaming scan of the events table (one parquet file = one
     * micro-batch in tests; a directory of arriving files in production).
@@ -37,7 +50,14 @@ object StreamingWindows {
     // staged sibling files) — the default glob must stay events.parquet so
     // every batch-parity query reads exactly what the batch side reads.
     val glob = if (maxFilesPerTrigger > 0) "events*.parquet" else "events.parquet"
-    val onDisk = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    // Prefer the on-disk footer schema (adapts to whichever physical ts
+    // layout this fixture generation used); if the glob matches no files
+    // yet — a stream starting before the first file arrives, the normal
+    // production sequence — fall back to the canonical fixture schema
+    // (ts as nanos-long; tsToTimestamp normalizes either layout).
+    val onDisk =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
     val r = spark.readStream.schema(onDisk)
       .option("pathGlobFilter", glob)
     val r2 = if (maxFilesPerTrigger > 0)

@@ -152,8 +152,9 @@ class OperatorSpec extends SparkSpec {
 
   test("exactly-30-min gap stays in the same session (boundary semantics)") {
     // Spark merges an event at exactly prev + gap into the running
-    // session; only a STRICTLY larger gap opens a new one. The q31
-    // gaps-and-islands oracle mirrors this with `> INTERVAL 30 MINUTE`.
+    // session; only a STRICTLY larger gap opens a new one. The q31 AND
+    // q130 gaps-and-islands oracles mirror this with the strict
+    // `> INTERVAL 30 MINUTE` predicate (not `>=`).
     val ts = Seq("2024-01-01 00:00:00", "2024-01-01 00:30:00",
       "2024-01-01 01:00:00.000001")
     val df = ts.map(t => (1L, java.sql.Timestamp.valueOf(t)))

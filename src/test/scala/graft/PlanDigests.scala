@@ -22,6 +22,22 @@ package graft
   */
 object PlanDigests {
   val pinned: Map[String, String] = Map(
+    // r9: pinned after the driver-bench drift investigation (VERDICT r8
+    // item 1) — the decorrelated scalar-subquery plan, so any optimizer
+    // or registration change that alters its shape surfaces here
+    "q22_subquery" ->
+      "AQEShuffleRead x3 | BroadcastExchange x2 | BroadcastHashJoin x3 | ColumnarToRow x3 | Exchange x3 | Filter x4 | HashAggregate x2 | Project x3 | ReusedExchange x1 | Scan parquet x3 | Sort x1",
+    // r9: one Window operator = one shuffle for all three interval
+    // RANGE frames (they share a window ordering)
+    "q136_range_frames" ->
+      "AQEShuffleRead x2 | ColumnarToRow x1 | Exchange x2 | Filter x1 | Project x3 | Scan parquet x1 | Sort x2 | Window x1",
+    // r9: digest-only full outer join + one body equi-join
+    "q137_merge_apply" ->
+      "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x3 | Exchange x3 | Filter x4 | Project x5 | Scan parquet x3 | Sort x3 | SortMergeJoin x1",
+    // r9: 3 unrolled Lloyd rounds as one lazy lineage over the
+    // materialized micro-unit long format
+    "q50_ivf_kmeans" ->
+      "AQEShuffleRead x15 | BroadcastExchange x10 | BroadcastHashJoin x12 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Exchange x13 | Filter x16 | HashAggregate x20 | Project x20 | ReusedExchange x5 | Scan ExistingRDD x7 | Scan parquet x2 | Sort x8 | TakeOrderedAndProject x1 | Window x4 | WindowGroupLimit x8",
     "q102_cluster_canon" ->
       "AQEShuffleRead x4 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x1 | Exchange x4 | Project x3 | Scan ExistingRDD x1 | Scan parquet x1 | Sort x3 | SortAggregate x2",
     "q103_prefix_jaccard" ->

@@ -182,11 +182,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin")
       && !p.contains("CartesianProduct"),
       s"rank-band candidates must be an equi-join:\n$p")
-    // the per-block rank window partitions by blk — a global
-    // single-partition Window over the names would print no
-    // partition spec
-    assert(p.contains("partitionBy" ) || p.contains("blk"),
-      s"rank window must be block-partitioned:\n$p")
+    // the per-block rank window partitions by blk — assert on the
+    // Window operator's OWN spec (windowspecdefinition lists partition
+    // columns first), not anywhere in the plan string: 'blk' also
+    // appears as a plain column name even under a global
+    // single-partition Window, which is exactly the regression this
+    // guards against
+    assert("windowspecdefinition\\(blk#".r.findFirstIn(p).isDefined,
+      s"rank window must be block-partitioned (windowspecdefinition(blk#…)):\n$p")
   }
 
   test("q93's manual bloom prune sits below the join; Spark's own " +
