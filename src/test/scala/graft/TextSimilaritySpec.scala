@@ -46,6 +46,65 @@ class TextSimilaritySpec extends SparkSpec {
     assert(iMax <= bMax + 1e-9)
   }
 
+  test("learned IVF: Lloyd rounds improve the clustering objective; " +
+      "nprobe=1 recall stays high") {
+    // The reason q50 iterates (and the honest measurement of what
+    // iterating buys): the spherical k-means objective — summed cosine
+    // of every vector to its assigned centroid direction — improves
+    // monotonically with rounds, which is Lloyd's actual guarantee.
+    // Measured at sf0.01: 151.3 (1 round) -> 164.4 (3 rounds) of 500.
+    // Probe recall under nprobe=1 is NOT monotone in training quality
+    // (a tighter cluster can exclude a true neighbor; measured 45 vs
+    // 42 of 50 over probes 1..10 on this fixture), so recall gets a
+    // floor, not an ordering: both arms must stay >= 80%.
+    val d = "/root/testdata/sf0.01"
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.load(spark, d, "embeddings")
+      .select($"vec_id", $"embedding")
+    val el = e.select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", $"pos", expr("cast(col as double)").as("v"))
+    def objective(asg: org.apache.spark.sql.DataFrame): Double = {
+      val cent = el.join(asg, Seq("vec_id")).groupBy($"c_id", $"pos")
+        .agg(sum($"v").as("s"))
+      val cn2 = cent.groupBy($"c_id").agg(sum($"s" * $"s").as("cn2"))
+      el.join(asg, Seq("vec_id")).join(cent, Seq("c_id", "pos"))
+        .groupBy($"vec_id", $"c_id")
+        .agg(sum($"v" * $"s").as("dot"), sum($"v" * $"v").as("vn2"))
+        .join(cn2, Seq("c_id"))
+        .select(($"dot" / (sqrt($"vn2") * sqrt($"cn2"))).as("cos"))
+        .agg(sum($"cos")).head().getDouble(0)
+    }
+    val probes = e.filter($"vec_id".between(1, 10))
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"p_id")
+      .withColumn("sim", expr("cosine_sim(embedding, pe)"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy($"sim".desc, $"vec_id")
+    val brute = scored.withColumn("rn", row_number().over(wp))
+      .filter($"rn" <= 5).select("p_id", "vec_id")
+    def recall(asg: org.apache.spark.sql.DataFrame): Long = {
+      val ivf = scored
+        .join(asg, Seq("vec_id"))
+        .join(asg.select($"vec_id".as("p_id"), $"c_id".as("p_c")),
+          Seq("p_id"))
+        .filter($"c_id" === $"p_c")
+        .withColumn("rn", row_number().over(wp))
+        .filter($"rn" <= 5).select("p_id", "vec_id")
+      brute.join(ivf, Seq("p_id", "vec_id")).count()
+    }
+    val a1 = graft.queries.Similarity.lloydAssignments(spark, d, 1)
+    val a3 = graft.queries.Similarity.lloydAssignments(spark, d, 3)
+    val (o1, o3) = (objective(a1), objective(a3))
+    val (r1, r3) = (recall(a1), recall(a3))
+    info(f"objective: 1 round = $o1%.1f, 3 rounds = $o3%.1f (of 500)")
+    info(s"recall@5 over 10 probes: 1 round = $r1, 3 rounds = $r3 (of 50)")
+    assert(o3 > o1 + 1.0,
+      s"3-round objective $o3 must measurably beat 1-round $o1")
+    assert(r1 >= 40 && r3 >= 40,
+      s"nprobe=1 recall floor (40/50 = 80%) violated: $r1, $r3")
+  }
+
   test("IVF-PQ ADC: distances non-decreasing, bounded below by PQ error") {
     val rows = SparkEntry.queries("q116_ivf_pq")(spark, sf).collect()
     assert(rows.length == 5, "the probe's inverted list must hold >= 5 vecs")
