@@ -31,13 +31,21 @@ object MediaCodec {
   /** REAL pure-JVM codec (the default for compressed-audio features):
     * decodes native FLAC via [[Flac]] (lossless compression — Rice-coded
     * LPC/fixed prediction, stereo decorrelation) and IMA/DVI ADPCM WAV
-    * via [[ImaAdpcm]] (lossy ~4:1) — both actual compressed codecs,
-    * bytes-in/samples-out tested — and falls back to anything the JDK's
-    * javax.sound parses (PCM / u-law / a-law WAV) via
-    * [[AudioOps.decodeWav]]. mp3/ogg/aac stay undecodable here
-    * (None -> row dropped): no pure-Java decoder exists in this
-    * offline container; a codec-equipped deploy plugs its own
-    * [[MediaCodec]] in. Video [[sampleFrames]] demuxes + decodes FOR
+    * via [[ImaAdpcm]] (lossy ~4:1) and Microsoft ADPCM via [[MsAdpcm]]
+    * — all actual compressed codecs, bytes-in/samples-out tested — and
+    * falls back to anything the JDK's javax.sound parses (PCM / u-law /
+    * a-law WAV) via [[AudioOps.decodeWav]]. mp3/ogg/aac stay
+    * undecodable here (None -> row dropped), DELIBERATELY: those are
+    * table-driven codecs whose standardized constant tables (the 34
+    * ISO 11172-3 Layer III Huffman code tables, the Vorbis/AAC
+    * codebooks) are not derivable from first principles and not
+    * available in this zero-egress container — a decoder built with
+    * guessed tables would pass a self-consistent encoder-twin test and
+    * still emit garbage on every real-world file, strictly worse than
+    * the honest drop. The implemented codecs (FLAC, both ADPCMs) are
+    * ALGORITHMIC — Rice coding, LPC, step adaptation — so their
+    * correctness is provable without the standard's data tables. A
+    * codec-equipped deploy plugs its own [[MediaCodec]] in. Video [[sampleFrames]] demuxes + decodes FOR
     * REAL from two containers: animated GIF ([[GifFrames]] — timed
     * LZW frames composited per disposal method) and AVI/MJPEG
     * ([[AviMjpeg]] — RIFF demux + per-frame baseline JPEG); every
@@ -48,6 +56,7 @@ object MediaCodec {
     override def audioFeatures(bytes: Array[Byte],
         nMel: Int): Option[Array[Float]] =
       Flac.decode(bytes).orElse(ImaAdpcm.decode(bytes))
+        .orElse(MsAdpcm.decode(bytes))
         .orElse(AudioOps.decodeWav(bytes))
         .map { case (_, mono) => AudioOps.segmentEnergies(mono, nMel) }
 

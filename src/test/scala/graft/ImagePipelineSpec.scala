@@ -539,6 +539,147 @@ class ImagePipelineSpec extends SparkSpec {
     assert(out.head.getSeq[Float](1).length == 4)
   }
 
+  /** MS-ADPCM encoder twin: per block, picks the predictor-coefficient
+    * pair (of the 7 standard ones) that minimizes simulated error, then
+    * quantizes each sample by exhaustively picking the signed 4-bit
+    * code whose reconstruction (via the SHARED MsAdpcm.advance step)
+    * lands closest to the target, tracking the decoder's exact state —
+    * so the returned expected signal is the bit-exact decode. Returns
+    * (wav bytes, expected decoded mono). */
+  private def msAdpcmWav(chans: Array[Array[Double]], rate: Int,
+      samplesPerBlock: Int): (Array[Byte], Array[Double]) = {
+    import graft.pipeline.MsAdpcm
+    val ch = chans.length
+    val n = chans(0).length
+    require(samplesPerBlock > 2 && ((samplesPerBlock - 2) * ch) % 2 == 0
+      && n % samplesPerBlock == 0)
+    val dataBytes = (samplesPerBlock - 2) * ch / 2
+    val blockAlign = 7 * ch + dataBytes
+    def toI(d: Double) =
+      math.max(-32768L, math.min(32767L, math.round(d * 32767))).toInt
+    val coefs = graft.pipeline.MsAdpcm.Coefs
+    // one simulated encode of a block for a fixed predictor index;
+    // returns (codes in nibble order, per-position reconstruction,
+    // initial delta, total abs error)
+    def simulate(base: Int, pi: Int): (Array[Int], Array[Array[Int]], Array[Int], Long) = {
+      val (c1, c2) = coefs(pi)
+      val s1 = Array.tabulate(ch)(c => toI(chans(c)(base + 1)))
+      val s2 = Array.tabulate(ch)(c => toI(chans(c)(base)))
+      val d0 = Array.tabulate(ch) { c =>
+        val diffs = (1 until samplesPerBlock.min(8)).map(i =>
+          math.abs(toI(chans(c)(base + i)) - toI(chans(c)(base + i - 1))))
+        math.max(16, (if (diffs.isEmpty) 16 else diffs.max) / 4)
+      }
+      val delta = d0.clone()
+      val nNib = (samplesPerBlock - 2) * ch
+      val codes = new Array[Int](nNib)
+      val recon = Array.ofDim[Int](ch, samplesPerBlock - 2)
+      var err = 0L
+      var nib = 0
+      while (nib < nNib) {
+        val c = nib % ch
+        val s = nib / ch
+        val target = toI(chans(c)(base + 2 + s))
+        var best = 0
+        var bestErr = Long.MaxValue
+        var code = -8
+        while (code <= 7) {
+          val p = (MsAdpcm.advance(s1(c), s2(c), c1, c2, delta(c),
+            code) >> 32).toInt
+          val e = math.abs(p.toLong - target)
+          if (e < bestErr) { bestErr = e; best = code }
+          code += 1
+        }
+        val packed = MsAdpcm.advance(s1(c), s2(c), c1, c2, delta(c), best)
+        s2(c) = s1(c)
+        s1(c) = (packed >> 32).toInt
+        delta(c) = (packed & 0xffffffffL).toInt
+        codes(nib) = best & 0xf
+        recon(c)(s) = s1(c)
+        err += bestErr
+        nib += 1
+      }
+      (codes, recon, d0, err)
+    }
+    val data = new java.io.ByteArrayOutputStream()
+    val expected = scala.collection.mutable.ArrayBuffer[Double]()
+    for (blk <- 0 until n / samplesPerBlock) {
+      val base = blk * samplesPerBlock
+      val sims = (0 until coefs.length).map(pi => pi -> simulate(base, pi))
+      val (pi, (codes, recon, d0, _)) = sims.minBy(_._2._4)
+      for (c <- 0 until ch) data.write(pi)
+      for (c <- 0 until ch) {
+        data.write(d0(c) & 0xff); data.write((d0(c) >> 8) & 0xff)
+      }
+      for (c <- 0 until ch) { // sample1 = the NEWER seed
+        val v = toI(chans(c)(base + 1))
+        data.write(v & 0xff); data.write((v >> 8) & 0xff)
+      }
+      for (c <- 0 until ch) {
+        val v = toI(chans(c)(base))
+        data.write(v & 0xff); data.write((v >> 8) & 0xff)
+      }
+      expected += (0 until ch).map(c => toI(chans(c)(base))).sum
+        .toDouble / ch / 32768.0
+      expected += (0 until ch).map(c => toI(chans(c)(base + 1))).sum
+        .toDouble / ch / 32768.0
+      for (s <- 0 until samplesPerBlock - 2)
+        expected += (0 until ch).map(c => recon(c)(s)).sum
+          .toDouble / ch / 32768.0
+      var i = 0
+      while (i < codes.length) { // high nibble first
+        data.write(((codes(i) & 0xf) << 4) |
+          (if (i + 1 < codes.length) codes(i + 1) & 0xf else 0))
+        i += 2
+      }
+    }
+    val body = data.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    def tg(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    val fmtLen = 16 + 2 + 2 + 2 + 4 * coefs.length
+    tg("RIFF"); w32(4 + 8 + fmtLen + 8 + body.length); tg("WAVE")
+    tg("fmt "); w32(fmtLen); w16(0x0002); w16(ch); w32(rate)
+    w32(rate * blockAlign / samplesPerBlock) // nominal byte rate
+    w16(blockAlign); w16(4)
+    w16(2 + 2 + 4 * coefs.length) // cbSize
+    w16(samplesPerBlock); w16(coefs.length)
+    coefs.foreach { case (a, b) => w16(a & 0xffff); w16(b & 0xffff) }
+    tg("data"); w32(body.length); out.write(body)
+    (out.toByteArray, expected.toArray)
+  }
+
+  test("multimodal: REAL MS-ADPCM decode — bytes in, exact samples out") {
+    import graft.pipeline.MsAdpcm
+    val spb = 34 // 2 seeds + 32 coded samples = 16 data bytes/ch
+    val n = 68 // two blocks
+    val sine = Array.tabulate(n)(i => 0.3 * math.sin(2 * math.Pi * i / 128.0))
+    val (wav, expected) = msAdpcmWav(Array(sine), 8000, spb)
+    val (rate, mono) = MsAdpcm.decode(wav).get
+    assert(rate == 8000f && mono.length == n)
+    assert(mono.sameElements(expected),
+      "decode must equal the encoder-tracked reconstruction bit-exactly")
+    // genuinely audio decode, not self-consistency theater: the lossy
+    // reconstruction must track the source signal
+    val maxErr = mono.zip(sine).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr < 0.15, s"MS-ADPCM reconstruction drifted: $maxErr")
+    // stereo: per-nibble channel interleave + mono averaging
+    val ramp = Array.tabulate(n)(i => -0.2 + 0.4 * i / n)
+    val (wav2, exp2) = msAdpcmWav(Array(sine, ramp), 16000, spb)
+    val (r2, mono2) = MsAdpcm.decode(wav2).get
+    assert(r2 == 16000f && mono2.sameElements(exp2))
+    // end-to-end through the DEFAULT codec: MS-ADPCM rows decode for
+    // real, undecodable rows still drop
+    val media = Multimodal.asMediaFrame(
+      Seq((1L, wav), (2L, Array.tabulate(64)(_.toByte)))
+        .toDF("id", "bytes"), "id", "audio", "bytes")
+    val out = Multimodal.compressedAudioFeatures(spark, media, nMel = 4)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.head.getSeq[Float](1).length == 4)
+  }
+
   /** Minimal FLAC encoder twin — emits the subset structures the
     * decoder claims (fixed/LPC prediction, Rice residuals, constant +
     * wasted bits, verbatim, stereo decorrelation) so decode is checked
