@@ -84,7 +84,7 @@ object Similarity {
     * /cn2, derived from identical exact integers by identical IEEE ops
     * in both engines. Ties break on c_id. Scale shape per round: one
     * broadcast join on pos (centroids are k·dims rows), one partial
-    * agg to (vec_id, c_id), one per-vector ranking window, one
+    * agg to (vec_id, c_id), one per-vector max(struct) argmax agg, one
     * (c_id, pos) agg — the corpus shuffles on vec_id once per round,
     * centroids never shuffle. */
   private[graft] def lloydAssignments(s: SparkSession, d: String,
@@ -105,8 +105,10 @@ object Similarity {
         .agg(sum(expr("cast(si as decimal(38,0)) * cast(si as decimal(38,0))"))
           .as("cn2"))
         .filter(col("cn2") > 0)
-      val wAsg = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("r").desc, col("c_id"))
+      // argmax per vector via max(struct(r, -c_id)) — the q17 trick:
+      // identical semantics to a (r DESC, c_id ASC) ranking window
+      // (ties on the exact double r break to the LOWEST c_id) but it
+      // fuses into the aggregate chain with no per-round sort
       asg = el.join(broadcast(cent), Seq("pos"))
         .groupBy("vec_id", "c_id")
         .agg(sum(expr("cast(vi as decimal(38,0)) * si")).as("dot"))
@@ -115,9 +117,9 @@ object Similarity {
           """(case when dot >= 0 then 1.0d else -1.0d end)
              * cast(dot as double) * cast(dot as double)
              / cast(cn2 as double)"""))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select("vec_id", "c_id")
+        .groupBy("vec_id")
+        .agg(max(struct(col("r"), (-col("c_id")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("c_id"))
       cent = el.join(asg, Seq("vec_id"))
         .groupBy("c_id", "pos").agg(sum("vi").as("si"))
     }

@@ -35,9 +35,10 @@ object PlanDigests {
     "q137_merge_apply" ->
       "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x3 | Exchange x3 | Filter x4 | Project x5 | Scan parquet x3 | Sort x3 | SortMergeJoin x1",
     // r9: 3 unrolled Lloyd rounds as one lazy lineage over the
-    // materialized micro-unit long format
+    // materialized micro-unit long format; per-round argmax is a
+    // max(struct) SortAggregate (not a Window/WindowGroupLimit pass)
     "q50_ivf_kmeans" ->
-      "AQEShuffleRead x15 | BroadcastExchange x10 | BroadcastHashJoin x12 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Exchange x13 | Filter x16 | HashAggregate x20 | Project x20 | ReusedExchange x5 | Scan ExistingRDD x7 | Scan parquet x2 | Sort x8 | TakeOrderedAndProject x1 | Window x4 | WindowGroupLimit x8",
+      "AQEShuffleRead x15 | BroadcastExchange x10 | BroadcastHashJoin x12 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Exchange x13 | Filter x16 | HashAggregate x20 | Project x16 | ReusedExchange x5 | Scan ExistingRDD x7 | Scan parquet x2 | Sort x8 | SortAggregate x8 | TakeOrderedAndProject x1",
     "q102_cluster_canon" ->
       "AQEShuffleRead x4 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x1 | Exchange x4 | Project x3 | Scan ExistingRDD x1 | Scan parquet x1 | Sort x3 | SortAggregate x2",
     "q103_prefix_jaccard" ->

@@ -720,6 +720,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("a stream can start on an EMPTY directory and pick up the " +
+      "first arriving file") {
+    // the documented production sequence — the stream exists before
+    // its source directory has data. Schema inference has nothing to
+    // read, so eventsStream must fall back to the fixed fixture schema
+    // instead of throwing (the r8 ADVICE regression), then adapt when
+    // the first real file lands.
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toFile
+    val q = StreamingWindows.runToMemory(
+      StreamingWindows.tumbling(spark, dir.getAbsolutePath),
+      "t_empty", mode = "update")
+    try {
+      assert(spark.table("t_empty").count() == 0,
+        "no files yet -> no windows")
+      // first file arrives; the next trigger must ingest it. The
+      // fallback schema declares ts as nanos-long, so stage a file in
+      // that layout (int96/nanos isn't writable from Spark directly:
+      // write the long column as the fixture generator does)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = graft.Tables.tsToTimestamp(
+        spark.read.parquet(s"$sf/events.parquet"))
+        .selectExpr("event_id", "unix_micros(ts) * 1000 AS ts",
+          "user_id", "event_type", "value", "props")
+      val tmp = new java.io.File(dir, "stage")
+      src.coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, "events.parquet").toPath)
+      q.processAllAvailable()
+      assert(spark.table("t_empty").count() > 0,
+        "windows must appear once the first file lands")
+    } finally {
+      q.stop(); rmTree(dir)
+    }
+  }
+
   test("session window: streaming parity with batch sessionization") {
     // session windows require watermark + append/update; update mode may
     // emit intermediate merged sessions, so compare the final state per
