@@ -93,6 +93,29 @@ object Multimodal {
       }.toDF("media_id", "features")
   }
 
+  /** Structural metadata probe over a media frame: one typed row per
+    * clip whose container [[MediaProbe]] recognizes (mp3/mp2 frame
+    * walk, mp4 box tree, ogg pages, wav/avi RIFF, flac STREAMINFO, gif
+    * blocks) — codec identity, duration, resolution, rates — WITHOUT
+    * decoding. This is how a 100 TB corpus filters/buckets/cost-models
+    * media columns before routing the keeper rows through a
+    * codec-equipped decode stage: the probe is a pure per-row map
+    * (no shuffle, stream-safe), and formats this container cannot
+    * decode (mp3, mp4 video) still yield full audit metadata here
+    * instead of dropping. Unrecognized bytes drop, the pipeline-wide
+    * policy. */
+  def probeMetadata(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        MediaProbe.probe(bytes).map(m => (id, m.container, m.codec,
+          m.sampleRate, m.channels, m.bitrateKbps, m.durationMs,
+          m.width, m.height, m.frames))
+      }.toDF("media_id", "container", "codec", "sample_rate", "channels",
+        "bitrate_kbps", "duration_ms", "width", "height", "frames")
+  }
+
   /** Video frame sampling through the [[MediaCodec]] seam. The default
     * [[MediaCodec.Jvm]] demuxes + composites animated GIF for real
     * ([[GifFrames]]) and DROPS clips in containers this offline JVM

@@ -1,0 +1,266 @@
+package graft
+
+import graft.pipeline.{MediaProbe, Multimodal}
+import MediaProbe.MediaInfo
+import java.io.ByteArrayOutputStream
+
+/** Structural media-probe tests: every fixture is constructed here,
+  * byte-by-byte from the PUBLIC container layouts (MPEG audio frame
+  * header, ISO-BMFF boxes, Ogg pages, RIFF chunks, FLAC STREAMINFO,
+  * GIF blocks), so each assertion checks the probe against the layout
+  * spec rather than against the probe's own output. Totality is fuzzed
+  * (random bytes + every truncation of every fixture).
+  */
+class MediaProbeSpec extends SparkSpec {
+
+  // ---------------------------------------------------------- builders
+
+  private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+  private def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+    (v >> 8).toByte, v.toByte)
+  private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+    (v >> 16).toByte, (v >> 24).toByte)
+  private def le64(v: Long) = le32(v & 0xffffffffL) ++ le32(v >>> 32)
+  private def cc(s: String) = s.getBytes("ISO-8859-1")
+
+  private def cat(parts: Array[Byte]*): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    parts.foreach(o.write)
+    o.toByteArray
+  }
+
+  /** One MPEG-1 Layer III frame: 44.1 kHz, 128 kbps, stereo, no pad →
+    * frame length 144*128000/44100 = 417 bytes. */
+  private def mp3Frame(fill: Byte = 0x55): Array[Byte] = {
+    val f = Array.fill[Byte](417)(fill)
+    f(0) = 0xff.toByte; f(1) = 0xfb.toByte // sync + V1 + LIII + no-CRC
+    f(2) = 0x90.toByte                     // brIdx 9 (=128), srIdx 0, pad 0
+    f(3) = 0x00                            // stereo
+    f
+  }
+
+  private def mp3Stream(n: Int): Array[Byte] =
+    cat((0 until n).map(i => mp3Frame((i + 1).toByte)): _*)
+
+  private def box(typ: String, body: Array[Byte]): Array[Byte] =
+    cat(be32(body.length + 8L), cc(typ), body)
+
+  /** Minimal mp4: ftyp + moov(mvhd v0 ts=1000 dur=5000,
+    * trak(tkhd 640x360, mdia(minf(stbl(stsd avc1, stsz n=150))))). */
+  private def mp4Fixture(): Array[Byte] = {
+    val ftyp = box("ftyp", cat(cc("isom"), be32(512), cc("isom")))
+    val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+      be32(1000), be32(5000), Array.fill[Byte](80)(0)))
+    val tkhd = box("tkhd", cat(be32(0), Array.fill[Byte](72)(0),
+      be32(640L << 16), be32(360L << 16)))
+    val stsdEntry = cat(be32(86), cc("avc1"), Array.fill[Byte](78)(0))
+    val stsd = box("stsd", cat(be32(0), be32(1), stsdEntry))
+    val stsz = box("stsz", cat(be32(0), be32(0), be32(150)))
+    val stbl = box("stbl", cat(stsd, stsz))
+    val minf = box("minf", stbl)
+    val hdlr = box("hdlr", cat(be32(0), be32(0), cc("vide"),
+      Array.fill[Byte](13)(0)))
+    val mdia = box("mdia", cat(hdlr, minf))
+    val trak = box("trak", cat(tkhd, mdia))
+    val moov = box("moov", cat(mvhd, trak))
+    val mdat = box("mdat", Array.fill[Byte](64)(7))
+    cat(ftyp, mdat, moov) // moov AFTER mdat: the walker must skip, not scan
+  }
+
+  /** m4a-style audio track: stsd entry mp4a, 2 ch, 44100 Hz (16.16). */
+  private def m4aFixture(): Array[Byte] = {
+    val ftyp = box("ftyp", cat(cc("M4A "), be32(0), cc("M4A ")))
+    val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+      be32(44100), be32(441000), Array.fill[Byte](80)(0)))
+    val entry = cat(be32(36 + 8), cc("mp4a"), Array.fill[Byte](6)(0),
+      be16(1), be16(0), be16(0), be32(0), be16(2), be16(16), be16(0),
+      be16(0), be32(44100L << 16))
+    val stsd = box("stsd", cat(be32(0), be32(1), entry))
+    val stbl = box("stbl", stsd)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", cat(mvhd, trak))
+    cat(ftyp, moov)
+  }
+
+  /** Ogg Opus: id page (OpusHead, 2ch) + a data page with granule. */
+  private def oggOpusFixture(granule: Long): Array[Byte] = {
+    def page(gran: Long, payload: Array[Byte]): Array[Byte] =
+      cat(cc("OggS"), Array[Byte](0, 2), le64(gran), le32(1), le32(0),
+        le32(0), Array[Byte](1, payload.length.toByte), payload)
+    val head = cat(cc("OpusHead"), Array[Byte](1, 2), le16(312),
+      le32(48000), le16(0), Array[Byte](0))
+    cat(page(0, head), page(granule, Array.fill[Byte](20)(3)))
+  }
+
+  private def wavFixture(): Array[Byte] = {
+    val fmt = cat(cc("fmt "), le32(16), le16(1), le16(2), le32(16000),
+      le32(64000), le16(4), le16(16))
+    val data = cat(cc("data"), le32(128000)) // declared size, body absent
+    cat(cc("RIFF"), le32(4 + fmt.length + data.length), cc("WAVE"), fmt, data)
+  }
+
+  private def aviFixture(): Array[Byte] = {
+    val avih = cat(cc("avih"), le32(56), le32(40000), le32(0), le32(0),
+      le32(0), le32(250), le32(0), le32(1), le32(0), le32(320), le32(240),
+      Array.fill[Byte](16)(0))
+    val strh = cat(cc("strh"), le32(48), cc("vids"), cc("MJPG"),
+      Array.fill[Byte](40)(0))
+    val strl = cat(cc("LIST"), le32(4L + strh.length), cc("strl"), strh)
+    val hdrl = cat(cc("LIST"), le32(4L + avih.length + strl.length),
+      cc("hdrl"), avih, strl)
+    cat(cc("RIFF"), le32(4L + hdrl.length), cc("AVI "), hdrl)
+  }
+
+  private def flacFixture(): Array[Byte] = {
+    val si = new Array[Byte](34)
+    si(10) = (22050 >> 12).toByte            // rate 20 bits
+    si(11) = ((22050 >> 4) & 0xff).toByte
+    si(12) = (((22050 & 0xf) << 4) | (0 << 1)).toByte // chan-1 = 0 → mono
+    si(13) = 0                               // total samples 36 bits
+    System.arraycopy(be32(44100), 0, si, 14, 4)
+    cat(cc("fLaC"), Array[Byte](0x80.toByte, 0, 0, 34), si)
+  }
+
+  private def gifFixture(frames: Int, delayCs: Int): Array[Byte] = {
+    val hdr = cat(cc("GIF89a"), le16(11), le16(7), Array[Byte](0, 0, 0))
+    val one = cat(
+      Array[Byte](0x21, 0xf9.toByte, 4, 0), le16(delayCs), Array[Byte](0, 0),
+      Array[Byte](0x2c), le16(0), le16(0), le16(11), le16(7), Array[Byte](0),
+      Array[Byte](2, 2, 1, 2, 0)) // lzw-min=2, one 2-byte sub-block, term
+    cat(hdr +: Array.fill(frames)(one) :+ Array[Byte](0x3b): _*)
+  }
+
+  // ------------------------------------------------------------ mp3
+
+  test("mp3: CBR stream walks every frame; exact duration and rate") {
+    val n = 10
+    val info = MediaProbe.probe(mp3Stream(n)).get
+    assert(info.container == "mpeg-audio" && info.codec == "mp3")
+    assert(info.sampleRate == 44100 && info.channels == 2)
+    assert(info.frames == n)
+    // 10 frames * 1152 samples / 44100 Hz = 261.2 ms, floored
+    assert(info.durationMs == n * 1152L * 1000 / 44100)
+    // walked-bytes average: 4170 B * 8 / 261 ms = 127 kbps (floored)
+    assert(info.bitrateKbps == 4170L * 8 / info.durationMs)
+  }
+
+  test("mp3: ID3v2 prefix is skipped by synchsafe length") {
+    val tag = cat(cc("ID3"), Array[Byte](4, 0, 0),
+      Array[Byte](0, 0, 1, 5), Array.fill[Byte](133)(0x41)) // size 0b1_0000101=133
+    val info = MediaProbe.probe(cat(tag, mp3Stream(3))).get
+    assert(info.codec == "mp3" && info.frames == 3)
+  }
+
+  test("mp3: a lone 0xFFEx in arbitrary binary is NOT declared mp3") {
+    // one plausible header followed by non-frame garbage: the
+    // two-consecutive-headers rule must reject it
+    val junk = cat(mp3Frame().take(4), Array.fill[Byte](400)(0x41))
+    assert(MediaProbe.probe(junk).isEmpty)
+  }
+
+  test("mp3: frame walk stops at a version/layer discontinuity") {
+    // 3 good frames then garbage: frames counted = 3, not more
+    val s = cat(mp3Stream(3), Array.fill[Byte](500)(0x13))
+    assert(MediaProbe.probe(s).get.frames == 3)
+  }
+
+  // ------------------------------------------------------------ mp4
+
+  test("mp4: box walk finds mvhd duration, tkhd dims, stsd codec, stsz") {
+    val info = MediaProbe.probe(mp4Fixture()).get
+    assert(info.container == "isom" && info.codec == "avc1")
+    assert(info.durationMs == 5000) // 5000 ticks at timescale 1000
+    assert(info.width == 640 && info.height == 360)
+    assert(info.frames == 150)
+  }
+
+  test("m4a: audio sample entry carries channels + 16.16 sample rate") {
+    val info = MediaProbe.probe(m4aFixture()).get
+    assert(info.container == "M4A" && info.codec == "mp4a")
+    assert(info.channels == 2 && info.sampleRate == 44100)
+    assert(info.durationMs == 10000) // 441000 ticks at timescale 44100
+  }
+
+  // ------------------------------------------------------------ ogg
+
+  test("ogg opus: codec from OpusHead, duration from last granule") {
+    val info = MediaProbe.probe(oggOpusFixture(96000)).get
+    assert(info.container == "ogg" && info.codec == "opus")
+    assert(info.channels == 2 && info.sampleRate == 48000)
+    assert(info.durationMs == 2000) // 96000 ticks at 48 kHz
+  }
+
+  // ----------------------------------------------------------- riff
+
+  test("wav: fmt chunk fields + data size → exact duration") {
+    val info = MediaProbe.probe(wavFixture()).get
+    assert(info.container == "wav" && info.codec == "pcm")
+    assert(info.sampleRate == 16000 && info.channels == 2)
+    assert(info.durationMs == 2000) // 128000 B / 64000 B/s
+    assert(info.bitrateKbps == 512)
+  }
+
+  test("avi: avih frame count/period + vids handler fourcc") {
+    val info = MediaProbe.probe(aviFixture()).get
+    assert(info.container == "avi" && info.codec == "mjpg")
+    assert(info.width == 320 && info.height == 240)
+    assert(info.frames == 250)
+    assert(info.durationMs == 10000) // 250 * 40000 us
+  }
+
+  // ----------------------------------------------------- flac / gif
+
+  test("flac: STREAMINFO rate/channels/total-samples without decode") {
+    val info = MediaProbe.probe(flacFixture()).get
+    assert(info.container == "flac" && info.sampleRate == 22050)
+    assert(info.channels == 1 && info.frames == 44100)
+    assert(info.durationMs == 2000)
+  }
+
+  test("gif: block walk counts frames and sums control delays") {
+    val info = MediaProbe.probe(gifFixture(frames = 3, delayCs = 50)).get
+    assert(info.width == 11 && info.height == 7)
+    assert(info.frames == 3)
+    assert(info.durationMs == 3 * 500)
+  }
+
+  // ------------------------------------------------------- totality
+
+  test("probe is total: random bytes and every fixture truncation") {
+    val rnd = new scala.util.Random(0xbeefL)
+    (0 until 200).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(b)
+      MediaProbe.probe(b) // must not throw
+    }
+    val fixtures = Seq(mp3Stream(3), mp4Fixture(), m4aFixture(),
+      oggOpusFixture(96000), wavFixture(), aviFixture(), flacFixture(),
+      gifFixture(2, 10))
+    fixtures.foreach { f =>
+      (0 to f.length).foreach(n => MediaProbe.probe(f.take(n)))
+      // bit-flipped copies exercise the validation branches
+      (0 until f.length by 7).foreach { i =>
+        val c = f.clone(); c(i) = (c(i) ^ 0x80).toByte
+        MediaProbe.probe(c)
+      }
+    }
+  }
+
+  // -------------------------------------------------- spark plumbing
+
+  test("probeMetadata: typed per-clip rows over a mixed media frame") {
+    import spark.implicits._
+    val media = Multimodal.asMediaFrame(
+      Seq((1L, mp3Stream(5)), (2L, mp4Fixture()), (3L, wavFixture()),
+        (4L, Array.fill[Byte](64)(9))) // unrecognized → dropped
+        .toDF("id", "bytes"), "id", "audio", "bytes")
+    val out = Multimodal.probeMetadata(spark, media)
+      .orderBy("media_id").collect()
+    assert(out.length == 3) // row 4 dropped, pipeline-wide policy
+    assert(out.map(_.getString(1)).toSeq == Seq("mpeg-audio", "isom", "wav"))
+    assert(out(0).getString(2) == "mp3" && out(2).getString(2) == "pcm")
+  }
+}
