@@ -69,10 +69,21 @@ object Similarity {
 
   /** q50's Lloyd loop (k = 16 seeded from the first 16 vectors):
     * `iters` assign/recompute rounds over a micro-unit long format,
-    * returning the final (vec_id, c_id) assignment as ONE lazy lineage
-    * (the q133 bounded-round pattern — zero per-round driver actions;
-    * only the multi-consumer quantized long format materializes, with
-    * the durable-checkpoint knob).
+    * returning the final (vec_id, c_id) assignment.
+    *
+    * Each round's centroid table IS materialized (k·dims rows — 16
+    * centroids, one row per dimension — through the durable-checkpoint
+    * knob like every other multi-consumer state in the library).
+    * Measured reason: cent has TWO consumers per round (the norm agg
+    * and the assignment join), so as a pure lazy lineage the prior
+    * rounds' subtree is duplicated under each consumer and the work
+    * doubles per round — 3 unrolled lazy rounds benched 4.5 s at sf0.1
+    * vs 0.6 s for one round (≈ the 1+2+4 geometric sum), and exchange
+    * reuse does NOT collapse the copies because each appears under a
+    * differently-keyed broadcast. Truncating the k·dims-row table per
+    * round makes training time linear in `iters` for the cost of one
+    * tiny per-round job — the same trade ConnectedComponents makes for
+    * its pointer-doubling rounds.
     *
     * Exactness by construction, so the DuckDB oracle replays every
     * round bit-identically: vi = floor(v·1e6 + 0.5) are exact BIGINTs;
@@ -94,10 +105,11 @@ object Similarity {
         .select(col("vec_id"), col("pos"),
           expr("cast(floor(cast(col as double) * 1000000 + 0.5) as bigint)")
             .as("vi")))
-    var cent = el.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("pos"), col("vi").as("si"))
+    var cent = graft.operators.Materialize.truncate(
+      el.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("pos"), col("vi").as("si")))
     var asg: DataFrame = el.sparkSession.emptyDataFrame
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // exact squared norm of each centroid sum vector; an (impossible
       // in practice, but guarded identically in the oracle) all-zero
       // sum vector drops out rather than dividing by zero
@@ -120,8 +132,11 @@ object Similarity {
         .groupBy("vec_id")
         .agg(max(struct(col("r"), (-col("c_id")).as("nc"))).as("m"))
         .select(col("vec_id"), (-col("m.nc")).as("c_id"))
-      cent = el.join(asg, Seq("vec_id"))
-        .groupBy("c_id", "pos").agg(sum("vi").as("si"))
+      // the final round's recomputed centroids have no consumer — an
+      // eager materialization there would be a pure waste job
+      if (i < iters) cent = graft.operators.Materialize.truncate(
+        el.join(asg, Seq("vec_id"))
+          .groupBy("c_id", "pos").agg(sum("vi").as("si")))
     }
     asg
   }

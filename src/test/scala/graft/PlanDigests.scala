@@ -34,11 +34,15 @@ object PlanDigests {
     // r9: digest-only full outer join + one body equi-join
     "q137_merge_apply" ->
       "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x3 | Exchange x3 | Filter x4 | Project x5 | Scan parquet x3 | Sort x3 | SortMergeJoin x1",
-    // r9: 3 unrolled Lloyd rounds as one lazy lineage over the
-    // materialized micro-unit long format; per-round argmax is a
-    // max(struct) SortAggregate (not a Window/WindowGroupLimit pass)
+    // r9: 3 Lloyd rounds with PER-ROUND centroid materialization (the
+    // k·dims-row table has two consumers per round; as a lazy lineage
+    // the prior rounds duplicated under each and the bench doubled per
+    // round — 4.5 s lazy vs 2.9 s truncated at sf0.1). The digest is
+    // the FINAL assignment query only: prior rounds run as the
+    // checkpoint jobs, so a round's work leaking back into this plan
+    // (an un-truncated cent) shows up as exploding join/agg counts
     "q50_ivf_kmeans" ->
-      "AQEShuffleRead x15 | BroadcastExchange x10 | BroadcastHashJoin x12 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Exchange x13 | Filter x16 | HashAggregate x20 | Project x16 | ReusedExchange x5 | Scan ExistingRDD x7 | Scan parquet x2 | Sort x8 | SortAggregate x8 | TakeOrderedAndProject x1",
+      "AQEShuffleRead x5 | BroadcastExchange x5 | BroadcastHashJoin x6 | BroadcastNestedLoopJoin x1 | ColumnarToRow x3 | Exchange x6 | Filter x10 | HashAggregate x6 | ObjectHashAggregate x2 | Project x9 | ReusedExchange x2 | Scan ExistingRDD x4 | Scan parquet x3 | Sort x4 | SortAggregate x4 | Subquery x1 | TakeOrderedAndProject x1",
     "q102_cluster_canon" ->
       "AQEShuffleRead x4 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x1 | Exchange x4 | Project x3 | Scan ExistingRDD x1 | Scan parquet x1 | Sort x3 | SortAggregate x2",
     "q103_prefix_jaccard" ->
