@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import java.io.ByteArrayOutputStream
+
+/** Deterministic synthetic media clips for the driver-visible probe
+  * query (q138) — the media twin of Pipeline.syntheticImage: real
+  * container bytes (valid MPEG audio frames, RIFF/WAVE chunks, GIF
+  * block structure, ISO-BMFF box trees, Ogg pages) generated purely
+  * from the row id, so the probe exercises every parser family on
+  * every run with bit-identical inputs. Payloads are id-seeded filler:
+  * the CONTAINER layer is what q138 probes; sample data never decodes.
+  */
+object MediaFixtures {
+
+  private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+  private def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+    (v >> 8).toByte, v.toByte)
+  private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+    (v >> 16).toByte, (v >> 24).toByte)
+  private def le64(v: Long) = le32(v & 0xffffffffL) ++ le32(v >>> 32)
+  private def cc(s: String) = s.getBytes("ISO-8859-1")
+
+  private def cat(parts: Array[Byte]*): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    parts.foreach(o.write)
+    o.toByteArray
+  }
+
+  /** MPEG-1 Layer III CBR stream: 44.1 kHz / 128 kbps / stereo frames
+    * (417 bytes each, no padding), `2 + id % 9` frames. */
+  private def mp3(id: Long): Array[Byte] = {
+    val n = 2 + (id % 9).toInt
+    cat((0 until n).map { i =>
+      val f = Array.fill[Byte](417)(((id * 31 + i) & 0x7f).toByte)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x90.toByte; f(3) = 0
+      f
+    }: _*)
+  }
+
+  /** 16-bit stereo PCM WAV, 16 kHz, `(1 + id % 5) / 4` seconds. */
+  private def wav(id: Long): Array[Byte] = {
+    val dataLen = 64000 / 4 * (1 + (id % 5).toInt)
+    val fmt = cat(cc("fmt "), le32(16), le16(1), le16(2), le32(16000),
+      le32(64000), le16(4), le16(16))
+    val data = cat(cc("data"), le32(dataLen),
+      Array.tabulate[Byte](dataLen)(i => ((id + i) & 0xff).toByte))
+    cat(cc("RIFF"), le32(4L + fmt.length + data.length), cc("WAVE"),
+      fmt, data)
+  }
+
+  /** Animated GIF, 11x7 screen, `1 + id % 4` frames at 40 ms. */
+  private def gif(id: Long): Array[Byte] = {
+    val n = 1 + (id % 4).toInt
+    val hdr = cat(cc("GIF89a"), le16(11), le16(7), Array[Byte](0, 0, 0))
+    val frame = cat(
+      Array[Byte](0x21, 0xf9.toByte, 4, 0), le16(4), Array[Byte](0, 0),
+      Array[Byte](0x2c), le16(0), le16(0), le16(11), le16(7),
+      Array[Byte](0),
+      Array[Byte](2, 2, (id & 3).toByte, 1, 0))
+    cat(hdr +: Array.fill(n)(frame) :+ Array[Byte](0x3b): _*)
+  }
+
+  /** mp4 with one avc1 video track: `(1 + id % 6)` seconds at
+    * timescale 1000, 320x240, `24 * seconds` stsz samples. */
+  private def mp4(id: Long): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      cat(be32(body.length + 8L), cc(typ), body)
+    val secs = 1 + (id % 6).toInt
+    val ftyp = box("ftyp", cat(cc("isom"), be32(512), cc("isom")))
+    val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+      be32(1000), be32(secs * 1000L), Array.fill[Byte](80)(0)))
+    val tkhd = box("tkhd", cat(be32(0), Array.fill[Byte](72)(0),
+      be32(320L << 16), be32(240L << 16)))
+    val stsd = box("stsd", cat(be32(0), be32(1),
+      cat(be32(86), cc("avc1"), Array.fill[Byte](78)(0))))
+    val stsz = box("stsz", cat(be32(0), be32(0), be32(24L * secs)))
+    val stbl = box("stbl", cat(stsd, stsz))
+    val mdia = box("mdia", cat(
+      box("hdlr", cat(be32(0), be32(0), cc("vide"), Array.fill[Byte](13)(0))),
+      box("minf", stbl)))
+    val moov = box("moov", cat(mvhd, box("trak", cat(tkhd, mdia))))
+    val mdat = box("mdat",
+      Array.tabulate[Byte](256)(i => ((id * 7 + i) & 0xff).toByte))
+    cat(ftyp, mdat, moov)
+  }
+
+  /** Ogg Opus: id page + one data page whose granule encodes
+    * `(1 + id % 4) / 2` seconds at 48 kHz. */
+  private def ogg(id: Long): Array[Byte] = {
+    def page(gran: Long, payload: Array[Byte]): Array[Byte] =
+      cat(cc("OggS"), Array[Byte](0, 2), le64(gran), le32(1), le32(0),
+        le32(0), Array[Byte](1, payload.length.toByte), payload)
+    val head = cat(cc("OpusHead"), Array[Byte](1, 2), le16(312),
+      le32(48000), le16(0), Array[Byte](0))
+    cat(page(0, head), page(24000L * (1 + id % 4),
+      Array.tabulate[Byte](24)(i => ((id + i) & 0xff).toByte)))
+  }
+
+  /** One clip per id, format round-robin by `id % 5`. */
+  def synth(id: Long): (Long, Array[Byte]) = (id, (id % 5) match {
+    case 0 => mp3(id)
+    case 1 => wav(id)
+    case 2 => gif(id)
+    case 3 => mp4(id)
+    case _ => ogg(id)
+  })
+}

@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.pipeline.{ImageOps, ImagePipeline, ImageRecord}
+import graft.pipeline.{ImageOps, ImagePipeline, ImageRecord, MediaFixtures,
+  Multimodal}
 
 /** The reference's core workload as a benchmarked query: a synthetic
   * image corpus pushed through the full augment chain (decode -> area
@@ -40,6 +41,24 @@ object Pipeline {
         .map { case (path, bytes) => (path, bytes.length) }
         .toDF("path", "jpeg_bytes")
         .orderBy("path")
+    }),
+
+    // q138: structural media metadata probe — a synthetic mixed-format
+    // corpus (real MPEG-audio/WAV/GIF/MP4/Ogg container bytes,
+    // generated distributed from the row id) probed WITHOUT decode:
+    // container, codec, rates, duration, dimensions, frame counts.
+    // The 100 TB read-path shape for media columns: a pure per-row map
+    // (no shuffle until the final presentation sort) that decides
+    // which rows justify a codec-equipped decode stage. Rows-only
+    // checked (DuckDB has no media surface); every field value is
+    // pinned by MediaProbeSpec, the parsers fuzzed for totality.
+    "q138_media_probe" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.asMediaFrame(
+        s.range(0, 100).as[Long].map(MediaFixtures.synth _)
+          .toDF("id", "bytes"),
+        "id", "mixed", "bytes")
+      Multimodal.probeMetadata(s, media).orderBy("media_id")
     })
   )
 

@@ -251,6 +251,28 @@ class MediaProbeSpec extends SparkSpec {
 
   // -------------------------------------------------- spark plumbing
 
+  test("q138: every synthetic clip probes; per-format fields are exact") {
+    val out = SparkEntry.queries("q138_media_probe")(spark, sf).collect()
+    assert(out.length == 100) // every format family recognized, no drops
+    val byContainer = out.groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(byContainer("mpeg-audio") == 20 && byContainer("wav") == 20 &&
+      byContainer("gif") == 20 && byContainer("isom") == 20 &&
+      byContainer("ogg") == 20)
+    // spot-exact fields per family (id → synth parameters)
+    val r0 = out.find(_.getLong(0) == 0).get  // mp3, 2 frames
+    assert(r0.getString(2) == "mp3" &&
+      r0.getLong(6) == 2 * 1152L * 1000 / 44100 && r0.getLong(9) == 2)
+    val r6 = out.find(_.getLong(0) == 6).get  // wav, (1 + 6%5)*0.25 s
+    assert(r6.getString(2) == "pcm" && r6.getLong(6) == 500)
+    val r7 = out.find(_.getLong(0) == 7).get  // gif, 1 + 7%4 = 4 frames
+    assert(r7.getLong(9) == 4 && r7.getInt(7) == 11 && r7.getInt(8) == 7)
+    val r8 = out.find(_.getLong(0) == 8).get  // mp4, (1 + 8%6) = 3 s
+    assert(r8.getString(2) == "avc1" && r8.getLong(6) == 3000 &&
+      r8.getLong(9) == 72 && r8.getInt(7) == 320)
+    val r9 = out.find(_.getLong(0) == 9).get  // ogg opus, 24000*(1+9%4)/48k
+    assert(r9.getString(2) == "opus" && r9.getLong(6) == 1000)
+  }
+
   test("probeMetadata: typed per-clip rows over a mixed media frame") {
     import spark.implicits._
     val media = Multimodal.asMediaFrame(
