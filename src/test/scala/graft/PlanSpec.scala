@@ -125,6 +125,15 @@ class PlanSpec extends SparkSpec {
       s"the fused minhash_bands kernel must run once (hoisted), got $fused")
   }
 
+  test("q138 media probe is map-only: one exchange (presentation sort)") {
+    // the probe is a pure per-row flatMap — its scale story is that
+    // nothing shuffles until the final orderBy; a second exchange here
+    // would mean the metadata extraction itself started moving rows
+    val p = finalPlan("q138_media_probe")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the orderBy exchange, got:\n$p")
+  }
+
   test("q109's distinct collapse is the only full-data pass") {
     // the max-day bound must come from the collapsed (user, day) frame
     // via exchange/stage reuse — a second events scan would mean the
