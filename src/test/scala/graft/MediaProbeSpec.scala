@@ -273,6 +273,34 @@ class MediaProbeSpec extends SparkSpec {
     assert(r9.getString(2) == "opus" && r9.getLong(6) == 1000)
   }
 
+  test("probeMetadata is stream-safe: identical rows from a stream") {
+    // the probe is a stateless per-row flatMap, so the SAME call works
+    // on a streaming frame — pinning the SCALE.md claim. Batch run vs
+    // a two-micro-batch MemoryStream run over identical bytes must
+    // produce identical typed rows.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val clips = (0L until 10L).map(graft.pipeline.MediaFixtures.synth)
+    val batch = Multimodal.probeMetadata(spark,
+      Multimodal.asMediaFrame(clips.toDF("id", "bytes"), "id", "mixed",
+        "bytes")).collect().map(_.toString).sorted
+    val in = MemoryStream[(Long, Array[Byte])]
+    val sdf = Multimodal.probeMetadata(spark,
+      Multimodal.asMediaFrame(in.toDF().toDF("id", "bytes"), "id", "mixed",
+        "bytes"))
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.outputMode("append")
+      .format("memory").queryName("probe_stream").start()
+    try {
+      in.addData(clips.take(5)); q.processAllAvailable()
+      in.addData(clips.drop(5)); q.processAllAvailable()
+      val streamed = spark.table("probe_stream")
+        .collect().map(_.toString).sorted
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("probeMetadata: typed per-clip rows over a mixed media frame") {
     import spark.implicits._
     val media = Multimodal.asMediaFrame(
