@@ -97,12 +97,36 @@ object MediaFixtures {
       Array.tabulate[Byte](24)(i => ((id + i) & 0xff).toByte)))
   }
 
-  /** One clip per id, format round-robin by `id % 5`. */
-  def synth(id: Long): (Long, Array[Byte]) = (id, (id % 5) match {
+  /** webm: EBML DocType header + unknown-size Segment with Info
+    * (1 ms timecode scale, `(1 + id % 3) * 1000` tick duration) and one
+    * V_VP9 track at 256x144. */
+  private def webm(id: Long): Array[Byte] = {
+    def el(eid: Array[Byte], body: Array[Byte]): Array[Byte] =
+      cat(eid, Array[Byte]((0x80 | body.length).toByte), body)
+    val hdr = el(Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte),
+      el(Array[Byte](0x42, 0x82.toByte), cc("webm")))
+    val ticks = (1 + id % 3) * 1000f
+    val info = el(Array[Byte](0x15, 0x49, 0xa9.toByte, 0x66),
+      cat(el(Array[Byte](0x2a, 0xd7.toByte, 0xb1.toByte), be32(1000000)),
+        el(Array[Byte](0x44, 0x89.toByte),
+          be32(java.lang.Float.floatToIntBits(ticks)))))
+    val trk = el(Array[Byte](0x16, 0x54, 0xae.toByte, 0x6b),
+      el(Array[Byte](0xae.toByte), cat(
+        el(Array[Byte](0x86.toByte), cc("V_VP9")),
+        el(Array[Byte](0xe0.toByte), cat(
+          el(Array[Byte](0xb0.toByte), be16(256)),
+          el(Array[Byte](0xba.toByte), be16(144)))))))
+    cat(hdr, Array[Byte](0x18, 0x53, 0x80.toByte, 0x67, 0xff.toByte),
+      info, trk)
+  }
+
+  /** One clip per id, format round-robin by `id % 6`. */
+  def synth(id: Long): (Long, Array[Byte]) = (id, (id % 6) match {
     case 0 => mp3(id)
     case 1 => wav(id)
     case 2 => gif(id)
     case 3 => mp4(id)
-    case _ => ogg(id)
+    case 4 => ogg(id)
+    case _ => webm(id)
   })
 }

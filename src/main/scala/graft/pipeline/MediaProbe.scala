@@ -39,9 +39,9 @@ object MediaProbe {
     * matters only for speed — the magic checks are disjoint. */
   def probe(bytes: Array[Byte]): Option[MediaInfo] =
     if (bytes == null || bytes.length < 8) None
-    else probeMp4(bytes).orElse(probeOgg(bytes)).orElse(probeRiff(bytes))
-      .orElse(probeFlacHeader(bytes)).orElse(probeGifHeader(bytes))
-      .orElse(probeMp3(bytes))
+    else probeMp4(bytes).orElse(probeEbml(bytes)).orElse(probeOgg(bytes))
+      .orElse(probeRiff(bytes)).orElse(probeFlacHeader(bytes))
+      .orElse(probeGifHeader(bytes)).orElse(probeMp3(bytes))
 
   // ---------------------------------------------------------------- utils
 
@@ -248,6 +248,103 @@ object MediaProbe {
       if (vCodec.nonEmpty) vCodec else if (aCodec.nonEmpty) aCodec else "",
       sr, ch, if (durMs > 0) (b.length * 8L / durMs).toInt else 0,
       durMs, w, h, nSamples))
+  }
+
+  // ------------------------------------------------- EBML (webm / mkv)
+
+  /** EBML / Matroska / WebM probe (RFC 8794 element framing + the
+    * Matroska element IDs): DocType from the EBML header, then inside
+    * Segment → Info (TimecodeScale, Duration) and Tracks → TrackEntry
+    * (CodecID, Video PixelWidth/PixelHeight, Audio SamplingFrequency/
+    * Channels). Pure length-prefixed tree walking like the mp4 box
+    * probe — cluster payloads are skipped by their declared size, so
+    * cost is O(#elements), not O(bytes). Unknown-size elements (legal
+    * for Segment in live captures) extend to the end of the input. */
+  private def probeEbml(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 8 || be32(b, 0) != 0x1a45dfa3L) return None
+    // VINT length from the leading byte (leading-zero count + 1)
+    def vlen(b0: Int): Int =
+      if (b0 >= 0x80) 1 else if (b0 >= 0x40) 2 else if (b0 >= 0x20) 3
+      else if (b0 >= 0x10) 4 else if (b0 >= 0x08) 5 else if (b0 >= 0x04) 6
+      else if (b0 >= 0x02) 7 else if (b0 == 1) 8 else 0
+    // element ID: marker bit KEPT (IDs are conventionally full bytes)
+    def readId(o: Int): (Long, Int) = {
+      if (o >= b.length) return (0L, 0)
+      val n = vlen(u8(b, o))
+      if (n == 0 || o + n > b.length) return (0L, 0)
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | u8(b, o + i); i += 1 }
+      (v, n)
+    }
+    // element size: marker bit STRIPPED; all-ones payload = unknown
+    def readSize(o: Int): (Long, Int) = {
+      if (o >= b.length) return (-1L, 0)
+      val n = vlen(u8(b, o))
+      if (n == 0 || o + n > b.length) return (-1L, 0)
+      var v = (u8(b, o) & (0xff >> n)).toLong; var i = 1
+      while (i < n) { v = (v << 8) | u8(b, o + i); i += 1 }
+      val unknown = v == (1L << (7 * n)) - 1
+      (if (unknown) -2L else v, n)
+    }
+    def uint(o: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len && i < 8) { v = (v << 8) | u8(b, o + i); i += 1 }
+      v
+    }
+    def fp(o: Int, len: Int): Double =
+      if (len == 4) java.lang.Float.intBitsToFloat(be32(b, o).toInt).toDouble
+      else if (len == 8) java.lang.Double.longBitsToDouble(be64(b, o))
+      else 0.0
+    var docType = ""; var codecV = ""; var codecA = ""
+    var scaleNs = 1000000L; var durTicks = 0.0
+    var w = 0; var h = 0; var sr = 0; var ch = 0
+    var guard = 0
+    // trackType of the entry currently being walked (1 video, 2 audio)
+    def walk(from: Int, to: Int, depth: Int, inTrack: Boolean): Unit = {
+      var o = from
+      while (o < to && guard < 4096) {
+        guard += 1
+        val (id, idLen) = readId(o)
+        if (idLen == 0) return
+        val (sz0, szLen) = readSize(o + idLen)
+        if (szLen == 0) return
+        val body = o + idLen + szLen
+        val sz = if (sz0 == -2L) (to - body).toLong
+          else if (sz0 < 0 || body + sz0 > to) return else sz0
+        val end = (body + sz).toInt
+        id match {
+          case 0x1a45dfa3L | 0x18538067L | 0x1549a966L | 0x1654ae6bL =>
+            if (depth < 8) walk(body, end, depth + 1, inTrack)
+          case 0xaeL => // TrackEntry
+            if (depth < 8) walk(body, end, depth + 1, inTrack = true)
+          case 0xe0L | 0xe1L => // Video / Audio settings
+            if (depth < 8) walk(body, end, depth + 1, inTrack)
+          case 0x4282L => // DocType
+            docType = new String(b, body, sz.toInt,
+              java.nio.charset.StandardCharsets.ISO_8859_1).trim
+          case 0x2ad7b1L => scaleNs = uint(body, sz.toInt)
+          case 0x4489L => durTicks = fp(body, sz.toInt)
+          case 0x86L if inTrack => // CodecID
+            val c = new String(b, body, sz.toInt,
+              java.nio.charset.StandardCharsets.ISO_8859_1).trim
+            if (c.startsWith("V_") && codecV.isEmpty) codecV = c
+            else if (c.startsWith("A_") && codecA.isEmpty) codecA = c
+          case 0xb0L if inTrack => w = uint(body, sz.toInt).toInt
+          case 0xbaL if inTrack => h = uint(body, sz.toInt).toInt
+          case 0xb5L if inTrack => sr = fp(body, sz.toInt).toInt
+          case 0x9fL if inTrack => ch = uint(body, sz.toInt).toInt
+          case _ => () // skip (Cluster, SeekHead, Void, ...)
+        }
+        o = end
+      }
+    }
+    walk(0, b.length, 0, inTrack = false)
+    if (docType.isEmpty) return None
+    val durMs = (durTicks * scaleNs / 1e6).toLong
+    Some(MediaInfo(docType,
+      if (codecV.nonEmpty) codecV else codecA, sr, ch,
+      if (durMs > 0) (b.length * 8L / durMs).toInt else 0,
+      durMs, w, h, 0L))
   }
 
   // ------------------------------------------------------------- Ogg

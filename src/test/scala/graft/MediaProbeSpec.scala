@@ -114,6 +114,42 @@ class MediaProbeSpec extends SparkSpec {
     cat(cc("RIFF"), le32(4L + hdrl.length), cc("AVI "), hdrl)
   }
 
+  /** EBML element: full-byte id + 1-byte VINT size (fixture bodies are
+    * all well under the 1-byte limit of 127). */
+  private def ebml(id: Array[Byte], body: Array[Byte]): Array[Byte] = {
+    require(body.length < 127)
+    cat(id, Array[Byte]((0x80 | body.length).toByte), body)
+  }
+
+  /** webm: EBML header (DocType webm) + Segment(Info(scale 1 ms,
+    * duration 2500.0 ticks float), Tracks(video V_VP9 640x360,
+    * audio A_OPUS 48 kHz 2ch)). */
+  private def webmFixture(): Array[Byte] = {
+    val hdr = ebml(Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte),
+      ebml(Array[Byte](0x42, 0x82.toByte), cc("webm")))
+    val info = ebml(Array[Byte](0x15, 0x49, 0xa9.toByte, 0x66),
+      cat(ebml(Array[Byte](0x2a, 0xd7.toByte, 0xb1.toByte),
+          be32(1000000)),                     // TimecodeScale 1 ms
+        ebml(Array[Byte](0x44, 0x89.toByte),
+          be32(java.lang.Float.floatToIntBits(2500f))))) // Duration
+    val vid = ebml(Array[Byte](0xae.toByte), cat(
+      ebml(Array[Byte](0x86.toByte), cc("V_VP9")),
+      ebml(Array[Byte](0xe0.toByte), cat(
+        ebml(Array[Byte](0xb0.toByte), be16(640)),
+        ebml(Array[Byte](0xba.toByte), be16(360))))))
+    val aud = ebml(Array[Byte](0xae.toByte), cat(
+      ebml(Array[Byte](0x86.toByte), cc("A_OPUS")),
+      ebml(Array[Byte](0xe1.toByte), cat(
+        ebml(Array[Byte](0xb5.toByte),
+          be32(java.lang.Float.floatToIntBits(48000f))),
+        ebml(Array[Byte](0x9f.toByte), Array[Byte](2))))))
+    val tracks = ebml(Array[Byte](0x16, 0x54, 0xae.toByte, 0x6b), cat(vid, aud))
+    // Segment with UNKNOWN size (all value bits set) — the live-capture
+    // layout the walker must extend to end-of-input
+    cat(hdr, Array[Byte](0x18, 0x53, 0x80.toByte, 0x67, 0xff.toByte),
+      info, tracks)
+  }
+
   private def flacFixture(): Array[Byte] = {
     val si = new Array[Byte](34)
     si(10) = (22050 >> 12).toByte            // rate 20 bits
@@ -193,6 +229,16 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.durationMs == 2000) // 96000 ticks at 48 kHz
   }
 
+  // ----------------------------------------------------------- ebml
+
+  test("webm: DocType, codecs, dims, rate, duration via TimecodeScale") {
+    val info = MediaProbe.probe(webmFixture()).get
+    assert(info.container == "webm" && info.codec == "V_VP9")
+    assert(info.width == 640 && info.height == 360)
+    assert(info.sampleRate == 48000 && info.channels == 2)
+    assert(info.durationMs == 2500) // 2500 ticks * 1 ms scale
+  }
+
   // ----------------------------------------------------------- riff
 
   test("wav: fmt chunk fields + data size → exact duration") {
@@ -238,7 +284,7 @@ class MediaProbeSpec extends SparkSpec {
     }
     val fixtures = Seq(mp3Stream(3), mp4Fixture(), m4aFixture(),
       oggOpusFixture(96000), wavFixture(), aviFixture(), flacFixture(),
-      gifFixture(2, 10))
+      gifFixture(2, 10), webmFixture())
     fixtures.foreach { f =>
       (0 to f.length).foreach(n => MediaProbe.probe(f.take(n)))
       // bit-flipped copies exercise the validation branches
@@ -255,22 +301,26 @@ class MediaProbeSpec extends SparkSpec {
     val out = SparkEntry.queries("q138_media_probe")(spark, sf).collect()
     assert(out.length == 100) // every format family recognized, no drops
     val byContainer = out.groupBy(_.getString(1)).view.mapValues(_.length)
-    assert(byContainer("mpeg-audio") == 20 && byContainer("wav") == 20 &&
-      byContainer("gif") == 20 && byContainer("isom") == 20 &&
-      byContainer("ogg") == 20)
+    // 100 ids round-robin over 6 families: residues 0-3 get 17, 4-5 get 16
+    assert(byContainer("mpeg-audio") == 17 && byContainer("wav") == 17 &&
+      byContainer("gif") == 17 && byContainer("isom") == 17 &&
+      byContainer("ogg") == 16 && byContainer("webm") == 16)
     // spot-exact fields per family (id → synth parameters)
     val r0 = out.find(_.getLong(0) == 0).get  // mp3, 2 frames
     assert(r0.getString(2) == "mp3" &&
       r0.getLong(6) == 2 * 1152L * 1000 / 44100 && r0.getLong(9) == 2)
-    val r6 = out.find(_.getLong(0) == 6).get  // wav, (1 + 6%5)*0.25 s
-    assert(r6.getString(2) == "pcm" && r6.getLong(6) == 500)
-    val r7 = out.find(_.getLong(0) == 7).get  // gif, 1 + 7%4 = 4 frames
-    assert(r7.getLong(9) == 4 && r7.getInt(7) == 11 && r7.getInt(8) == 7)
-    val r8 = out.find(_.getLong(0) == 8).get  // mp4, (1 + 8%6) = 3 s
-    assert(r8.getString(2) == "avc1" && r8.getLong(6) == 3000 &&
-      r8.getLong(9) == 72 && r8.getInt(7) == 320)
-    val r9 = out.find(_.getLong(0) == 9).get  // ogg opus, 24000*(1+9%4)/48k
-    assert(r9.getString(2) == "opus" && r9.getLong(6) == 1000)
+    val r7 = out.find(_.getLong(0) == 7).get  // wav, (1 + 7%5)*0.25 s
+    assert(r7.getString(2) == "pcm" && r7.getLong(6) == 750)
+    val r8 = out.find(_.getLong(0) == 8).get  // gif, 1 + 8%4 = 1 frame
+    assert(r8.getLong(9) == 1 && r8.getInt(7) == 11 && r8.getInt(8) == 7)
+    val r9 = out.find(_.getLong(0) == 9).get  // mp4, (1 + 9%6) = 4 s
+    assert(r9.getString(2) == "avc1" && r9.getLong(6) == 4000 &&
+      r9.getLong(9) == 96 && r9.getInt(7) == 320)
+    val r10 = out.find(_.getLong(0) == 10).get // ogg, 24000*(1+10%4)/48k
+    assert(r10.getString(2) == "opus" && r10.getLong(6) == 1500)
+    val r11 = out.find(_.getLong(0) == 11).get // webm, (1+11%3)*1000 ticks
+    assert(r11.getString(1) == "webm" && r11.getString(2) == "V_VP9" &&
+      r11.getLong(6) == 3000 && r11.getInt(7) == 256 && r11.getInt(8) == 144)
   }
 
   test("probeMetadata is stream-safe: identical rows from a stream") {
