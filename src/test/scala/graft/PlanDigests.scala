@@ -85,5 +85,20 @@ object PlanDigests {
     // r8: term broadcast prunes the token stream BEFORE the per-doc
     // aggregate; the 1-row stats ride the BNLJ
     "q118_bm25_rank" ->
-      "AQEShuffleRead x2 | BroadcastExchange x2 | BroadcastHashJoin x1 | BroadcastNestedLoopJoin x1 | ColumnarToRow x1 | Exchange x3 | HashAggregate x6 | Project x3 | Scan ExistingRDD x2 | Scan parquet x1 | TakeOrderedAndProject x1")
+      "AQEShuffleRead x2 | BroadcastExchange x2 | BroadcastHashJoin x1 | BroadcastNestedLoopJoin x1 | ColumnarToRow x1 | Exchange x3 | HashAggregate x6 | Project x3 | Scan ExistingRDD x2 | Scan parquet x1 | TakeOrderedAndProject x1",
+    // r9: the remaining >=1 s bench-tail queries, pinned so tail drift
+    // is attributable to plan changes vs harness noise at a glance.
+    // q127: both corpora explode once each (Generate x7 includes the
+    // per-family shingle hoists), all scalars are 1-row broadcasts
+    "q127_dsir_weights" ->
+      "AQEShuffleRead x7 | BroadcastExchange x6 | BroadcastHashJoin x4 | BroadcastNestedLoopJoin x2 | ColumnarToRow x7 | Exchange x9 | Filter x10 | Generate x7 | HashAggregate x18 | Project x15 | Scan parquet x7 | TakeOrderedAndProject x1",
+    // q126: the tertile cutpoints ride ONE checkpointed score table
+    // (Scan ExistingRDD x2) — a third scan means the share broke
+    "q126_perplexity_buckets" ->
+      "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastNestedLoopJoin x1 | Exchange x4 | HashAggregate x6 | Project x4 | Scan ExistingRDD x2 | Sort x2 | Window x2",
+    // q122: both arms cut to 20 by TakeOrderedAndProject BEFORE any
+    // Window (the two Window ops rank 20-row inputs); the BM25 tf table
+    // is the shared checkpoint (Scan ExistingRDD x2)
+    "q122_rrf_fusion" ->
+      "AQEShuffleRead x1 | BroadcastExchange x3 | BroadcastHashJoin x1 | BroadcastNestedLoopJoin x2 | ColumnarToRow x3 | Exchange x3 | Filter x2 | HashAggregate x6 | Project x9 | Scan ExistingRDD x2 | Scan parquet x3 | Sort x2 | SortMergeJoin x1 | TakeOrderedAndProject x3 | Window x2")
 }
