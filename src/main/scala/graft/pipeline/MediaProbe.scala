@@ -395,13 +395,19 @@ object MediaProbe {
     var o = 12
     if (form == "WAVE") {
       var tag = 0; var ch = 0; var sr = 0; var byteRate = 0L; var dataLen = 0L
-      while (o + 8 <= b.length) {
+      var run = true
+      while (run && o + 8 <= b.length) {
         val id = fourcc(b, o); val sz = le32(b, o + 4)
         if (id == "fmt " && o + 24 <= b.length) {
           tag = le16(b, o + 8); ch = le16(b, o + 10)
           sr = le32(b, o + 12).toInt; byteRate = le32(b, o + 16)
         } else if (id == "data") dataLen = sz
-        o += 8 + sz.toInt + (sz.toInt & 1)
+        // advance in Long space: a declared size near 2^32 truncated to
+        // Int goes negative and would stall the walk forever (a data
+        // chunk's size may legitimately exceed the probe's byte window,
+        // so clamping to the buffer would be wrong — just stop walking)
+        val next = o.toLong + 8L + sz + (sz & 1)
+        if (next <= o || next > Int.MaxValue) run = false else o = next.toInt
       }
       if (sr == 0) return None
       val codec = tag match {
@@ -418,16 +424,21 @@ object MediaProbe {
       def walk(from: Int, to: Int, depth: Int): Unit = {
         var p = from
         while (p + 8 <= to && depth < 8) {
-          val id = fourcc(b, p); val sz = le32(b, p + 4).toInt
-          if (sz < 0 || p + 8 + sz > to) return
-          if (id == "LIST") walk(p + 12, p + 8 + sz, depth + 1)
+          // size stays a Long: a declared size near 2^32 truncated to
+          // Int would pass a signed bound check after overflow and walk
+          // the cursor negative (same class of stall/crash as the WAV
+          // chunk walk — MediaProbeSpec pins both)
+          val id = fourcc(b, p); val sz = le32(b, p + 4)
+          if (p + 8L + sz > to) return
+          val end = (p + 8L + sz).toInt
+          if (id == "LIST") walk(p + 12, end, depth + 1)
           else if (id == "avih" && p + 8 + 40 <= to) {
             usPerFrame = le32(b, p + 8); frames = le32(b, p + 24)
             w = le32(b, p + 40).toInt; h = le32(b, p + 44).toInt
           } else if (id == "strh" && p + 8 + 8 <= to &&
               fourcc(b, p + 8) == "vids" && codec.isEmpty)
             codec = fourcc(b, p + 12).trim.toLowerCase
-          p += 8 + sz + (sz & 1)
+          p = end + (sz & 1).toInt
         }
       }
       walk(12, b.length, 0)

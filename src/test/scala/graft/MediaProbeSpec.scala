@@ -273,6 +273,20 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.durationMs == 3 * 500)
   }
 
+  test("wav: a chunk size near 2^32 cannot stall the walk (totality)") {
+    // 0xFFFFFFF8 truncated to Int is -8: with Int arithmetic the chunk
+    // walk would advance by exactly 0 bytes and loop forever — the walk
+    // must advance in Long space and stop instead
+    val evil = cat(cc("RIFF"), le32(100), cc("WAVE"),
+      cc("JUNK"), le32(0xfffffff8L), Array.fill[Byte](8)(0))
+    assert(MediaProbe.probe(evil).isEmpty) // and, crucially, returns
+    // AVI twin: a LIST whose Int-truncated size would overflow the
+    // cursor past the buffer must stop the walk, not crash it
+    val evilAvi = cat(cc("RIFF"), le32(100), cc("AVI "),
+      cc("LIST"), le32(0x7ffffff0L), cc("hdrl"), Array.fill[Byte](8)(0))
+    assert(MediaProbe.probe(evilAvi).isEmpty)
+  }
+
   // ------------------------------------------------------- totality
 
   test("probe is total: random bytes and every fixture truncation") {
@@ -290,6 +304,15 @@ class MediaProbeSpec extends SparkSpec {
       // bit-flipped copies exercise the validation branches
       (0 until f.length by 7).foreach { i =>
         val c = f.clone(); c(i) = (c(i) ^ 0x80).toByte
+        MediaProbe.probe(c)
+      }
+      // adversarial sizes: stamp 0xFFFFFFFF over every 4-byte window —
+      // the declared-size overflow class (Int truncation of a near-2^32
+      // length) must stop a walk, never stall or crash it
+      (0 until math.max(0, f.length - 4) by 5).foreach { i =>
+        val c = f.clone()
+        var j = 0
+        while (j < 4) { c(i + j) = 0xff.toByte; j += 1 }
         MediaProbe.probe(c)
       }
     }
