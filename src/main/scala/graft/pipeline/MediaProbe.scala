@@ -127,7 +127,10 @@ object MediaProbe {
     if (matches(b, 0, "ID3") && b.length >= 10) {
       val sz = ((u8(b, 6) & 0x7f) << 21) | ((u8(b, 7) & 0x7f) << 14) |
         ((u8(b, 8) & 0x7f) << 7) | (u8(b, 9) & 0x7f)
-      start = math.min(b.length, 10 + sz)
+      // flags bit 4: a 10-byte footer follows the tag body (its length
+      // is NOT included in the synchsafe size)
+      val footer = if ((u8(b, 5) & 0x10) != 0) 10 else 0
+      start = math.min(b.length, 10 + sz + footer)
     }
     // find the first verified sync within a bounded probe window
     var o = start

@@ -203,6 +203,63 @@ class MediaProbeSpec extends SparkSpec {
     assert(MediaProbe.probe(s).get.frames == 3)
   }
 
+  test("mpeg audio: EXHAUSTIVE header space round-trips (756 combos)") {
+    // Bitrate/samplerate tables retyped here from the ISO 11172-3 /
+    // 13818-3 header annex — deliberately NOT shared with MediaProbe,
+    // so a transcription slip in either copy breaks the round-trip.
+    val brV1 = Map(
+      1 -> Seq(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+      2 -> Seq(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+      3 -> Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+    val brV2 = Map(
+      1 -> Seq(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+      2 -> Seq(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+      3 -> Seq(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+    val srByVer = Map( // version FIELD value -> rates by srIdx
+      3 -> Seq(44100, 48000, 32000), 2 -> Seq(22050, 24000, 16000),
+      0 -> Seq(11025, 12000, 8000))
+    val codecName = Map(1 -> "mp1", 2 -> "mp2", 3 -> "mp3")
+    var combos = 0
+    for (ver <- Seq(3, 2, 0); layer <- 1 to 3; brIdx <- 1 to 14;
+         srIdx <- 0 to 2; pad <- 0 to 1) {
+      val br = (if (ver == 3) brV1 else brV2)(layer)(brIdx - 1)
+      val sr = srByVer(ver)(srIdx)
+      val spf = layer match {
+        case 1 => 384
+        case 2 => 1152
+        case 3 => if (ver == 3) 1152 else 576
+      }
+      val len = layer match {
+        case 1 => (12 * br * 1000 / sr + pad) * 4
+        case 2 => 144 * br * 1000 / sr + pad
+        case 3 => (if (ver == 3) 144 else 72) * br * 1000 / sr + pad
+      }
+      val frame = Array.fill[Byte](len)(0x5a)
+      frame(0) = 0xff.toByte
+      frame(1) = (0xe0 | (ver << 3) | ((4 - layer) << 1) | 1).toByte
+      frame(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+      frame(3) = 0x00 // stereo
+      val stream = cat(frame, frame, frame)
+      val info = MediaProbe.probe(stream)
+        .getOrElse(fail(s"no probe for ver=$ver layer=$layer br=$br " +
+          s"sr=$sr pad=$pad len=$len"))
+      assert(info.codec == codecName(layer) && info.sampleRate == sr &&
+        info.frames == 3 && info.channels == 2 &&
+        info.durationMs == 3L * spf * 1000 / sr,
+        s"ver=$ver layer=$layer br=$br sr=$sr pad=$pad -> $info")
+      combos += 1
+    }
+    assert(combos == 756)
+  }
+
+  test("mp3: ID3v2 footer flag adds 10 bytes to the skip") {
+    val body = Array.fill[Byte](20)(0x41)
+    val tag = cat(cc("ID3"), Array[Byte](4, 0, 0x10.toByte),
+      Array[Byte](0, 0, 0, 20), body, Array.fill[Byte](10)(0x42)) // footer
+    val info = MediaProbe.probe(cat(tag, mp3Stream(3))).get
+    assert(info.codec == "mp3" && info.frames == 3)
+  }
+
   // ------------------------------------------------------------ mp4
 
   test("mp4: box walk finds mvhd duration, tkhd dims, stsd codec, stsz") {
