@@ -815,6 +815,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState CDC apply materializes exactly the batch " +
+      "q137 MERGE") {
+    // stream the same change set the batch MERGE resolves — base
+    // snapshot as inserts (batch 1), then the q110 diff as CDC ops
+    // (batch 2) — and the keyed store must end as the oracled merged
+    // table: same keys, same bodies, deletes applied by absence
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val merged = SparkEntry.queries("q137_merge_apply")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mergedByKey = merged.map(t => t._1 -> t._3).toMap
+    val diff = SparkEntry.queries("q110_snapshot_diff")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // base snapshot v1 = merged keep/update keys + removed keys; the
+    // pre-update body is arbitrary for parity (it gets overwritten)
+    val base = merged.collect {
+      case (id, "keep", text) => (id, 0L, "insert", text)
+      case (id, "update", _) => (id, 0L, "insert", "pre-update body")
+    } ++ diff.collect { case (id, "removed") => (id, 0L, "insert", "doomed") }
+    val cdc = diff.toSeq.collect {
+      case (id, "added") => (id, 1L, "insert", mergedByKey(id))
+      case (id, "changed") => (id, 1L, "update", mergedByKey(id))
+      case (id, "removed") => (id, 1L, "delete", null: String)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.streaming.StatefulCounters.RocksDbProvider)
+    try {
+      val in = MemoryStream[(Long, Long, String, String)]
+      val q = StreamingWindows.runToMemory(
+        graft.streaming.CdcApply.applyChanges(spark,
+          in.toDF().toDF("doc_id", "seq", "op", "text")).toDF(),
+        "twscdc", mode = "update")
+      try {
+        in.addData(base); q.processAllAvailable()
+        in.addData(cdc); q.processAllAvailable()
+        // the view = latest emission per key (memory sink appends
+        // batches in order; one emission per key per batch), tombstones
+        // dropped
+        val view = spark.table("twscdc").collect()
+          .zipWithIndex
+          .groupBy(_._1.getLong(0))
+          .map { case (id, v) => id -> v.maxBy(_._2)._1 }
+          .collect { case (id, r) if !r.isNullAt(2) => id -> r.getString(2) }
+        assert(view == mergedByKey,
+          s"view ${view.size} keys vs merged ${mergedByKey.size}")
+        // deletes really applied by absence
+        val removed = diff.collect { case (id, "removed") => id }.toSet
+        assert(removed.nonEmpty && removed.forall(!view.contains(_)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("a stream can start on an EMPTY directory and pick up the " +
       "first arriving file") {
     // the documented production sequence — the stream exists before
