@@ -24,9 +24,10 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode,
   * in-order arrival where equal-(user, ts) peers share a micro-batch —
   * the same caveat as [[TransitionProcessor]]; a late event would need
   * retraction of already-served features, which no online store does
-  * either (they version instead). Per-batch frame evaluation walks the
-  * merged history+batch timeline per emitted row (fine at test scale;
-  * a production processor two-pointers the sorted run).
+  * either (they version instead). Per-batch frame evaluation is the
+  * same monotone two-cursor sweep over the sorted history+batch
+  * timeline that the batch Window operator runs per partition — O(n)
+  * amortized per batch, prefix sums for the frame aggregates.
   */
 class TrailingFrameProcessor extends StatefulProcessor[
     Long, (Long, Long, Long, Long), (Long, Long, Long, Long, Long, Long)] {
@@ -54,19 +55,31 @@ class TrailingFrameProcessor extends StatefulProcessor[
       while (it.hasNext) b += it.next()
       b.result()
     }
-    val all = (hist ++ batch.map(b => (b._1, b._3))).sortBy(_._1)
+    val all = (hist ++ batch.map(b => (b._1, b._3))).sortBy(_._1).toArray
+    // prefix sums over the sorted timeline; every frame [ts − h, ts] is
+    // then two monotone cursors (batch rows arrive ts-ascending, so
+    // each cursor only ever moves forward — O(n) amortized per batch,
+    // the streaming-frame sweep batch q136's Window operator runs
+    // per partition)
+    val n = all.length
+    val psum = new Array[Long](n + 1)
+    var i = 0
+    while (i < n) { psum(i + 1) = psum(i) + all(i)._2; i += 1 }
+    var hi = 0      // first index with t >  ts   (exclusive frame end)
+    var lo7 = 0     // first index with t >= ts − H7
+    var lo30 = 0; var lo1 = 0
     val out = batch.map { case (ts, eid, _) =>
-      var s7 = 0L; var n30 = 0L; var s1 = 0L; var n1 = 0L
-      all.foreach { case (t, c) =>
-        // value-inclusive RANGE frame [ts − h, ts]; t == ts rows are
-        // PEERS and enter the frame regardless of arrival order
-        if (t <= ts) {
-          if (t >= ts - H7) s7 += c
-          if (t >= ts - H30) n30 += 1
-          if (t >= ts - H1) { s1 += c; n1 += 1 }
-        }
-      }
-      (key, eid, ts, s7, n30, s1 * 100 / n1) // n1 >= 1: own row in frame
+      // value-inclusive RANGE frame [ts − h, ts]; t == ts rows are
+      // PEERS and enter the frame regardless of arrival order
+      while (hi < n && all(hi)._1 <= ts) hi += 1
+      while (lo7 < n && all(lo7)._1 < ts - H7) lo7 += 1
+      while (lo30 < n && all(lo30)._1 < ts - H30) lo30 += 1
+      while (lo1 < n && all(lo1)._1 < ts - H1) lo1 += 1
+      val s7 = psum(hi) - psum(lo7)
+      val n30 = (hi - lo30).toLong
+      val s1 = psum(hi) - psum(lo1)
+      val n1 = (hi - lo1).toLong // >= 1: the row itself is in its frame
+      (key, eid, ts, s7, n30, s1 * 100 / n1)
     }
     // evict everything older than the longest horizon behind the
     // newest event — the O(horizon)-state invariant. Strictly-older
