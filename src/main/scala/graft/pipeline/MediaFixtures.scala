@@ -58,7 +58,7 @@ object MediaFixtures {
       Array[Byte](0x2c), le16(0), le16(0), le16(11), le16(7),
       Array[Byte](0),
       Array[Byte](2, 2, (id & 3).toByte, 1, 0))
-    cat(hdr +: Array.fill(n)(frame) :+ Array[Byte](0x3b): _*)
+    cat((hdr +: Seq.fill(n)(frame)) :+ Array[Byte](0x3b): _*)
   }
 
   /** mp4 with one avc1 video track: `(1 + id % 6)` seconds at

@@ -50,12 +50,12 @@ object Dedup {
   // the identical values or LSH buckets silently stop matching.
   private val M61 = graft.functions.Mix61.M61
   private val Mod61 = M61.toString // DuckDB modulus literal
-  private val mixA: IndexedSeq[Long] = graft.functions.MinhashFamily.mixA
-  private val mixB: IndexedSeq[Long] = graft.functions.MinhashFamily.mixB
+  private val mixA: IndexedSeq[Long] = graft.functions.MinhashFamily.mixA.toIndexedSeq
+  private val mixB: IndexedSeq[Long] = graft.functions.MinhashFamily.mixB.toIndexedSeq
   // band fingerprint = sum_r(minhash_r * bandP_r) mod M61 — a nonzero-
   // weight linear combination over the field Z_M61, so distinct signature
   // tuples collide with probability 1/M61 (exact, not heuristic).
-  private val bandP: IndexedSeq[Long] = graft.functions.MinhashFamily.bandP
+  private val bandP: IndexedSeq[Long] = graft.functions.MinhashFamily.bandP.toIndexedSeq
 
   /** THE canonical whitespace tokenizer over `text` — every batch and
     * streaming text op shares this one definition (cross-query results
