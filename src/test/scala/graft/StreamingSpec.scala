@@ -815,6 +815,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("trailing-frame state SURVIVES A QUERY RESTART from its " +
+      "checkpoint (exact parity across stop/start)") {
+    // cross-micro-batch carry is necessary but not sufficient for
+    // production: the RocksDB state must also survive a full query
+    // stop + restart through the checkpoint — a deploy, a crash, an
+    // executor rotation. Phase 1 processes 2 of 3 staged files and
+    // STOPS; phase 2 is a brand-new query instance on the same
+    // checkpoint that ingests the third file. Exact parity with batch
+    // q136 over ALL events is only possible if phase 2 restored the
+    // 7-day buffers phase 1 built.
+    val (dir, _) = stageEventsFiles(3)
+    val third = new java.io.File(dir, "events_2.parquet")
+    val parked = new java.io.File(dir.getParentFile,
+      s"parked_${System.nanoTime()}.parquet")
+    java.nio.file.Files.move(third.toPath, parked.toPath)
+    val out = java.nio.file.Files.createTempDirectory("frestart").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.streaming.StatefulCounters.RocksDbProvider)
+    def startQuery() =
+      graft.streaming.StatefulFrames.trailingFrames(
+        spark, StreamingWindows.eventsStream(spark, dir.getAbsolutePath,
+          maxFilesPerTrigger = 1)).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .outputMode("append").start()
+    try {
+      val q1 = startQuery()
+      try q1.processAllAvailable() finally q1.stop()
+      val phase1 = spark.read.parquet(s"$out/data").count()
+      java.nio.file.Files.move(parked.toPath, third.toPath)
+      third.setLastModified(System.currentTimeMillis())
+      val q2 = startQuery() // NEW query instance, same checkpoint
+      try q2.processAllAvailable() finally q2.stop()
+      val got = spark.read.parquet(s"$out/data").collect()
+        .map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      val batch = SparkEntry.queries("q136_range_frames")(spark, sf)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      assert(phase1 > 0 && phase1 < batch.size,
+        s"phase 1 must be a strict prefix (got $phase1 of ${batch.size})")
+      assert(got == batch,
+        s"restart broke state recovery: ${got.size} vs ${batch.size} " +
+          "events matched")
+    } finally {
+      rmTree(dir); parked.delete()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState CDC apply materializes exactly the batch " +
       "q137 MERGE") {
     // stream the same change set the batch MERGE resolves — base
