@@ -179,6 +179,55 @@ class ExpressionSpec extends SparkSpec {
     assert(tiny.toSeq == Seq(0, 0), "singleton/empty arrays yield no pairs")
   }
 
+  test("every native scalar expression executes under CODEGEN_ONLY — " +
+      "no silent interpreted fallback") {
+    // an Expression whose doGenCode breaks doesn't fail by default: the
+    // projection silently falls back to interpreted mode and the whole
+    // stage drops out of codegen — exactly the regression that turns a
+    // hot 100 TB pipeline cold. CODEGEN_ONLY removes the safety net, so
+    // a broken doGenCode fails HERE instead
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      GraftFunctions.register(spark)
+      spark.udf.register("bloom_agg_tiny",
+        udaf(new graft.functions.BloomFilterAgg(1 << 10),
+          org.apache.spark.sql.Encoders.scalaLong))
+      val row = Seq((Seq(1f, 2f, 0.5f), Seq(0.5f, 1f, 2f),
+          Seq("alpha", "beta", "gamma", "delta"),
+          Seq(1L, 4L, 9L), Seq(4L, 9L, 12L)))
+        .toDF("a", "b", "tok", "xs", "ys")
+        .selectExpr(
+          "cosine_sim(a, b) AS c1",
+          "simhash64(tok) AS c2",
+          "simhash_md5(tok) AS c3",
+          "hash60(tok[0]) AS c4",
+          "mix61(42L, 7L, 9L) AS c5",
+          "size(shingles3(tok)) AS c6",
+          "size(minhash_bands(tok)) AS c7",
+          "size(pair_combos(xs)) AS c8",
+          "sorted_intersect_count(xs, ys) AS c9")
+        .collect().head
+      assert(!row.anyNull && row.getAs[Long]("c9") == 2L) // {4, 9}
+      assert(row.getAs[Int]("c6") == 2 && row.getAs[Int]("c8") == 3)
+      // the bloom probe expression, against real aggregate-built bytes
+      spark.range(0, 50).createOrReplaceTempView("cg_keys")
+      val hits = spark.sql(
+        """WITH bf AS (SELECT bloom_agg_tiny(xxhash64(id)) AS b
+                       FROM cg_keys)
+           SELECT count(*) FROM cg_keys
+           WHERE bloom_might_contain((SELECT b FROM bf), xxhash64(id))""")
+        .collect().head.getLong(0)
+      assert(hits == 50L, "bloom must have no false negatives")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("GraftExtensions installs into SparkSessionExtensions") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)  // must register without throwing
