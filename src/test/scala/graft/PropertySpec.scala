@@ -47,6 +47,29 @@ class PropertySpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("content-hash keep rules are PARTITIONING-invariant (the " +
+      "reproducibility claim, tested)") {
+    // SCALE.md/IMPLEMENTATION.md claim these sampling/argmax/curation
+    // results are "reproducible across runs and partitionings" because
+    // every keep decision is a pure content function, never rand() or
+    // arrival order. Changing shuffle parallelism is the cheapest way
+    // to actually perturb partitioning — a claim like this without a
+    // test rots the first time someone reaches for rand(seed)
+    val names = Seq("q45_curation", "q54_hash_split",
+      "q80_mixture_sample", "q92_strata_sample", "q121_weighted_sample",
+      "q17_argmax")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try names.foreach { n =>
+      spark.conf.set(key, "4")
+      val a = SparkEntry.queries(n)(spark, sf).collect().map(_.toString)
+      spark.conf.set(key, "7")
+      val b = SparkEntry.queries(n)(spark, sf).collect().map(_.toString)
+      assert(a.toSeq == b.toSeq,
+        s"$n drifted under a different shuffle partitioning")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("property: exact dedup is idempotent on generated corpora") {
     forSamples(Gen.listOfN(12, textGen), 5) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
