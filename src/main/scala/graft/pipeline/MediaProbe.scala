@@ -182,6 +182,11 @@ object MediaProbe {
     var vCodec = ""; var aCodec = ""
     var durMs = 0L; var w = 0; var h = 0
     var sr = 0; var ch = 0; var nSamples = 0L
+    // handler type ('vide'/'soun') of the trak being walked: the
+    // AUTHORITATIVE audio-vs-video routing for its stsd entry (ISO
+    // 14496-12 §8.4.3). The fourcc whitelist below stays only as the
+    // fallback for streams whose hdlr precedes no stsd (or is absent).
+    var curHandler = ""
 
     def walk(from: Long, to: Long, depth: Int, inTrak: Boolean): Unit = {
       var o = from
@@ -201,7 +206,11 @@ object MediaProbe {
           case "moov" | "mdia" | "minf" | "stbl" =>
             if (depth < 8) walk(body, o + size, depth + 1, inTrak)
           case "trak" =>
+            curHandler = "" // each trak declares its own handler
             if (depth < 8) walk(body, o + size, depth + 1, inTrak = true)
+          case "hdlr" if body + 12 <= to =>
+            // ver/flags(4) pre_defined(4) handler_type(4)
+            curHandler = fourcc(b, body.toInt + 8)
           case "mvhd" if body + 4 <= to =>
             val ver = u8(b, body.toInt)
             if (ver == 1 && body + 32 <= to) {
@@ -226,19 +235,30 @@ object MediaProbe {
           case "stsd" if body + 16 <= to =>
             val entryO = body + 8          // ver/flags + entry_count
             val fmt = fourcc(b, entryO.toInt + 4)
-            fmt match {
-              case "mp4a" | "opus" | "ac-3" | "alac" | "fLaC" | "sowt"
-                  | "twos" | "ulaw" =>
-                aCodec = fmt.trim
-                // AudioSampleEntry: 4cc +4, reserved 6, dref 2,
-                // version 2, rev 2, vendor 4, channels 2, bits 2,
-                // compId 2, packet 2, samplerate 4 (16.16)
-                if (entryO + 36 <= to) {
-                  ch = be16(b, entryO.toInt + 24)
-                  sr = (be32(b, entryO.toInt + 32) >> 16).toInt
-                }
-              case other if other.nonEmpty => if (vCodec.isEmpty) vCodec = other.trim
-              case _ => ()
+            // AudioSampleEntry: 4cc +4, reserved 6, dref 2,
+            // version 2, rev 2, vendor 4, channels 2, bits 2,
+            // compId 2, packet 2, samplerate 4 (16.16) — the ISO
+            // 14496-12 §12.2.3 layout shared by EVERY audio entry
+            // (mp4a, ec-3, lpcm, .mp3, ...), so the generic read is
+            // spec-correct once hdlr says 'soun'
+            def audioEntry(): Unit = {
+              aCodec = fmt.trim
+              if (entryO + 36 <= to) {
+                ch = be16(b, entryO.toInt + 24)
+                sr = (be32(b, entryO.toInt + 32) >> 16).toInt
+              }
+            }
+            curHandler match {
+              case "soun" if fmt.nonEmpty => audioEntry()
+              case "vide" if fmt.nonEmpty =>
+                if (vCodec.isEmpty) vCodec = fmt.trim
+              case _ => fmt match { // no/unknown hdlr: fourcc fallback
+                case "mp4a" | "opus" | "ac-3" | "alac" | "fLaC" | "sowt"
+                    | "twos" | "ulaw" => audioEntry()
+                case other if other.nonEmpty =>
+                  if (vCodec.isEmpty) vCodec = other.trim
+                case _ => ()
+              }
             }
           case _ => ()
         }
@@ -362,15 +382,33 @@ object MediaProbe {
     val nseg0 = u8(b, 26)
     val p0 = 27 + nseg0
     var codec = ""; var sr = 0; var ch = 0
-    if (matches(b, p0, "vorbis")) {
+    // Vorbis id packet = [0x01]"vorbis" (Vorbis I §4.2.1: the packet
+    // TYPE byte precedes the magic) — type byte checked explicitly, not
+    // embedded in the literal, so the offset arithmetic below (channels
+    // at p0+11, rate at p0+12, both relative to the type byte) is
+    // visibly consistent with the match
+    if (p0 < b.length && u8(b, p0) == 0x01 && matches(b, p0 + 1, "vorbis")) {
       codec = "vorbis"
       if (p0 + 16 <= b.length) {
         ch = u8(b, p0 + 11); sr = le32(b, p0 + 12).toInt
       }
     } else if (matches(b, p0, "OpusHead")) {
+      // OpusHead really is the first packet byte (RFC 7845 §5.1)
       codec = "opus"
       if (p0 + 12 <= b.length) { ch = u8(b, p0 + 9); sr = 48000 }
-    } else if (matches(b, p0, "FLAC")) codec = "flac"
+    } else if (p0 < b.length && u8(b, p0) == 0x7f &&
+        matches(b, p0 + 1, "FLAC")) {
+      // Ogg-FLAC mapping packet: 0x7F "FLAC" maj min nHdr(2), then a
+      // VERBATIM native-FLAC prefix ("fLaC" + STREAMINFO) at p0+9 —
+      // reuse the native header probe on that slice for rate/channels
+      codec = "flac"
+      val fo = p0 + 9
+      if (fo < b.length)
+        probeFlacHeader(java.util.Arrays.copyOfRange(b, fo,
+          math.min(b.length, fo + 46))).foreach { fi =>
+          sr = fi.sampleRate; ch = fi.channels
+        }
+    }
     if (codec.isEmpty) return None
     // last page's granule: scan backwards for the final OggS capture
     var last = -1

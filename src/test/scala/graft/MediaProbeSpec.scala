@@ -95,6 +95,54 @@ class MediaProbeSpec extends SparkSpec {
     cat(page(0, head), page(granule, Array.fill[Byte](20)(3)))
   }
 
+  /** Ogg Vorbis: id page whose first packet is the Vorbis id header —
+    * packet TYPE byte 0x01 then "vorbis" (Vorbis I §4.2.1), version,
+    * channels u8, rate u32le — plus a data page with a granule. */
+  private def oggVorbisFixture(granule: Long): Array[Byte] = {
+    def page(gran: Long, payload: Array[Byte]): Array[Byte] =
+      cat(cc("OggS"), Array[Byte](0, 2), le64(gran), le32(1), le32(0),
+        le32(0), Array[Byte](1, payload.length.toByte), payload)
+    val head = cat(Array[Byte](0x01), cc("vorbis"), le32(0),
+      Array[Byte](2), le32(44100), le32(0), le32(128000), le32(0),
+      Array[Byte](0xb8.toByte, 0x01))
+    cat(page(0, head), page(granule, Array.fill[Byte](20)(3)))
+  }
+
+  /** Ogg FLAC: mapping packet 0x7F "FLAC" maj min nHdr(2) then the
+    * verbatim native-FLAC prefix (the flacFixture itself). */
+  private def oggFlacFixture(granule: Long): Array[Byte] = {
+    def page(gran: Long, payload: Array[Byte]): Array[Byte] =
+      cat(cc("OggS"), Array[Byte](0, 2), le64(gran), le32(1), le32(0),
+        le32(0), Array[Byte](1, payload.length.toByte), payload)
+    val head = cat(Array[Byte](0x7f), cc("FLAC"), Array[Byte](1, 0),
+      be16(1), flacFixture())
+    cat(page(0, head), page(granule, Array.fill[Byte](20)(3)))
+  }
+
+  /** mp4 with an ec-3 audio trak (hdlr 'soun') BEFORE an avc1 video
+    * trak (hdlr 'vide'): hdlr-based routing must keep avc1 as the video
+    * codec and read channels/rate from the non-whitelisted audio entry. */
+  private def mp4TwoTrakFixture(): Array[Byte] = {
+    val ftyp = box("ftyp", cat(cc("isom"), be32(512), cc("isom")))
+    val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+      be32(1000), be32(5000), Array.fill[Byte](80)(0)))
+    def trakOf(handler: String, entry: Array[Byte]): Array[Byte] = {
+      val stsd = box("stsd", cat(be32(0), be32(1), entry))
+      val stbl = box("stbl", stsd)
+      val minf = box("minf", stbl)
+      val hdlr = box("hdlr", cat(be32(0), be32(0), cc(handler),
+        Array.fill[Byte](13)(0)))
+      box("trak", box("mdia", cat(hdlr, minf)))
+    }
+    val audioEntry = cat(be32(36 + 8), cc("ec-3"), Array.fill[Byte](6)(0),
+      be16(1), be16(0), be16(0), be32(0), be16(6), be16(16), be16(0),
+      be16(0), be32(48000L << 16))
+    val videoEntry = cat(be32(86), cc("avc1"), Array.fill[Byte](78)(0))
+    val moov = box("moov", cat(mvhd,
+      trakOf("soun", audioEntry), trakOf("vide", videoEntry)))
+    cat(ftyp, moov)
+  }
+
   private def wavFixture(): Array[Byte] = {
     val fmt = cat(cc("fmt "), le32(16), le16(1), le16(2), le32(16000),
       le32(64000), le16(4), le16(16))
@@ -286,6 +334,31 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.durationMs == 2000) // 96000 ticks at 48 kHz
   }
 
+  test("ogg vorbis: type byte + magic at packet start; channels/rate " +
+      "from the id header; duration from last granule") {
+    val info = MediaProbe.probe(oggVorbisFixture(88200)).get
+    assert(info.container == "ogg" && info.codec == "vorbis")
+    assert(info.channels == 2 && info.sampleRate == 44100)
+    assert(info.durationMs == 2000) // 88200 PCM samples at 44.1 kHz
+  }
+
+  test("ogg flac: mapping packet recognized; rate/channels from the " +
+      "embedded native STREAMINFO") {
+    val info = MediaProbe.probe(oggFlacFixture(44100)).get
+    assert(info.container == "ogg" && info.codec == "flac")
+    assert(info.channels == 1 && info.sampleRate == 22050)
+    assert(info.durationMs == 2000) // 44100 PCM samples at 22.05 kHz
+  }
+
+  test("mp4: hdlr routes a non-whitelisted audio entry (ec-3) to the " +
+      "audio side; the video trak's avc1 stays the reported codec") {
+    val info = MediaProbe.probe(mp4TwoTrakFixture()).get
+    assert(info.codec == "avc1",
+      s"video codec must win the codec field, got ${info.codec}")
+    assert(info.channels == 6 && info.sampleRate == 48000,
+      s"audio fields must come from the ec-3 entry, got $info")
+  }
+
   // ----------------------------------------------------------- ebml
 
   test("webm: DocType, codecs, dims, rate, duration via TimecodeScale") {
@@ -354,7 +427,9 @@ class MediaProbeSpec extends SparkSpec {
       MediaProbe.probe(b) // must not throw
     }
     val fixtures = Seq(mp3Stream(3), mp4Fixture(), m4aFixture(),
-      oggOpusFixture(96000), wavFixture(), aviFixture(), flacFixture(),
+      oggOpusFixture(96000), oggVorbisFixture(88200),
+      oggFlacFixture(44100), mp4TwoTrakFixture(),
+      wavFixture(), aviFixture(), flacFixture(),
       gifFixture(2, 10), webmFixture())
     fixtures.foreach { f =>
       (0 to f.length).foreach(n => MediaProbe.probe(f.take(n)))
