@@ -433,32 +433,21 @@ object MediaProbe {
   private def probeRiff(b: Array[Byte]): Option[MediaInfo] = {
     if (!matches(b, 0, "RIFF") || b.length < 12) return None
     val form = fourcc(b, 8)
-    var o = 12
     if (form == "WAVE") {
-      var tag = 0; var ch = 0; var sr = 0; var byteRate = 0L; var dataLen = 0L
-      var run = true
-      while (run && o + 8 <= b.length) {
-        val id = fourcc(b, o); val sz = le32(b, o + 4)
-        if (id == "fmt " && o + 24 <= b.length) {
-          tag = le16(b, o + 8); ch = le16(b, o + 10)
-          sr = le32(b, o + 12).toInt; byteRate = le32(b, o + 16)
-        } else if (id == "data") dataLen = sz
-        // advance in Long space: a declared size near 2^32 truncated to
-        // Int goes negative and would stall the walk forever (a data
-        // chunk's size may legitimately exceed the probe's byte window,
-        // so clamping to the buffer would be wrong — just stop walking)
-        val next = o.toLong + 8L + sz + (sz & 1)
-        if (next <= o || next > Int.MaxValue) run = false else o = next.toInt
-      }
-      if (sr == 0) return None
-      val codec = tag match {
+      // shared walker (RiffWav): Long-space advance, stops (not aborts)
+      // on an unwalkable declared size; the DECLARED data size feeds the
+      // duration — a probe may see only a prefix window of the clip
+      val w = RiffWav.parse(b).getOrElse(return None)
+      if (w.rate == 0) return None
+      val codec = w.fmtTag match {
         case 1 => "pcm"; case 2 => "ms-adpcm"; case 3 => "pcm-float"
         case 6 => "alaw"; case 7 => "ulaw"; case 0x11 => "ima-adpcm"
         case 0x55 => "mp3"; case t => f"tag-0x$t%04x"
       }
-      val durMs = if (byteRate > 0) dataLen * 1000L / byteRate else 0L
-      Some(MediaInfo("wav", codec, sr, ch,
-        (byteRate * 8 / 1000).toInt, durMs, 0, 0, 0L))
+      val durMs =
+        if (w.byteRate > 0) w.dataDeclared * 1000L / w.byteRate else 0L
+      Some(MediaInfo("wav", codec, w.rate, w.channels,
+        (w.byteRate * 8 / 1000).toInt, durMs, 0, 0, 0L))
     } else if (form == "AVI ") {
       var usPerFrame = 0L; var frames = 0L; var w = 0; var h = 0
       var codec = ""

@@ -35,14 +35,7 @@ object MsAdpcm {
     230, 230, 230, 230, 307, 409, 512, 614,
     768, 614, 512, 409, 307, 230, 230, 230)
 
-  private def le16(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def le16s(b: Array[Byte], o: Int): Int = le16(b, o).toShort.toInt
-  private def le32(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-  private def tag(b: Array[Byte], o: Int, s: String): Boolean =
-    b.length >= o + 4 && (0 until 4).forall(i => (b(o + i) & 0xff) == s.charAt(i))
+  import RiffWav.le16s
 
   /** One MS-ADPCM step for signed code `c` in [-8, 7]: returns
     * (newSample, newDelta) packed as a Long (sample in the high int) —
@@ -62,32 +55,12 @@ object MsAdpcm {
     * format tag 0x0002 (callers fall back to other decoders or drop). */
   def decode(bytes: Array[Byte]): Option[(Float, Array[Double])] = {
     try {
-      if (bytes.length < 12 || !tag(bytes, 0, "RIFF") ||
-          !tag(bytes, 8, "WAVE")) return None
-      var fmtTag = -1
-      var ch = 0
-      var rate = 0
-      var blockAlign = 0
-      var dataOff = -1
-      var dataLen = 0
-      var pos = 12
-      while (pos + 8 <= bytes.length) {
-        val size = le32(bytes, pos + 4)
-        val body = pos + 8
-        if (size < 0 || body > bytes.length) return None
-        if (tag(bytes, pos, "fmt ") && size >= 16) {
-          fmtTag = le16(bytes, body)
-          ch = le16(bytes, body + 2)
-          rate = le32(bytes, body + 4)
-          blockAlign = le16(bytes, body + 12)
-        } else if (tag(bytes, pos, "data")) {
-          dataOff = body
-          dataLen = math.min(size, bytes.length - body)
-        }
-        pos = body + size + (size & 1)
-      }
+      val w = RiffWav.parse(bytes).getOrElse(return None)
+      val ch = w.channels; val rate = w.rate
+      val blockAlign = w.blockAlign
+      val dataOff = w.dataOff; val dataLen = w.dataLen
       // a block must at least hold the 7-byte-per-channel header
-      if (fmtTag != 0x0002 || ch < 1 || rate <= 0 || dataOff < 0 ||
+      if (w.fmtTag != 0x0002 || ch < 1 || rate <= 0 || dataOff < 0 ||
           blockAlign < 7 * ch) return None
 
       val coef1 = new Array[Int](ch)
