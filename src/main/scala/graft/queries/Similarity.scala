@@ -138,7 +138,14 @@ object Similarity {
         el.join(asg, Seq("vec_id"))
           .groupBy("c_id", "pos").agg(sum("vi").as("si")))
     }
-    asg
+    // the final ASSIGNMENT does have two consumers in q50 (the probe's
+    // cluster pick and the inverted-list join), and as a lazy lineage
+    // the whole last assign round would compute once under each — the
+    // same double-consumer trap the per-round centroid truncation
+    // exists for, just one level up. It is |corpus| rows but only two
+    // longs wide, so pinning it costs one narrow job and halves the
+    // most expensive round.
+    graft.operators.Materialize.truncate(asg)
   }
 
   /** The q50 oracle's unrolled Lloyd rounds: CTEs n_i (norms), s_i

@@ -37,12 +37,17 @@ object PlanDigests {
     // r9: 3 Lloyd rounds with PER-ROUND centroid materialization (the
     // k·dims-row table has two consumers per round; as a lazy lineage
     // the prior rounds duplicated under each and the bench doubled per
-    // round — 4.5 s lazy vs 2.9 s truncated at sf0.1). The digest is
-    // the FINAL assignment query only: prior rounds run as the
-    // checkpoint jobs, so a round's work leaking back into this plan
-    // (an un-truncated cent) shows up as exploding join/agg counts
+    // round — 4.5 s lazy vs 2.9 s truncated at sf0.1), AND the final
+    // assignment itself truncated (it too has two consumers — the
+    // probe's cluster pick and the inverted-list join — so the whole
+    // last assign round used to compute twice; Scan ExistingRDD x4 +
+    // Exchange x6 in the pre-fix digest). What remains visible is just
+    // the probe-side read path: the materialized assignment scanned for
+    // both consumers, all joins broadcast, no shuffle at all — any
+    // Exchange or aggregate reappearing here means assign work leaked
+    // back out of the checkpoints
     "q50_ivf_kmeans" ->
-      "AQEShuffleRead x5 | BroadcastExchange x5 | BroadcastHashJoin x6 | BroadcastNestedLoopJoin x1 | ColumnarToRow x3 | Exchange x6 | Filter x10 | HashAggregate x6 | ObjectHashAggregate x2 | Project x9 | ReusedExchange x2 | Scan ExistingRDD x4 | Scan parquet x3 | Sort x4 | SortAggregate x4 | Subquery x1 | TakeOrderedAndProject x1",
+      "BroadcastExchange x3 | BroadcastHashJoin x2 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Filter x4 | Project x5 | Scan ExistingRDD x2 | Scan parquet x2 | TakeOrderedAndProject x1",
     "q102_cluster_canon" ->
       "AQEShuffleRead x4 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x1 | Exchange x4 | Project x3 | Scan ExistingRDD x1 | Scan parquet x1 | Sort x3 | SortAggregate x2",
     "q103_prefix_jaccard" ->
