@@ -18,17 +18,26 @@ import graft.queries.EventTime
   */
 object StreamingWindows {
 
-  /** Canonical events fixture schema (ts as nanos-since-epoch long, the
-    * TIMESTAMP(NANOS) physical layout read under nanosAsLong) — the
-    * empty-directory fallback for a stream that starts before its first
-    * file arrives. */
-  private val rawSchema = StructType(Seq(
+  /** The two events layouts observed across fixture generations — the
+    * empty-directory fallbacks for a stream that starts before its
+    * first file arrives. NO single schema covers both physical layouts
+    * (a TIMESTAMP(MICROS) parquet column cannot be read as bigint, nor
+    * a TIMESTAMP(NANOS) one as timestamp), so when inference has no
+    * file to read the caller must pin its deployment's layout;
+    * `ntzSchema` (the current generation) is the default. */
+  private[graft] val ntzSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Legacy layout: ts as nanos-since-epoch long (TIMESTAMP(NANOS)
+    * read under nanosAsLong). */
+  private[graft] val nanosSchema = StructType(
+    ntzSchema.map(f => if (f.name == "ts") f.copy(dataType = LongType)
+      else f))
 
   /** Streaming scan of the events table (one parquet file = one
     * micro-batch in tests; a directory of arriving files in production).
@@ -42,7 +51,8 @@ object StreamingWindows {
     * (nanos-long or TIMESTAMP(_NTZ) — see Tables.tsToTimestamp, shared
     * with the batch loader so both sides see the identical column). */
   def eventsStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 0): DataFrame = {
+      maxFilesPerTrigger: Int = 0,
+      emptyDirFallback: StructType = ntzSchema): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source wants a directory: scan the SF dir with a
     // glob picking just the events file(s). The wide events*.parquet glob
@@ -53,11 +63,14 @@ object StreamingWindows {
     // Prefer the on-disk footer schema (adapts to whichever physical ts
     // layout this fixture generation used); if the glob matches no files
     // yet — a stream starting before the first file arrives, the normal
-    // production sequence — fall back to the canonical fixture schema
-    // (ts as nanos-long; tsToTimestamp normalizes either layout).
+    // production sequence — fall back to the caller's declared layout
+    // (default: the current NTZ generation; a nanos deployment passes
+    // `nanosSchema`). tsToTimestamp normalizes whichever layout lands.
     val onDisk =
       try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => emptyDirFallback
+      }
     val r = spark.readStream.schema(onDisk)
       .option("pathGlobFilter", glob)
     val r2 = if (maxFilesPerTrigger > 0)

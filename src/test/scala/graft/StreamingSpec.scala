@@ -945,9 +945,41 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("t_empty").count() == 0,
         "no files yet -> no windows")
       // first file arrives; the next trigger must ingest it. The
-      // fallback schema declares ts as nanos-long, so stage a file in
-      // that layout (int96/nanos isn't writable from Spark directly:
-      // write the long column as the fixture generator does)
+      // default fallback declares the CURRENT fixture layout (ts as
+      // TIMESTAMP_NTZ micros), so stage the file in that layout
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = graft.Tables.tsToTimestamp(
+        spark.read.parquet(s"$sf/events.parquet"))
+        .selectExpr("event_id", "cast(ts as timestamp_ntz) AS ts",
+          "user_id", "event_type", "value", "props")
+      val tmp = new java.io.File(dir, "stage")
+      src.coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, "events.parquet").toPath)
+      q.processAllAvailable()
+      assert(spark.table("t_empty").count() > 0,
+        "windows must appear once the first file lands")
+    } finally {
+      q.stop(); rmTree(dir)
+    }
+  }
+
+  test("empty-dir start on a LEGACY nanos deployment: the pinned " +
+      "nanosSchema fallback reads the first arriving nanos-long file") {
+    // no single schema covers both physical ts layouts, so a nanos
+    // deployment pins its layout via the fallback parameter — this is
+    // the other half of the empty-dir contract
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_n").toFile
+    val stream = graft.queries.EventTime.tumblingAgg(
+      StreamingWindows.eventsStream(spark, dir.getAbsolutePath,
+        maxFilesPerTrigger = 0,
+        emptyDirFallback = StreamingWindows.nanosSchema)
+        .withWatermark("ts", "10 minutes"))
+    val q = StreamingWindows.runToMemory(stream, "t_empty_n",
+      mode = "update")
+    try {
+      assert(spark.table("t_empty_n").count() == 0)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val src = graft.Tables.tsToTimestamp(
         spark.read.parquet(s"$sf/events.parquet"))
@@ -959,8 +991,8 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.move(part.toPath,
         new java.io.File(dir, "events.parquet").toPath)
       q.processAllAvailable()
-      assert(spark.table("t_empty").count() > 0,
-        "windows must appear once the first file lands")
+      assert(spark.table("t_empty_n").count() > 0,
+        "windows must appear once the first nanos-layout file lands")
     } finally {
       q.stop(); rmTree(dir)
     }
