@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Cross-scale-factor bench comparison: the measured complement of
+SCALE.md's plan-shape arguments.
+
+Usage: python3 scripts/scaling.py <bench_sfA.json> <bench_sfB.json> [minSecB]
+
+Reads two graft.Bench JSON lines (same suite, two scale factors, one
+decade apart, e.g. sf0.01 and sf0.1) and prints, per query with
+timeB >= minSecB (default 0.4 s — below that, fixed per-query overhead
+dominates and ratios are noise): the time ratio across the 10x data
+step, sorted descending. A ratio near 1 means overhead-bound, near 10
+means linear in data, well above 10 means superlinear — the scale
+red-flag this report exists to catch.
+"""
+import json, sys
+
+
+def load(p):
+    with open(p) as f:
+        return json.load(f)
+
+
+def main(pa, pb, min_b=0.4):
+    a, b = load(pa), load(pb)
+    qa, qb = a["queries"], b["queries"]
+    rows = []
+    for k in sorted(qb):
+        if k in qa and qb[k] >= min_b:
+            rows.append((qb[k] / qa[k], qa[k], qb[k], k))
+    rows.sort(reverse=True)
+    print(f"{'ratio':>7} {'tA':>7} {'tB':>7}  query   "
+          f"({a.get('sf','A')} -> {b.get('sf','B')}, "
+          f"{len(rows)} queries with tB >= {min_b}s)")
+    for r, ta, tb, k in rows:
+        flag = " <-- superlinear?" if r > 14 else ""
+        print(f"{r:7.2f} {ta:7.3f} {tb:7.3f}  {k}{flag}")
+    med = sorted(x[0] for x in rows)[len(rows) // 2] if rows else 0
+    print(f"median ratio: {med:.2f} (10x data step)")
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    main(args[0], args[1], float(args[2]) if len(args) > 2 else 0.4)
