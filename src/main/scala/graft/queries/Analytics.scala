@@ -30,6 +30,7 @@ object Analytics {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")
       val tr = Tables.load(s, d, "events")
+        .filter(col("ts").isNotNull) // ordering-key domain pin (q29 note)
         .withColumn("nxt", lead("event_type", 1).over(w))
         .filter(col("nxt").isNotNull)
         .groupBy(col("event_type").as("cur"), col("nxt"))
@@ -38,7 +39,7 @@ object Analytics {
       tr.join(broadcast(tot), Seq("cur"))
         .select(col("cur"), col("nxt"), col("n"),
           expr("(n * 10000) div tot").as("p_bp"))
-        .orderBy("cur", "nxt")
+        .orderBy(col("cur").asc_nulls_last, col("nxt").asc_nulls_last)
     }),
 
     // q58: hourly resample WITH gap filling over a fixed 2-day span —
@@ -59,7 +60,7 @@ object Analytics {
         .join(actual, Seq("h", "event_type"), "left")
         .select(date_format(col("h"), fmtS).as("hour"),
           col("event_type"), coalesce(col("cnt"), lit(0L)).as("n"))
-        .orderBy("hour", "event_type")
+        .orderBy(col("hour"), col("event_type").asc_nulls_last)
     }),
 
     // q59: first-seen retention — new users per day
@@ -96,6 +97,10 @@ object Analytics {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")
       Tables.load(s, d, "events")
+        // ts pins the ordering; event_type pins the path alphabet — a
+        // NULL type would print as '' via concat_ws in Spark but as a
+        // NULL path via string_agg in DuckDB (different group keys)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .groupBy("user_id")
@@ -113,6 +118,12 @@ object Analytics {
     "q66_doc_embedding_join" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "lang")
       val vecs = Tables.load(s, d, "embeddings")
+        // a NULL ELEMENT inside the array diverges the engines: Spark's
+        // aggregate() folds a + NULL² to a NULL norm (doc drops from the
+        // sum but not the count), DuckDB's list_sum skips NULL elements
+        // (finite partial norm). Pin the domain: only fully-non-null
+        // vectors rank, mirrored in the oracle's list_filter WHERE.
+        .filter(expr("NOT exists(embedding, x -> x IS NULL)"))
         .select(col("vec_id").as("doc_id"),
           expr("""sqrt(aggregate(embedding, cast(0.0 as double),
                     (a, x) -> a + cast(x as double) * cast(x as double)))""")
@@ -125,7 +136,7 @@ object Analytics {
           // decimal (order-independent), then one double division.
           round(sum(col("norm").cast("decimal(38,12)")).cast("double")
             / count(lit(1)), 4).as("avg_norm"))
-        .orderBy("lang")
+        .orderBy(col("lang").asc_nulls_last)
     }),
 
     // q82: cohort retention matrix — users bucketed by first-seen day,
@@ -371,7 +382,7 @@ object Analytics {
           max(col("mad")).as("mad_cents"),
           sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L))
             .as("n_outliers"))
-        .orderBy("event_type")
+        .orderBy(col("event_type").asc_nulls_last)
     }),
 
     // q96: distribution drift (PSI) between the first and second half
@@ -400,7 +411,7 @@ object Analytics {
                * ln(((ca + 1) / cast(na + k as double))
                   / ((cb + 1) / cast(nb + k as double)))"""), 6)
             .as("psi_term"))
-        .orderBy("event_type")
+        .orderBy(col("event_type").asc_nulls_last)
     }),
 
     // q105: rolling z-score anomaly bands — the daily-volume monitor
@@ -440,7 +451,7 @@ object Analytics {
           round(col("mu"), 4).as("mu"), round(col("sd"), 4).as("sd"),
           when(col("cnt") === 7 && col("sd") > 0.0001,
             round((col("n") - col("mu")) / col("sd"), 4)).as("z"))
-        .orderBy("event_type", "day")
+        .orderBy(col("event_type").asc_nulls_last, col("day"))
     }),
 
     // q109: exact distinct users over a trailing 7-day window per day.
@@ -541,6 +552,7 @@ object Analytics {
       val W = org.apache.spark.sql.expressions.Window
       val w = W.partitionBy("user_id").orderBy("ts", "event_id")
       val sess = Tables.load(s, d, "events")
+        .filter(col("ts").isNotNull) // ordering-key domain pin (q29 note)
         .withColumn("prev_ts", lag("ts", 1).over(w))
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
@@ -559,7 +571,7 @@ object Analytics {
         .groupBy("first_touch")
         .agg(count(lit(1)).as("purchases"),
           graft.Det.dsum(col("value")).as("revenue"))
-        .orderBy("first_touch")
+        .orderBy(col("first_touch").asc_nulls_last)
     }),
 
     // q112: count-min sketch as a TABLE (depth × width grouped counts)
@@ -694,7 +706,7 @@ object Analytics {
       """WITH tr AS (SELECT user_id, event_type AS cur,
               lead(event_type) OVER (PARTITION BY user_id
                 ORDER BY ts, event_id) AS nxt
-            FROM events),
+            FROM events WHERE ts IS NOT NULL),
           c AS (SELECT cur, nxt, count(*) AS n FROM tr
                 WHERE nxt IS NOT NULL GROUP BY 1, 2),
           t2 AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot
@@ -746,7 +758,8 @@ object Analytics {
       """WITH e AS (SELECT user_id, event_type, ts, event_id,
               row_number() OVER (PARTITION BY user_id
                 ORDER BY ts, event_id) AS rn
-            FROM events),
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL),
           p AS (SELECT user_id,
                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
                 FROM e WHERE rn <= 10 GROUP BY user_id)
@@ -757,7 +770,8 @@ object Analytics {
       """WITH v AS (SELECT vec_id AS doc_id,
               sqrt(list_sum(list_transform(embedding,
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-            FROM embeddings)
+            FROM embeddings
+            WHERE len(list_filter(embedding, x -> x IS NULL)) = 0)
          SELECT lang, count(*) AS n,
                 round(CAST(sum(CAST(norm AS DECIMAL(38,12))) AS DOUBLE)
                   / count(*), 4) AS avg_norm
@@ -964,7 +978,7 @@ object Analytics {
     "q111_first_touch" ->
       s"""WITH s AS (SELECT *, lag(ts) OVER
                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-                FROM events),
+                FROM events WHERE ts IS NOT NULL),
           s2 AS (SELECT *, CASE WHEN prev_ts IS NULL
                    OR ts > prev_ts + INTERVAL 30 MINUTE
                    THEN 1 ELSE 0 END AS new_sess FROM s),

@@ -22,9 +22,19 @@ object EventTime {
   private val fmtS = "yyyy-MM-dd HH:mm:ss"
   private val fmtU = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
-  /** q29 aggregation over any events frame (batch or streaming). */
+  /** q29 aggregation over any events frame (batch or streaming).
+    *
+    * NULL-domain pin (shared by every aggregator here, batch AND
+    * streaming sides): Spark's window()/session_window() silently DROP
+    * a NULL-ts row (the TimeWindowing rules inject an is-not-null time
+    * filter) while a SQL GROUP BY keeps it under a NULL key — so the
+    * exclusion is made EXPLICIT on both engines (`ts IS NOT NULL` here
+    * and in every oracle's FROM), pinning the domain the way q132 pins
+    * its value domain. The fixtures carry no NULLs today; the pin is
+    * against a future regeneration quietly introducing one. */
   def tumblingAgg(events: DataFrame): DataFrame =
     events
+      .filter(col("ts").isNotNull)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
       .select(date_format(col("window.start"), fmtS).as("wstart"),
@@ -36,6 +46,7 @@ object EventTime {
     * rounding disagree — integer arithmetic is tie-free in both engines. */
   def slidingAgg(events: DataFrame): DataFrame =
     events
+      .filter(col("ts").isNotNull)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
@@ -55,6 +66,7 @@ object EventTime {
     * (strict `>`, not `>=`). */
   def sessionAgg(events: DataFrame): DataFrame =
     events
+      .filter(col("ts").isNotNull)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
@@ -67,7 +79,9 @@ object EventTime {
     // q29: tumbling 1-hour event-time window x event_type
     "q29_tumbling_window" -> ((s, d) =>
       tumblingAgg(Tables.load(s, d, "events"))
-        .orderBy("wstart", "event_type")),
+        // nulls-last pins the NULL-event_type group's placement to
+        // DuckDB's ORDER BY default (Spark ascending is NULLS FIRST)
+        .orderBy(col("wstart"), col("event_type").asc_nulls_last)),
 
     // q30: sliding 1-hour window, 15-minute slide
     "q30_sliding_window" -> ((s, d) =>
@@ -93,6 +107,7 @@ object EventTime {
     "q130_concurrency_gauge" -> ((s, d) => {
       val sess = Tables.load(s, d, "events")
         .select("user_id", "ts").distinct()
+        .filter(col("ts").isNotNull) // the tumblingAgg null-domain pin
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(expr("unix_micros(min(ts)) div 60000000").as("m0"),
           expr("unix_micros(max(ts)) div 60000000").as("m1"))
@@ -115,7 +130,8 @@ object EventTime {
     "q29_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
             event_type, count(*) AS n, ${sqlDsum("value")} AS sum_v
-          FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY 1, 2 ORDER BY wstart, event_type""",
 
     // each event belongs to 4 sliding windows: starts floor(t/900)*900 - i*900
     "q30_sliding_window" ->
@@ -126,10 +142,12 @@ object EventTime {
             (CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) * 100)
               // count(*) AS avg_e4
           FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+          WHERE ts IS NOT NULL
           GROUP BY 1 ORDER BY wstart""",
 
     "q31_session_window" ->
-      """WITH e AS (SELECT DISTINCT user_id, ts FROM events),
+      """WITH e AS (SELECT DISTINCT user_id, ts FROM events
+                WHERE ts IS NOT NULL),
          f AS (SELECT user_id, ts,
                  CASE WHEN lag(ts) OVER w IS NULL
                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
@@ -148,7 +166,8 @@ object EventTime {
     // the same gaps-and-islands sessions, folded to minute-grain
     // boundary deltas and a running sum — all integer arithmetic
     "q130_concurrency_gauge" ->
-      """WITH e AS (SELECT DISTINCT user_id, ts FROM events),
+      """WITH e AS (SELECT DISTINCT user_id, ts FROM events
+                WHERE ts IS NOT NULL),
          f AS (SELECT user_id, ts,
                  CASE WHEN lag(ts) OVER w IS NULL
                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE

@@ -614,7 +614,8 @@ object Relational {
     "q02_topk" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
          FROM lineitem
-         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+         ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey, l_linenumber
+         LIMIT 100""",
 
     "q03_filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice
@@ -834,7 +835,7 @@ object Relational {
     "q20_sort" ->
       """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
          FROM customer
-         ORDER BY seg ASC NULLS LAST, c_acctbal DESC, c_custkey""",
+         ORDER BY seg ASC NULLS LAST, c_acctbal DESC NULLS LAST, c_custkey""",
 
     "q21_set_ops" ->
       """SELECT 'union_all' AS op, nk, count(*) AS cnt FROM

@@ -18,9 +18,17 @@ object Windows {
 
   val queries: Map[String, Q] = Map(
     "q18_rank_windows" -> ((s, d) => {
+      // null-placement convention (whole suite): NULLS LAST on every
+      // nullable sort key, stated on whichever engine doesn't default
+      // to it — Spark ascending is NULLS FIRST (so asc_nulls_last
+      // here), Spark descending already NULLS LAST (so the oracle says
+      // DESC NULLS LAST, DuckDB's DESC default being NULLS FIRST).
+      // Fixtures carry no NULLs today; this pins placement against a
+      // future regeneration.
       val w1 = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      val w2 = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+      val w2 = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderstatus").asc_nulls_last)
       Tables.load(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           row_number().over(w1).cast("long").as("rn"),
@@ -33,7 +41,7 @@ object Windows {
     // q19f: value windows — first/last/nth over an explicit frame
     "q19_value_windows" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .orderBy(col("o_orderdate").asc_nulls_last, col("o_orderkey"))
       val full = w.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
       Tables.load(s, d, "orders")
@@ -49,7 +57,8 @@ object Windows {
     // integer inputs give bit-identical IEEE results in both engines;
     // ties contribute identical values regardless of intra-tie order.
     "q79_dist_windows" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").asc_nulls_last)
       Tables.load(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           percent_rank().over(w).as("pr"),
@@ -74,7 +83,11 @@ object Windows {
     // non-negative, where Spark's div and DuckDB's // agree).
     "q136_range_frames" -> ((s, d) =>
       Tables.load(s, d, "events")
-        .filter(col("value").isNotNull)
+        // both domains pinned explicitly (mirrored in the oracle's
+        // WHERE): NULL value would diverge on window null ordering,
+        // NULL ts would land at opposite ends of the partition AND the
+        // output sort (Spark asc NULLS FIRST vs DuckDB NULLS LAST)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
         .withColumn("cents",
           expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
         .selectExpr(
@@ -99,7 +112,7 @@ object Windows {
 
     "q19_analytic_windows" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .orderBy(col("o_orderdate").asc_nulls_last, col("o_orderkey"))
       val dec = col("o_totalprice").cast(DecimalType(18, 2))
       Tables.load(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
@@ -117,9 +130,9 @@ object Windows {
     "q18_rank_windows" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_custkey
-             ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rn,
            ntile(4) OVER (PARTITION BY o_custkey
-             ORDER BY o_totalprice DESC, o_orderkey) AS tile,
+             ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS tile,
            rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rnk,
            dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drnk
          FROM orders ORDER BY o_custkey, o_orderkey""",
@@ -145,7 +158,7 @@ object Windows {
     "q136_range_frames" ->
       """WITH ev AS (SELECT event_id, user_id, ts,
               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-            FROM events WHERE value IS NOT NULL)
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)
          SELECT event_id, user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS tss,
            sum(cents) OVER
