@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim.GraftSqlShim
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Native as-of join as a first-class physical operator — the deepest
   * rung of the Spark extension ladder (SURVEY.md §2 preference order
@@ -80,8 +80,9 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
   require(leftKey.dataType == rightKey.dataType,
     s"key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
   require(Seq(leftTs, rightTs).forall(t =>
-      t.dataType == TimestampType || t.dataType == LongType),
-    "as-of timestamps must be TIMESTAMP or BIGINT")
+      t.dataType == TimestampType || t.dataType == TimestampNTZType ||
+        t.dataType == LongType),
+    "as-of timestamps must be TIMESTAMP, TIMESTAMP_NTZ or BIGINT")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -166,7 +167,14 @@ case class AsOfJoinExec(
             } else if (cmp == 0) {
               val rtv = rt.eval(rHead)
               if (rtv != null && rtv.asInstanceOf[Long] <= lts) {
-                cand = rHead.copy(); candKey = rkv
+                cand = rHead.copy()
+                // re-eval the key from the COPY: `rkv` was eval'd from
+                // the child iterator's live row, and for buffer-backed
+                // types (string/binary/large decimal) a spill reader
+                // overwrites that buffer on the next advance — a
+                // retained rkv silently mutates into the NEXT row's key
+                // (regression-pinned by the row-reuse spec test)
+                candKey = rk.eval(cand)
                 rHead = if (rIter.hasNext) rIter.next() else null
               } else if (rtv == null) {
                 rHead = if (rIter.hasNext) rIter.next() else null

@@ -105,6 +105,65 @@ class AsOfJoinPlanSpec extends SparkSpec {
       s"expected one hash exchange per side in:\n$p")
   }
 
+  test("candidate key survives child-iterator row reuse (spill contract)") {
+    // Spark's sort/spill iterators REUSE the row object and, when
+    // reading back from a spill file, the underlying byte buffer too:
+    // any value eval'd from a child row is invalidated by the next
+    // advance. The merge loop retains `candKey` across advances, so for
+    // buffer-backed key types (string here; long keys box a primitive
+    // and mask the hazard) a stale reference silently mutates into the
+    // NEXT row's key. In-memory sorts keep old pages intact, so the
+    // only deterministic reproduction is a child that emits rows over
+    // one overwritten buffer — the exact UnsafeSorterSpillReader
+    // behavior this guards against.
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, GenericInternalRow}
+    import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    case class ReusedRowsExec(output: Seq[Attribute],
+        keys: Seq[String], tss: Seq[Long])(
+        @transient val sc: org.apache.spark.SparkContext)
+        extends LeafExecNode {
+      override protected def doExecute(): RDD[InternalRow] = {
+        val ks = keys; val ts = tss
+        sc.parallelize(Seq(0), 1).mapPartitions { _ =>
+          // one shared buffer, overwritten per row — as a spill reader does
+          val buf = new Array[Byte](8)
+          val row = new GenericInternalRow(2)
+          ks.indices.iterator.map { i =>
+            val kb = ks(i).getBytes("UTF-8")
+            java.util.Arrays.fill(buf, 0.toByte)
+            System.arraycopy(kb, 0, buf, 0, kb.length)
+            row.update(0, UTF8String.fromBytes(buf, 0, kb.length))
+            row.update(1, ts(i))
+            row
+          }
+        }
+      }
+    }
+
+    val lOut = Seq(AttributeReference("k", StringType)(),
+      AttributeReference("tts", LongType)())
+    val rOut = Seq(AttributeReference("qk", StringType)(),
+      AttributeReference("qts", LongType)())
+    // right: ("a", 1) then ("b", 1); left probe ("a", 5) must match the
+    // "a" row even though the merge has advanced the shared buffer to "b"
+    val exec = graft.plans.AsOfJoinExec(
+      lOut.head, rOut.head, lOut(1), rOut(1),
+      ReusedRowsExec(lOut, Seq("a"), Seq(5L))(spark.sparkContext),
+      ReusedRowsExec(rOut, Seq("a", "b"), Seq(1L, 1L))(spark.sparkContext))
+    val got = exec.execute().map { r =>
+      (r.getUTF8String(0).toString, r.getLong(1),
+        if (r.isNullAt(2)) null else r.getUTF8String(2).toString,
+        if (r.isNullAt(3)) -1L else r.getLong(3))
+    }.collect().toSeq
+    assert(got == Seq(("a", 5L, "a", 1L)),
+      s"stale candidate key after row reuse: $got")
+  }
+
   test("the strategy is injected by GraftExtensions (no manual ensure)") {
     // SparkSpec sessions are built via GraftSession -> GraftExtensions;
     // planning an AsOfJoinNode must succeed even before AsOfJoinPlan.asof
