@@ -228,6 +228,49 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("interpreted eval agrees with codegen for every native scalar " +
+      "expression (NO_CODEGEN twin)") {
+    // the interpreted path is not dead code: constant folding calls
+    // eval() at OPTIMIZE time, and a CodegenFallback parent forces the
+    // whole subtree interpreted — a doGenCode/eval divergence would
+    // produce different ANSWERS depending on where the expression sits
+    // in the plan. Run the same probe row under both factory modes and
+    // require identical results.
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    def probe(): org.apache.spark.sql.Row = {
+      GraftFunctions.register(spark)
+      Seq((Seq(1f, 2f, 0.5f), Seq(0.5f, 1f, 2f),
+          Seq("alpha", "beta", "gamma", "delta"),
+          Seq(1L, 4L, 9L), Seq(4L, 9L, 12L)))
+        .toDF("a", "b", "tok", "xs", "ys")
+        .selectExpr(
+          "cosine_sim(a, b) AS c1",
+          "simhash64(tok) AS c2",
+          "simhash_md5(tok) AS c3",
+          "hash60(tok[0]) AS c4",
+          "mix61(42L, 7L, 9L) AS c5",
+          "shingles3(tok) AS c6",
+          "minhash_bands(tok) AS c7",
+          "pair_combos(xs) AS c8",
+          "sorted_intersect_count(xs, ys) AS c9")
+        .collect().head
+    }
+    try {
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val gen = probe()
+      spark.conf.set(key, "NO_CODEGEN")
+      val interp = probe()
+      assert(gen == interp,
+        s"codegen and interpreted paths disagree:\n  $gen\n  $interp")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("GraftExtensions installs into SparkSessionExtensions") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)  // must register without throwing
