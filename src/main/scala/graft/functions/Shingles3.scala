@@ -12,7 +12,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * {{{ case when size(tok) < 3 then array()
   *     else array_distinct(transform(sequence(1, size(tok) - 2),
-  *       i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))) end }}}
+  *       i -> concat_ws(' ', element_at(tok, i), element_at(tok, i + 1),
+  *                      element_at(tok, i + 2)))) end }}}
+  *
+  * (1-based `element_at`, exactly as ExpressionSpec pins it — the
+  * 0-based bracket shorthand `tok[i]` would shift the window and is NOT
+  * equivalent)
   *
   * and to DuckDB's `list_distinct(list_transform(...))` twin (the oracle
   * keeps that formulation — outputs only ever feed order-insensitive

@@ -259,6 +259,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: scalar natives equal independent driver-side " +
+      "references on random inputs") {
+    // the ExpressionSpec equivalence tests pin each native against its
+    // SQL formulation on FIXTURE data; this pins them against plain
+    // Scala reimplementations on RANDOM inputs, so a bug shared by the
+    // native and its SQL twin (or a fixture blind spot — empty arrays,
+    // negatives, all-equal values) still gets caught. One DataFrame per
+    // family keeps it at four Spark jobs total.
+    graft.functions.GraftFunctions.register(spark)
+
+    // sorted_intersect_count: |a ∩ b| over sorted-distinct ARRAY<BIGINT>
+    val pairGen = for {
+      a <- Gen.listOfN(25, Gen.choose(-40L, 40L))
+      b <- Gen.listOfN(25, Gen.choose(-40L, 40L))
+      ca <- Gen.choose(0, 25); cb <- Gen.choose(0, 25)
+    } yield (a.take(ca).distinct.sorted, b.take(cb).distinct.sorted)
+    val sicIn = Seq.newBuilder[(Seq[Long], Seq[Long])]
+    forSamples(pairGen, 40)(sicIn += _)
+    val sicRows = sicIn.result()
+    val sicGot = sicRows.toDF("a", "b")
+      .selectExpr("sorted_intersect_count(a, b)").as[Long].collect()
+    sicRows.zip(sicGot).foreach { case ((a, b), got) =>
+      assert(got == (a.toSet & b.toSet).size.toLong,
+        s"sorted_intersect_count($a, $b) = $got")
+    }
+
+    // pair_combos: ordered i<j index pairs of an ARRAY<BIGINT>
+    val idsGen = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-9L, 9L)))
+    val pcIn = Seq.newBuilder[Seq[Long]]
+    forSamples(idsGen, 30)(pcIn += _)
+    val pcRows = pcIn.result()
+    val pcGot = pcRows.toDF("ids")
+      .selectExpr("pair_combos(ids)")
+      .as[Seq[(Long, Long)]].collect()
+    pcRows.zip(pcGot).foreach { case (ids, got) =>
+      val expect = for {
+        i <- ids.indices; j <- (i + 1) until ids.size
+      } yield (ids(i), ids(j))
+      assert(got == expect, s"pair_combos($ids) = $got")
+    }
+
+    // shingles3: distinct space-joined 3-grams, first-occurrence order
+    val tokGen = Gen.choose(0, 9).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a", "b", "東京", "x🎉", "c")))
+    val shIn = Seq.newBuilder[Seq[String]]
+    forSamples(tokGen, 30)(shIn += _)
+    val shRows = shIn.result()
+    val shGot = shRows.toDF("tok")
+      .selectExpr("shingles3(tok)").as[Seq[String]].collect()
+    shRows.zip(shGot).foreach { case (tok, got) =>
+      val expect =
+        if (tok.size < 3) Seq.empty[String]
+        else tok.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      assert(got == expect, s"shingles3($tok) = $got")
+    }
+
+    // cosine_sim: left-to-right double accumulation — bit-exact vs the
+    // same loop in Scala (NaN for zero vectors compares via java bits)
+    val vecGen = for {
+      n <- Gen.choose(1, 12)
+      a <- Gen.listOfN(n, Gen.choose(-8, 8).map(_.toFloat / 4f))
+      b <- Gen.listOfN(n, Gen.choose(-8, 8).map(_.toFloat / 4f))
+    } yield (a, b)
+    val csIn = Seq.newBuilder[(Seq[Float], Seq[Float])]
+    forSamples(vecGen, 40)(csIn += _)
+    val csRows = csIn.result()
+    val csGot = csRows.toDF("a", "b")
+      .selectExpr("cosine_sim(a, b)").as[Double].collect()
+    csRows.zip(csGot).foreach { case ((a, b), got) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val xi = a(i).toDouble; val yi = b(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+      }
+      val expect = dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(java.lang.Double.doubleToLongBits(got) ==
+          java.lang.Double.doubleToLongBits(expect),
+        s"cosine_sim($a, $b) = $got, expected $expect")
+    }
+  }
+
   test("property: set-op algebra on generated multisets") {
     val ints = Gen.listOfN(30, Gen.chooseNum(0, 8))
     forSamples(ints, 5) { xs =>
