@@ -117,17 +117,26 @@ object GraftFunctions {
       (exprs: Seq[Expression]) =>
         SortedIntersectCount(exprs.head, exprs(1))))
 
+  /** Sessions (by their function registry) this object has already
+    * populated; weak keys so a dropped session doesn't leak. */
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, java.lang.Boolean])
+
   /** Idempotently register graft's native expressions on a session, so
     * `expr("cosine_sim(a, b)")` etc. resolve (SQL + DataFrame surfaces).
-    * Truly idempotent: an already-registered name is left alone (the
-    * builders are stable singletons), so repeat calls — every query
-    * that self-registers, every Verify/Bench rep — stop spamming the
-    * driver log with "replaced a previously registered function". */
-  def register(spark: SparkSession): Unit =
-    all.foreach { case (name, _, builder) =>
-      val reg = spark.sessionState.functionRegistry
-      if (!reg.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+    * The FIRST call on a session registers with REPLACE semantics — a
+    * pre-existing foreign binding of one of these names (user code,
+    * another library) must not silently win over graft's, or every
+    * query that self-registers would compute with someone else's
+    * implementation. Later calls on the same session are no-ops, so
+    * repeat registration — every query that self-registers, every
+    * Verify/Bench rep — doesn't spam the driver log with "replaced a
+    * previously registered function". */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (registered.putIfAbsent(reg, java.lang.Boolean.TRUE) == null)
+      all.foreach { case (name, _, builder) =>
         reg.createOrReplaceTempFunction(name, builder, "built-in")
-    }
+      }
+  }
 }

@@ -47,13 +47,13 @@ object MediaProbe {
 
   private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
   private def be16(b: Array[Byte], o: Int): Int = (u8(b, o) << 8) | u8(b, o + 1)
-  private def le16(b: Array[Byte], o: Int): Int = u8(b, o) | (u8(b, o + 1) << 8)
+  // little-endian readers live in RiffWav (one definition per hardening
+  // class — see its scaladoc); the big-endian ones have no other user
+  private def le16(b: Array[Byte], o: Int): Int = RiffWav.le16(b, o)
+  private def le32(b: Array[Byte], o: Int): Long = RiffWav.le32(b, o)
   private def be32(b: Array[Byte], o: Int): Long =
     ((u8(b, o).toLong << 24) | (u8(b, o + 1) << 16) |
       (u8(b, o + 2) << 8) | u8(b, o + 3)) & 0xffffffffL
-  private def le32(b: Array[Byte], o: Int): Long =
-    (u8(b, o).toLong | (u8(b, o + 1).toLong << 8) |
-      (u8(b, o + 2).toLong << 16) | (u8(b, o + 3).toLong << 24)) & 0xffffffffL
   private def be64(b: Array[Byte], o: Int): Long =
     (be32(b, o) << 32) | be32(b, o + 4)
   private def le64(b: Array[Byte], o: Int): Long =
@@ -181,7 +181,12 @@ object MediaProbe {
     var container = "mp4"
     var vCodec = ""; var aCodec = ""
     var durMs = 0L; var w = 0; var h = 0
-    var sr = 0; var ch = 0; var nSamples = 0L
+    var sr = 0; var ch = 0
+    // per-handler sample counts: `frames` must report the VIDEO frame
+    // count when a video trak exists regardless of trak order (muxers
+    // commonly list audio first), falling back to the audio sample
+    // count for audio-only files
+    var vSamples = 0L; var aSamples = 0L; var anySamples = 0L
     // handler type ('vide'/'soun') of the trak being walked: the
     // AUTHORITATIVE audio-vs-video routing for its stsd entry (ISO
     // 14496-12 §8.4.3). The fourcc whitelist below stays only as the
@@ -231,7 +236,15 @@ object MediaProbe {
               if (tw > 0 && th > 0) { w = tw; h = th }
             }
           case "stsz" if body + 12 <= to =>
-            if (inTrak && nSamples == 0) nSamples = be32(b, body.toInt + 8)
+            if (inTrak) {
+              val n = be32(b, body.toInt + 8)
+              curHandler match {
+                case "vide" => if (vSamples == 0) vSamples = n
+                case "soun" => if (aSamples == 0) aSamples = n
+                case "" => if (anySamples == 0) anySamples = n
+                case _ => () // text/hint/meta traks never feed `frames`
+              }
+            }
           case "stsd" if body + 16 <= to =>
             val entryO = body + 8          // ver/flags + entry_count
             val fmt = fourcc(b, entryO.toInt + 4)
@@ -252,13 +265,18 @@ object MediaProbe {
               case "soun" if fmt.nonEmpty => audioEntry()
               case "vide" if fmt.nonEmpty =>
                 if (vCodec.isEmpty) vCodec = fmt.trim
-              case _ => fmt match { // no/unknown hdlr: fourcc fallback
+              case "" => fmt match { // hdlr ABSENT only: fourcc fallback
                 case "mp4a" | "opus" | "ac-3" | "alac" | "fLaC" | "sowt"
                     | "twos" | "ulaw" => audioEntry()
                 case other if other.nonEmpty =>
                   if (vCodec.isEmpty) vCodec = other.trim
                 case _ => ()
               }
+              // a PRESENT non-AV handler (text/sbtl/hint/meta/tmcd …)
+              // must not leak its entry into the A/V codec fields — a
+              // chapter trak's 'tx3g' listed before the video trak
+              // would otherwise masquerade as the stream codec
+              case _ => ()
             }
           case _ => ()
         }
@@ -270,7 +288,9 @@ object MediaProbe {
     else Some(MediaInfo(container,
       if (vCodec.nonEmpty) vCodec else if (aCodec.nonEmpty) aCodec else "",
       sr, ch, if (durMs > 0) (b.length * 8L / durMs).toInt else 0,
-      durMs, w, h, nSamples))
+      durMs, w, h,
+      if (vSamples > 0) vSamples
+      else if (aSamples > 0) aSamples else anySamples))
   }
 
   // ------------------------------------------------- EBML (webm / mkv)
@@ -410,11 +430,19 @@ object MediaProbe {
         }
     }
     if (codec.isEmpty) return None
-    // last page's granule: scan backwards for the final OggS capture
+    // last page's granule: scan backwards for the final OggS capture.
+    // 'OggS' can legitimately occur INSIDE compressed packet payloads
+    // (~once per 4 GB of random bytes — real at corpus scale), so a
+    // candidate only counts as the page header if the fixed fields
+    // hold: version byte 0 (RFC 3533 §6), header-type flags confined
+    // to bits 0-2, and the full 27+nseg header in bounds.
+    def isPageHeader(i: Int): Boolean =
+      i + 27 <= b.length && u8(b, i + 4) == 0 &&
+        (u8(b, i + 5) & 0xf8) == 0 && i + 27 + u8(b, i + 26) <= b.length
     var last = -1
     var i = b.length - 27
     while (last < 0 && i >= 0) {
-      if (matches(b, i, "OggS")) last = i else i -= 1
+      if (matches(b, i, "OggS") && isPageHeader(i)) last = i else i -= 1
     }
     val granule = if (last >= 0 && last + 14 <= b.length) le64(b, last + 6) else 0L
     val durMs =

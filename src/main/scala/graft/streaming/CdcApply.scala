@@ -16,44 +16,57 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   * feed moves only the delta, and state is O(live keys)).
   *
   * Emission is update-mode: one row per key per batch carrying the
-  * LAST applied op and the post-apply body (null body = tombstone).
-  * The latest emission per key IS the view; tombstoned keys are
-  * "applied by absence" exactly like the batch side (StreamingSpec
-  * proves set equality with oracled q137). Within a batch, ops apply
-  * in ascending seq order — CDC feeds are ordered per key by
+  * LAST applied op, an explicit `live` flag, and the post-apply body.
+  * The latest emission per key IS the view; `live = false` is the
+  * tombstone, applied by absence exactly like the batch side
+  * (StreamingSpec proves set equality with oracled q137). Liveness is
+  * its own column — NOT "body is null" — because a NULL-text document
+  * is a legal live row (q110/snapshotSides: a NULL-text doc has a NULL
+  * digest), so body nullness cannot double as the delete marker. For
+  * the same reason state wraps the body in a product ([[CdcApply.Doc]]):
+  * ValueState rejects a bare null value, and a null-body insert must
+  * materialize, not kill the query. Within a batch, ops apply in
+  * ascending seq order — CDC feeds are ordered per key by
   * construction; cross-key order is irrelevant to a keyed store.
   */
 class CdcApplyProcessor extends StatefulProcessor[
-    Long, (Long, Long, String, String), (Long, String, String)] {
+    Long, (Long, Long, String, String), (Long, String, Boolean, String)] {
   // in: (doc_id, seq, op, text) — op ∈ insert|update|delete
-  // out: (doc_id, last_op, body_or_null)
-  @transient private var body: ValueState[String] = _
+  // out: (doc_id, last_op, live, body)
+  @transient private var body: ValueState[CdcApply.Doc] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    body = getHandle.getValueState[String]("body",
-      Encoders.STRING, TTLConfig.NONE)
+    body = getHandle.getValueState[CdcApply.Doc]("body",
+      Encoders.product[CdcApply.Doc], TTLConfig.NONE)
 
   override def handleInputRows(key: Long,
       rows: Iterator[(Long, Long, String, String)],
-      timerValues: TimerValues): Iterator[(Long, String, String)] = {
+      timerValues: TimerValues): Iterator[(Long, String, Boolean, String)] = {
     val ordered = rows.toSeq.sortBy(_._2)
     var lastOp: String = null
     ordered.foreach { case (_, _, op, text) =>
       lastOp = op
-      if (op == "delete") body.clear() else body.update(text)
+      if (op == "delete") body.clear()
+      else body.update(CdcApply.Doc(text))
     }
     if (lastOp == null) Iterator.empty
-    else Iterator.single(
-      (key, lastOp, if (body.exists()) body.get() else null))
+    else if (body.exists())
+      Iterator.single((key, lastOp, true, body.get().text))
+    else Iterator.single((key, lastOp, false, null))
   }
 }
 
 object CdcApply {
 
+  /** Non-null state wrapper: the stored value is always a Doc (so the
+    * state store never sees a bare null), the text inside may be null. */
+  final case class Doc(text: String)
+
   /** Apply a streaming change feed with columns (doc_id, seq, op,
-    * text); update mode — the latest row per key is the view. */
+    * text); update mode — the latest row per key is the view, rows
+    * with live = false are tombstones. */
   def applyChanges(spark: SparkSession,
-      changes: DataFrame): Dataset[(Long, String, String)] = {
+      changes: DataFrame): Dataset[(Long, String, Boolean, String)] = {
     import spark.implicits._
     changes.select(col("doc_id").cast("long"), col("seq").cast("long"),
         col("op"), col("text"))

@@ -362,4 +362,24 @@ class ExpressionSpec extends SparkSpec {
       .toDF("a", "b")
     assert(df.select(expr("cosine_sim(a, b)")).head().isNullAt(0))
   }
+
+  test("register: a pre-existing FOREIGN binding of a graft name is " +
+      "replaced, and repeat calls stay silent no-ops") {
+    // a fresh session (own functionRegistry) where someone already
+    // bound 'hash60': graft's first register must RECLAIM the name —
+    // every query self-registers assuming graft semantics, so a
+    // foreign implementation silently winning would corrupt results
+    GraftFunctions.register(spark)
+    val s2 = spark.newSession()
+    s2.udf.register("hash60",
+      (x: String) => -1L) // the impostor: constant regardless of input
+    assert(s2.sql("SELECT hash60('abc')").head().getLong(0) == -1L)
+    GraftFunctions.register(s2)
+    val expected = spark.sql("SELECT hash60('abc')").head().getLong(0)
+    assert(s2.sql("SELECT hash60('abc')").head().getLong(0) == expected,
+      "graft's register must replace the foreign binding")
+    // second call is a no-op (doesn't throw, doesn't re-replace)
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT hash60('abc')").head().getLong(0) == expected)
+  }
 }

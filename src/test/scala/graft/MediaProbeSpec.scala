@@ -359,6 +359,72 @@ class MediaProbeSpec extends SparkSpec {
       s"audio fields must come from the ec-3 entry, got $info")
   }
 
+  /** trak with an explicit handler, stsd entry and stsz sample count —
+    * for trak-order / non-AV-handler routing tests. */
+  private def trakHSC(handler: String, entry: Array[Byte],
+      samples: Long): Array[Byte] = {
+    val stsd = box("stsd", cat(be32(0), be32(1), entry))
+    val stsz = box("stsz", cat(be32(0), be32(0), be32(samples)))
+    val stbl = box("stbl", cat(stsd, stsz))
+    val minf = box("minf", stbl)
+    val hdlr = box("hdlr", cat(be32(0), be32(0), cc(handler),
+      Array.fill[Byte](13)(0)))
+    box("trak", box("mdia", cat(hdlr, minf)))
+  }
+
+  test("mp4: a text/chapter trak (hdlr 'text', entry tx3g) listed " +
+      "FIRST leaks into neither codec field nor the frame count") {
+    val ftyp = box("ftyp", cat(cc("isom"), be32(512), cc("isom")))
+    val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+      be32(1000), be32(5000), Array.fill[Byte](80)(0)))
+    val textEntry = cat(be32(32), cc("tx3g"), Array.fill[Byte](24)(0))
+    val videoEntry = cat(be32(86), cc("avc1"), Array.fill[Byte](78)(0))
+    val moov = box("moov", cat(mvhd,
+      trakHSC("text", textEntry, 99),
+      trakHSC("vide", videoEntry, 150)))
+    val info = MediaProbe.probe(cat(ftyp, moov)).get
+    assert(info.codec == "avc1",
+      s"tx3g must not masquerade as the stream codec, got ${info.codec}")
+    assert(info.frames == 150,
+      s"frames must come from the video trak, got ${info.frames}")
+  }
+
+  test("mp4: audio trak listed first — frames still reports the VIDEO " +
+      "sample count, not the audio frame count") {
+    val ftyp = box("ftyp", cat(cc("isom"), be32(512), cc("isom")))
+    val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+      be32(1000), be32(5000), Array.fill[Byte](80)(0)))
+    val audioEntry = cat(be32(36 + 8), cc("mp4a"), Array.fill[Byte](6)(0),
+      be16(1), be16(0), be16(0), be32(0), be16(2), be16(16), be16(0),
+      be16(0), be32(48000L << 16))
+    val videoEntry = cat(be32(86), cc("avc1"), Array.fill[Byte](78)(0))
+    val moov = box("moov", cat(mvhd,
+      trakHSC("soun", audioEntry, 230000),
+      trakHSC("vide", videoEntry, 120)))
+    val info = MediaProbe.probe(cat(ftyp, moov)).get
+    assert(info.frames == 120,
+      s"audio sample count must not win frames, got ${info.frames}")
+    assert(info.codec == "avc1" && info.channels == 2)
+  }
+
+  test("ogg: an 'OggS' byte sequence INSIDE a packet payload is not " +
+      "mistaken for the last page header") {
+    // last page's payload embeds "OggS" + garbage granule bytes AFTER
+    // the real header; the backward scan must reject the payload match
+    // (version byte != 0 / malformed header) and keep the true granule
+    def page(gran: Long, payload: Array[Byte]): Array[Byte] =
+      cat(cc("OggS"), Array[Byte](0, 2), le64(gran), le32(1), le32(0),
+        le32(0), Array[Byte](1, payload.length.toByte), payload)
+    val head = cat(cc("OpusHead"), Array[Byte](1, 2), le16(312),
+      le32(48000), le16(0), Array[Byte](0))
+    val trap = cat(cc("OggS"), Array[Byte](9, 9), le64(999999999L),
+      Array.fill[Byte](30)(0x41))
+    val info = MediaProbe.probe(
+      cat(page(0, head), page(96000, trap))).get
+    assert(info.durationMs == 2000,
+      s"payload 'OggS' poisoned the granule: $info")
+  }
+
   // ----------------------------------------------------------- ebml
 
   test("webm: DocType, codecs, dims, rate, duration via TimecodeScale") {

@@ -891,11 +891,16 @@ class StreamingSpec extends SparkSpec {
       case (id, "keep", text) => (id, 0L, "insert", text)
       case (id, "update", _) => (id, 0L, "insert", "pre-update body")
     } ++ diff.collect { case (id, "removed") => (id, 0L, "insert", "doomed") }
+    // a NULL-body live doc (legal per q110's NULL-text contract): it
+    // must materialize as a live row with a null body — neither kill
+    // the query (ValueState rejects bare nulls) nor read as a tombstone
+    val nullKey = merged.map(_._1).max + 1000L
     val cdc = diff.toSeq.collect {
       case (id, "added") => (id, 1L, "insert", mergedByKey(id))
       case (id, "changed") => (id, 1L, "update", mergedByKey(id))
       case (id, "removed") => (id, 1L, "delete", null: String)
-    }
+    } :+ ((nullKey, 1L, "insert", null: String))
+    val expected = mergedByKey + (nullKey -> (null: String))
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, graft.streaming.StatefulCounters.RocksDbProvider)
@@ -910,14 +915,16 @@ class StreamingSpec extends SparkSpec {
         in.addData(cdc); q.processAllAvailable()
         // the view = latest emission per key (memory sink appends
         // batches in order; one emission per key per batch), tombstones
-        // dropped
+        // (live = false) dropped
         val view = spark.table("twscdc").collect()
           .zipWithIndex
           .groupBy(_._1.getLong(0))
           .map { case (id, v) => id -> v.maxBy(_._2)._1 }
-          .collect { case (id, r) if !r.isNullAt(2) => id -> r.getString(2) }
-        assert(view == mergedByKey,
-          s"view ${view.size} keys vs merged ${mergedByKey.size}")
+          .collect { case (id, r) if r.getBoolean(2) => id -> r.getString(3) }
+        assert(view == expected,
+          s"view ${view.size} keys vs merged ${expected.size}")
+        assert(view.contains(nullKey) && view(nullKey) == null,
+          "null-body insert must be live with a null body")
         // deletes really applied by absence
         val removed = diff.collect { case (id, "removed") => id }.toSet
         assert(removed.nonEmpty && removed.forall(!view.contains(_)))
