@@ -117,26 +117,26 @@ object GraftFunctions {
       (exprs: Seq[Expression]) =>
         SortedIntersectCount(exprs.head, exprs(1))))
 
-  /** Sessions (by their function registry) this object has already
-    * populated; weak keys so a dropped session doesn't leak. */
-  private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[AnyRef, java.lang.Boolean])
-
   /** Idempotently register graft's native expressions on a session, so
     * `expr("cosine_sim(a, b)")` etc. resolve (SQL + DataFrame surfaces).
-    * The FIRST call on a session registers with REPLACE semantics — a
-    * pre-existing foreign binding of one of these names (user code,
-    * another library) must not silently win over graft's, or every
-    * query that self-registers would compute with someone else's
-    * implementation. Later calls on the same session are no-ops, so
-    * repeat registration — every query that self-registers, every
-    * Verify/Bench rep — doesn't spam the driver log with "replaced a
-    * previously registered function". */
+    * A name whose registry binding is not graft's own builder — absent,
+    * or bound by someone else before OR AFTER a previous register call
+    * (user code, another library) — is (re-)registered with REPLACE
+    * semantics: every query self-registers assuming graft semantics, so
+    * a foreign implementation silently winning would corrupt results.
+    * When graft's builder is already bound (the steady state: the
+    * builders in `all` are stable singletons, so identity survives
+    * round trips through the registry), the call is a silent no-op —
+    * repeat registration from every query / Verify / Bench rep doesn't
+    * spam the driver log with "replaced a previously registered
+    * function". */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (registered.putIfAbsent(reg, java.lang.Boolean.TRUE) == null)
-      all.foreach { case (name, _, builder) =>
+    all.foreach { case (name, _, builder) =>
+      val bound = reg.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+      if (!bound.exists(_ eq builder))
         reg.createOrReplaceTempFunction(name, builder, "built-in")
-      }
+    }
   }
 }

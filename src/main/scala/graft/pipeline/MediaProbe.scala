@@ -217,15 +217,18 @@ object MediaProbe {
             // ver/flags(4) pre_defined(4) handler_type(4)
             curHandler = fourcc(b, body.toInt + 8)
           case "mvhd" if body + 4 <= to =>
+            // all-ones duration = "cannot be determined" (ISO 14496-12
+            // §8.2.2.3, common from live/fragmented muxers): keep the
+            // promised 0, not a 49.7-day (v0) or negative (v1) figure
             val ver = u8(b, body.toInt)
             if (ver == 1 && body + 32 <= to) {
               val ts = be32(b, body.toInt + 20)
               val dur = be64(b, body.toInt + 24)
-              if (ts > 0) durMs = dur * 1000L / ts
+              if (ts > 0 && dur >= 0) durMs = dur * 1000L / ts
             } else if (ver == 0 && body + 20 <= to) {
               val ts = be32(b, body.toInt + 12)
               val dur = be32(b, body.toInt + 16)
-              if (ts > 0) durMs = dur * 1000L / ts
+              if (ts > 0 && dur != 0xffffffffL) durMs = dur * 1000L / ts
             }
           case "tkhd" =>
             // width/height are the LAST 8 bytes of the box, 16.16 fixed
@@ -245,7 +248,11 @@ object MediaProbe {
                 case _ => () // text/hint/meta traks never feed `frames`
               }
             }
-          case "stsd" if body + 16 <= to =>
+          case "stsd" if body + 16 <= o + size =>
+            // sample-entry reads bound by the stsd box's OWN end — a
+            // truncated stsd must not read codec/channels/rate from
+            // the bytes of the next sibling box
+            val bend = o + size
             val entryO = body + 8          // ver/flags + entry_count
             val fmt = fourcc(b, entryO.toInt + 4)
             // AudioSampleEntry: 4cc +4, reserved 6, dref 2,
@@ -256,7 +263,7 @@ object MediaProbe {
             // spec-correct once hdlr says 'soun'
             def audioEntry(): Unit = {
               aCodec = fmt.trim
-              if (entryO + 36 <= to) {
+              if (entryO + 36 <= bend) {
                 ch = be16(b, entryO.toInt + 24)
                 sr = (be32(b, entryO.toInt + 32) >> 16).toInt
               }
@@ -372,10 +379,13 @@ object MediaProbe {
               java.nio.charset.StandardCharsets.ISO_8859_1).trim
             if (c.startsWith("V_") && codecV.isEmpty) codecV = c
             else if (c.startsWith("A_") && codecA.isEmpty) codecA = c
-          case 0xb0L if inTrack => w = uint(body, sz.toInt).toInt
-          case 0xbaL if inTrack => h = uint(body, sz.toInt).toInt
-          case 0xb5L if inTrack => sr = fp(body, sz.toInt).toInt
-          case 0x9fL if inTrack => ch = uint(body, sz.toInt).toInt
+          // first-wins like CodecID: a second video track (thumbnail,
+          // multi-angle) must not overwrite the kept track's dims with
+          // its own, or the record mixes fields from different tracks
+          case 0xb0L if inTrack && w == 0 => w = uint(body, sz.toInt).toInt
+          case 0xbaL if inTrack && h == 0 => h = uint(body, sz.toInt).toInt
+          case 0xb5L if inTrack && sr == 0 => sr = fp(body, sz.toInt).toInt
+          case 0x9fL if inTrack && ch == 0 => ch = uint(body, sz.toInt).toInt
           case _ => () // skip (Cluster, SeekHead, Void, ...)
         }
         o = end
@@ -466,7 +476,9 @@ object MediaProbe {
       // on an unwalkable declared size; the DECLARED data size feeds the
       // duration — a probe may see only a prefix window of the clip
       val w = RiffWav.parse(b).getOrElse(return None)
-      if (w.rate == 0) return None
+      // <= 0, not == 0: a declared rate >= 2^31 truncates negative as
+      // an Int and must not pass into the "valid info record" contract
+      if (w.rate <= 0) return None
       val codec = w.fmtTag match {
         case 1 => "pcm"; case 2 => "ms-adpcm"; case 3 => "pcm-float"
         case 6 => "alaw"; case 7 => "ulaw"; case 0x11 => "ima-adpcm"

@@ -63,6 +63,22 @@ object MsAdpcm {
       if (w.fmtTag != 0x0002 || ch < 1 || rate <= 0 || dataOff < 0 ||
           blockAlign < 7 * ch) return None
 
+      // the format's fmt extension legally carries an encoder-defined
+      // coefficient table (cbSize(2), wSamplesPerBlock(2), wNumCoef(2),
+      // then wNumCoef signed int16 pairs) whose first 7 entries are the
+      // standard set; a file using predictor indices >= 7 is decodable
+      // ONLY through its own table, so honor it when it parses whole
+      val table: Array[(Int, Int)] = {
+        val x = w.fmtExtra
+        if (x.length >= 6) {
+          val nc = RiffWav.le16(x, 4)
+          if (nc >= Coefs.length && x.length >= 6 + 4 * nc)
+            Array.tabulate(nc)(i =>
+              (le16s(x, 6 + 4 * i), le16s(x, 8 + 4 * i)))
+          else Coefs
+        } else Coefs
+      }
+
       val coef1 = new Array[Int](ch)
       val coef2 = new Array[Int](ch)
       val delta = new Array[Int](ch)
@@ -71,14 +87,26 @@ object MsAdpcm {
       val mono = ArrayBuilder.make[Double]
       val end = dataOff + dataLen
       var b = dataOff
-      while (b + 7 * ch <= end) {
+      var corrupt = false
+      while (!corrupt && b + 7 * ch <= end) {
         val blockEnd = math.min(b + blockAlign, end)
+        // validate every channel's predictor byte BEFORE emitting the
+        // block's seeds: an out-of-table index truncates the decode at
+        // this block (keeping everything already decoded) instead of
+        // discarding an otherwise-valid file for one corrupt byte
         var c = 0
+        while (!corrupt && c < ch) {
+          if ((bytes(b + c) & 0xff) >= table.length) corrupt = true
+          c += 1
+        }
+        if (corrupt) {
+          // fall through: loop exits, accumulated samples are returned
+        } else {
+        c = 0
         while (c < ch) {
           val pi = bytes(b + c) & 0xff
-          if (pi >= Coefs.length) return None
-          coef1(c) = Coefs(pi)._1
-          coef2(c) = Coefs(pi)._2
+          coef1(c) = table(pi)._1
+          coef2(c) = table(pi)._2
           delta(c) = le16s(bytes, b + ch + 2 * c)
           s1(c) = le16s(bytes, b + 3 * ch + 2 * c)
           s2(c) = le16s(bytes, b + 5 * ch + 2 * c)
@@ -105,9 +133,13 @@ object MsAdpcm {
           if (cc == ch - 1) { mono += acc / ch / 32768.0; acc = 0.0 }
           nib += 1
         }
+        }
         b += blockAlign
       }
-      Some((rate.toFloat, mono.result()))
+      val out = mono.result()
+      // a file whose FIRST block is already invalid is not an
+      // MS-ADPCM stream at all — None, like any other parse failure
+      if (out.isEmpty && corrupt) None else Some((rate.toFloat, out))
     } catch { case _: Exception => None }
   }
 }

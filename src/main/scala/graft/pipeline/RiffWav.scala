@@ -30,10 +30,13 @@ private[pipeline] object RiffWav {
     * `dataLen` is clamped to the bytes actually present (what a decoder
     * can walk); `dataDeclared` is the chunk's declared size (what a
     * metadata probe wants for duration — probes often see only a prefix
-    * window of the clip, so the declared size is the truthful one). */
+    * window of the clip, so the declared size is the truthful one).
+    * `fmtExtra` is the fmt chunk body BEYOND the 16 standard bytes —
+    * cbSize + the codec-specific extension (MS-ADPCM keeps its
+    * predictor-coefficient table there), clamped to the buffer. */
   final case class WavInfo(fmtTag: Int, channels: Int, rate: Int,
       byteRate: Long, blockAlign: Int, dataOff: Int, dataLen: Int,
-      dataDeclared: Long)
+      dataDeclared: Long, fmtExtra: Array[Byte] = Array.emptyByteArray)
 
   /** Walk the chunk list of a RIFF/WAVE byte stream; None when the
     * RIFF/WAVE magic is absent or no fmt chunk was found. */
@@ -43,6 +46,7 @@ private[pipeline] object RiffWav {
     var fmtTag = -1; var ch = 0; var rate = 0
     var byteRate = 0L; var blockAlign = 0
     var dataOff = -1; var dataLen = 0; var dataDeclared = 0L
+    var fmtExtra = Array.emptyByteArray
     var pos = 12L
     var run = true
     while (run && pos + 8 <= bytes.length) {
@@ -56,6 +60,11 @@ private[pipeline] object RiffWav {
         rate = le32(bytes, bo + 4).toInt
         byteRate = le32(bytes, bo + 8)
         blockAlign = le16(bytes, bo + 12)
+        if (size > 16) {
+          val xEnd = math.min(body + size, bytes.length.toLong).toInt
+          if (xEnd > bo + 16)
+            fmtExtra = java.util.Arrays.copyOfRange(bytes, bo + 16, xEnd)
+        }
       } else if (tag(bytes, p, "data") && dataOff < 0) {
         dataOff = body.toInt
         dataDeclared = size
@@ -66,6 +75,6 @@ private[pipeline] object RiffWav {
     }
     if (fmtTag < 0) None
     else Some(WavInfo(fmtTag, ch, rate, byteRate, blockAlign,
-      dataOff, math.max(0, dataLen), dataDeclared))
+      dataOff, math.max(0, dataLen), dataDeclared, fmtExtra))
   }
 }

@@ -84,9 +84,16 @@ class TrailingFrameProcessor extends StatefulProcessor[
     // evict everything older than the longest horizon behind the
     // newest event — the O(horizon)-state invariant. Strictly-older
     // only: a ts == newest − 7d row is still inside a newest-peer's
-    // inclusive frame.
+    // inclusive frame. Write cost: the full-buffer rewrite happens
+    // ONLY when the filter actually drops entries; the steady state
+    // (dense history, small batch, nothing aging out this batch)
+    // appends just the arriving rows — O(batch) state I/O, not
+    // O(horizon) per batch. Store order is append order, not ts
+    // order — correctness doesn't care, the next batch re-sorts.
     val newest = all.last._1
-    buf.put(all.filter(_._1 >= newest - H7).toArray)
+    val cut = newest - H7
+    if (all.head._1 < cut) buf.put(all.filter(_._1 >= cut))
+    else buf.appendList(batch.map(b => (b._1, b._3)).toArray)
     out.iterator
   }
 }

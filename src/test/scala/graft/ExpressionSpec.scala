@@ -381,5 +381,13 @@ class ExpressionSpec extends SparkSpec {
     // second call is a no-op (doesn't throw, doesn't re-replace)
     GraftFunctions.register(s2)
     assert(s2.sql("SELECT hash60('abc')").head().getLong(0) == expected)
+    // a foreign rebinding AFTER a successful register must also lose
+    // on the next register call — the guard is binding identity, not
+    // a once-per-session flag
+    s2.udf.register("hash60", (x: String) => -2L)
+    assert(s2.sql("SELECT hash60('abc')").head().getLong(0) == -2L)
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT hash60('abc')").head().getLong(0) == expected,
+      "a post-hoc foreign rebinding must not survive re-registration")
   }
 }

@@ -680,6 +680,54 @@ class ImagePipelineSpec extends SparkSpec {
     assert(out.head.getSeq[Float](1).length == 4)
   }
 
+  test("MS-ADPCM: the fmt extension's coefficient table is honored " +
+      "(predictor index >= 7) and a corrupt predictor byte truncates " +
+      "instead of discarding the whole decode") {
+    import graft.pipeline.MsAdpcm
+    // mono, samplesPerBlock=4: block = pi(1) delta(2) s1(2) s2(2) + 1
+    // data byte (two 4-bit codes); two blocks. The 8-entry coef table
+    // duplicates standard entry 0 at index 7, so decoding with pi=7
+    // must equal decoding the same bytes with pi=0.
+    def wav(nCoef: Int, piBlock0: Int, piBlock1: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+      def tg(s: String): Unit = s.foreach(c => out.write(c.toInt))
+      val coefs = MsAdpcm.Coefs ++
+        Array.fill(math.max(0, nCoef - 7))(MsAdpcm.Coefs(0))
+      val fmtLen = 16 + 2 + 2 + 2 + 4 * nCoef
+      def block(pi: Int): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(pi)
+        b.write(32); b.write(0)           // delta 32
+        b.write(100); b.write(0)          // sample1 = 100
+        b.write(50); b.write(0)           // sample2 = 50
+        b.write(0x12)                     // codes +1, +2
+        b.toByteArray
+      }
+      val body = block(piBlock0) ++ block(piBlock1)
+      tg("RIFF"); w32(4 + 8 + fmtLen + 8 + body.length); tg("WAVE")
+      tg("fmt "); w32(fmtLen); w16(0x0002); w16(1); w32(8000)
+      w32(8000 * 8 / 4); w16(8); w16(4)
+      w16(2 + 2 + 4 * nCoef); w16(4); w16(nCoef)
+      coefs.take(nCoef).foreach { case (a, b) => w16(a & 0xffff); w16(b & 0xffff) }
+      tg("data"); w32(body.length); out.write(body)
+      out.toByteArray
+    }
+    val viaSeven = MsAdpcm.decode(wav(8, 7, 0)).get._2
+    val viaZero = MsAdpcm.decode(wav(8, 0, 0)).get._2
+    assert(viaSeven.length == 8 && viaSeven.sameElements(viaZero),
+      "index 7 must resolve through the in-file table to entry 0's pair")
+    // corrupt predictor in block 1: decode keeps block 0 (4 samples)
+    val truncated = MsAdpcm.decode(wav(8, 0, 9)).get._2
+    assert(truncated.length == 4 && truncated.sameElements(viaZero.take(4)),
+      s"corrupt block must truncate, got ${truncated.length} samples")
+    // corrupt FIRST block: not an MS-ADPCM stream — None, as before
+    assert(MsAdpcm.decode(wav(8, 9, 0)).isEmpty)
+    // no extension beyond the standard 7: index 7 is out of table
+    assert(MsAdpcm.decode(wav(7, 7, 0)).isEmpty)
+  }
+
   /** Minimal FLAC encoder twin — emits the subset structures the
     * decoder claims (fixed/LPC prediction, Rice residuals, constant +
     * wasted bits, verbatim, stereo decorrelation) so decode is checked

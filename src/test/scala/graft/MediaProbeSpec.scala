@@ -407,6 +407,72 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.codec == "avc1" && info.channels == 2)
   }
 
+  test("mp4: an all-ones mvhd duration (the spec's 'cannot be " +
+      "determined' sentinel) reports 0, not 49.7 days") {
+    val ftyp = box("ftyp", cat(cc("isom"), be32(512), cc("isom")))
+    val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+      be32(1000), be32(0xffffffffL), Array.fill[Byte](80)(0)))
+    val videoEntry = cat(be32(86), cc("avc1"), Array.fill[Byte](78)(0))
+    val moov = box("moov", cat(mvhd, trakHSC("vide", videoEntry, 10)))
+    val info = MediaProbe.probe(cat(ftyp, moov)).get
+    assert(info.durationMs == 0,
+      s"unknown-duration sentinel leaked: ${info.durationMs}")
+    assert(info.codec == "avc1")
+  }
+
+  test("mp4: a truncated stsd does not read codec bytes from the " +
+      "next sibling box") {
+    // stsd declares only ver/flags + entry_count + 8 bytes — the
+    // "entry" fourcc position lands on the following stsz header,
+    // which must NOT be reported as the codec
+    val ftyp = box("ftyp", cat(cc("isom"), be32(512), cc("isom")))
+    val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+      be32(1000), be32(5000), Array.fill[Byte](80)(0)))
+    val stsd = box("stsd", cat(be32(0), be32(1), be32(86), be32(0)))
+    val stsz = box("stsz", cat(be32(0), be32(0), be32(150)))
+    val stbl = box("stbl", cat(stsd, stsz))
+    val hdlr = box("hdlr", cat(be32(0), be32(0), cc("vide"),
+      Array.fill[Byte](13)(0)))
+    val trak = box("trak", box("mdia", cat(hdlr,
+      box("minf", stbl))))
+    val moov = box("moov", cat(mvhd, trak))
+    val info = MediaProbe.probe(cat(ftyp, moov)).get
+    assert(info.codec != "stsz",
+      "sibling-box bytes reported as the codec")
+    assert(info.durationMs == 5000)
+  }
+
+  test("webm: a second video track does not overwrite the kept " +
+      "track's dimensions") {
+    // two TrackEntry elements: V_VP9 640x360 then V_AV1 1920x1080 —
+    // codec is first-wins, so dims must come from the SAME track
+    def track(codec: String, w: Int, h: Int): Array[Byte] =
+      ebml(Array[Byte](0xae.toByte), cat(
+        ebml(Array[Byte](0x86.toByte), cc(codec)),
+        ebml(Array[Byte](0xe0.toByte), cat(
+          ebml(Array[Byte](0xb0.toByte), Array[Byte]((w >> 8).toByte, w.toByte)),
+          ebml(Array[Byte](0xba.toByte), Array[Byte]((h >> 8).toByte, h.toByte))))))
+    val header = ebml(Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte),
+      ebml(Array[Byte](0x42, 0x82.toByte), cc("webm")))
+    val tracks = ebml(Array[Byte](0x16, 0x54, 0xae.toByte, 0x6b.toByte),
+      cat(track("V_VP9", 640, 360), track("V_AV1", 1920, 1080)))
+    val seg = ebml(Array[Byte](0x18, 0x53, 0x80.toByte, 0x67.toByte), tracks)
+    val info = MediaProbe.probe(cat(header, seg)).get
+    assert(info.codec == "V_VP9")
+    assert(info.width == 640 && info.height == 360,
+      s"dims mixed across tracks: ${info.width}x${info.height}")
+  }
+
+  test("wav: a declared sample rate >= 2^31 yields None, not a " +
+      "negative sampleRate") {
+    val bad = cat(cc("RIFF"), le32(100), cc("WAVE"),
+      cc("fmt "), le32(16), le16(1), le16(1), le32(0x80000000L),
+      le32(16000), le16(2), le16(16),
+      cc("data"), le32(4), Array[Byte](0, 0, 0, 0))
+    assert(MediaProbe.probe(bad).isEmpty,
+      "negative-rate WAV must not produce an info record")
+  }
+
   test("ogg: an 'OggS' byte sequence INSIDE a packet payload is not " +
       "mistaken for the last page header") {
     // last page's payload embeds "OggS" + garbage granule bytes AFTER

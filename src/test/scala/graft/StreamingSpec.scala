@@ -871,6 +871,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("trailing frames: the append-only state path (no eviction) and " +
+      "the rewrite path (eviction) both hold parity") {
+    // the state write is two-mode now — append when nothing ages out,
+    // full rewrite when the 7-day filter drops entries. Drive both
+    // through real micro-batches and check against brute force.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val MU = 1000000L
+    val t0 = 1700000000L * MU
+    val min = 60 * MU; val hour = 3600 * MU; val day = 86400L * MU
+    // (ts_us, event_id, cents): batches A and B stay inside one 7-day
+    // window (append path); batch C jumps 10 days (eviction rewrite)
+    val a = Seq((t0, 1L, 100L), (t0 + 10 * min, 2L, 200L))
+    val bb = Seq((t0 + 25 * min, 3L, 300L), (t0 + 2 * hour, 4L, 400L))
+    val cc = Seq((t0 + 10 * day, 5L, 500L))
+    val evs = a ++ bb ++ cc
+    def brute(ts: Long): (Long, Long, Long) = {
+      def in(h: Long) = evs.filter(e => e._1 >= ts - h && e._1 <= ts)
+      val s1d = in(day).map(_._3).sum
+      (in(7 * day).map(_._3).sum, in(30 * min).size.toLong,
+        s1d * 100 / in(day).size)
+    }
+    val expected = evs.map(e => e._2 -> brute(e._1)).toMap
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.streaming.StatefulCounters.RocksDbProvider)
+    try {
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      def rows(s: Seq[(Long, Long, Long)]) = s.map { case (ts, eid, c) =>
+        (7L, new java.sql.Timestamp(ts / 1000), eid, c / 100.0)
+      }
+      val q = StreamingWindows.runToMemory(
+        graft.streaming.StatefulFrames.trailingFrames(spark,
+          in.toDF().toDF("user_id", "ts", "event_id", "value")).toDF(),
+        "twsframes2p", mode = "append")
+      try {
+        Seq(a, bb, cc).foreach { batch =>
+          in.addData(rows(batch)); q.processAllAvailable()
+        }
+        val got = spark.table("twsframes2p").collect()
+          .map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+          .toMap
+        assert(got == expected,
+          s"two-path skew: ${expected.keysIterator.filter(k =>
+            got.get(k) != expected.get(k)).toSeq.sorted
+            .map(k => s"$k got=${got.get(k)} want=${expected(k)}")}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState CDC apply materializes exactly the batch " +
       "q137 MERGE") {
     // stream the same change set the batch MERGE resolves — base
