@@ -19,6 +19,38 @@ class ContractSpec extends SparkSpec {
     assert(empty.isEmpty, s"empty results: ${empty.toList.sorted}")
   }
 
+  test("every query tolerates EMPTY input tables (no runtime throw)") {
+    // the 100 TB reality a library must survive: a shard, partition or
+    // freshly-created corpus with ZERO rows. Every operator must plan
+    // and execute on schema-complete empty tables — no .head on an
+    // empty agg, no broadcast of a required first row, no ANSI throw
+    // from a domain that vanished. Empty output is fine; throwing is
+    // the bug.
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toFile
+    try {
+      Tables.names.foreach { t =>
+        spark.read.parquet(s"$sf/$t.parquet").limit(0)
+          .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/$t.parquet")
+      }
+      val failures = SparkEntry.queries.toList.sortBy(_._1)
+        .flatMap { case (k, q) =>
+          try { q(spark, dir.getAbsolutePath).count(); None }
+          catch { case e: Exception =>
+            Some(s"$k: ${e.getClass.getSimpleName} " +
+              String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+          }
+        }
+      assert(failures.isEmpty,
+        s"${failures.size} queries throw on empty tables:\n" +
+          failures.mkString("\n"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("oracled query outputs are scalar-typed (driver-sortable)") {
     // The driver's pandas-based oracle compare lexsorts every output
     // column; array/map/binary/struct cells are unhashable there and
