@@ -51,6 +51,30 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("every ORACLED query is deterministic across shuffle " +
+      "partitionings (multiset-identical results)") {
+    // the distributed-correctness claim behind the DuckDB hash-match:
+    // the result must not depend on how the data was partitioned —
+    // no order-dependent float accumulation, no partitioning-sensitive
+    // tie-breaks, no first()-of-arbitrary-row. Run every oracled query
+    // under two different shuffle widths and require multiset-equal
+    // rows (the driver compare's own canonicalization: sort all rows).
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def canon(k: String): Seq[String] =
+      SparkEntry.queries(k)(spark, sf).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("\u0001")).sorted.toSeq
+    try {
+      val keys = SparkEntry.oracleSql.keys.toList.sorted
+      spark.conf.set(key, "3")
+      val narrow = keys.map(k => k -> canon(k)).toMap
+      spark.conf.set(key, "13")
+      val diverged = keys.filter(k => canon(k) != narrow(k))
+      assert(diverged.isEmpty,
+        s"partitioning-dependent results: $diverged")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("oracled query outputs are scalar-typed (driver-sortable)") {
     // The driver's pandas-based oracle compare lexsorts every output
     // column; array/map/binary/struct cells are unhashable there and
