@@ -51,6 +51,47 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("every query tolerates NULL-injected inputs (no runtime throw)") {
+    // the fixtures carry no NULLs, so the suite's null-domain pins
+    // (filters, asc_nulls_last, coalesce) are exercised only at the
+    // plan level. Null 1-in-20 of every column deterministically and
+    // require every operator to still execute: ANSI null arithmetic,
+    // null keys in joins/groups, null text through the tokenizers —
+    // wrong-but-defined output is out of scope here (that's the
+    // oracle's job on the clean domain); THROWING is the bug.
+    import org.apache.spark.sql.functions.{col, lit, pmod, when, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulls").toFile
+    try {
+      Tables.names.foreach { t =>
+        val df = spark.read.parquet(s"$sf/$t.parquet")
+        val pk = df.columns.head
+        val injected = df.select(df.columns.zipWithIndex.map {
+          case (c, i) =>
+            when(pmod(xxhash64(col(pk).cast("string"), lit(i)), lit(20))
+              === 0, lit(null)).otherwise(col(c)).as(c)
+        }.toSeq: _*)
+        injected.write.mode("overwrite")
+          .parquet(s"${dir.getAbsolutePath}/$t.parquet")
+      }
+      val failures = SparkEntry.queries.toList.sortBy(_._1)
+        .flatMap { case (k, q) =>
+          try { q(spark, dir.getAbsolutePath).count(); None }
+          catch { case e: Exception =>
+            Some(s"$k: ${e.getClass.getSimpleName} " +
+              String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+          }
+        }
+      assert(failures.isEmpty,
+        s"${failures.size} queries throw on null-injected tables:\n" +
+          failures.mkString("\n"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("every ORACLED query is deterministic across shuffle " +
       "partitionings (multiset-identical results)") {
     // the distributed-correctness claim behind the DuckDB hash-match:
