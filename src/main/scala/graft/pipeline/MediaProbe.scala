@@ -205,40 +205,44 @@ object MediaProbe {
         else if (size == 0) size = to - o
         if (size < hdr || o + size > to) return
         val body = o + hdr
+        // walk-level rule: every field read inside a box is bounded by
+        // the box's OWN end, never the parent's — a truncated box must
+        // yield nothing, not bytes read from its next sibling
+        val bend = o + size
         typ match {
           case "ftyp" =>
-            if (body + 4 <= to) container = fourcc(b, body.toInt).trim
+            if (body + 4 <= bend) container = fourcc(b, body.toInt).trim
           case "moov" | "mdia" | "minf" | "stbl" =>
-            if (depth < 8) walk(body, o + size, depth + 1, inTrak)
+            if (depth < 8) walk(body, bend, depth + 1, inTrak)
           case "trak" =>
             curHandler = "" // each trak declares its own handler
-            if (depth < 8) walk(body, o + size, depth + 1, inTrak = true)
-          case "hdlr" if body + 12 <= to =>
+            if (depth < 8) walk(body, bend, depth + 1, inTrak = true)
+          case "hdlr" if body + 12 <= bend =>
             // ver/flags(4) pre_defined(4) handler_type(4)
             curHandler = fourcc(b, body.toInt + 8)
-          case "mvhd" if body + 4 <= to =>
+          case "mvhd" if body + 4 <= bend =>
             // all-ones duration = "cannot be determined" (ISO 14496-12
             // §8.2.2.3, common from live/fragmented muxers): keep the
             // promised 0, not a 49.7-day (v0) or negative (v1) figure
             val ver = u8(b, body.toInt)
-            if (ver == 1 && body + 32 <= to) {
+            if (ver == 1 && body + 32 <= bend) {
               val ts = be32(b, body.toInt + 20)
               val dur = be64(b, body.toInt + 24)
               if (ts > 0 && dur >= 0) durMs = dur * 1000L / ts
-            } else if (ver == 0 && body + 20 <= to) {
+            } else if (ver == 0 && body + 20 <= bend) {
               val ts = be32(b, body.toInt + 12)
               val dur = be32(b, body.toInt + 16)
               if (ts > 0 && dur != 0xffffffffL) durMs = dur * 1000L / ts
             }
           case "tkhd" =>
             // width/height are the LAST 8 bytes of the box, 16.16 fixed
-            val wOff = o + size - 8
-            if (wOff >= body && wOff + 8 <= to) {
+            val wOff = bend - 8
+            if (wOff >= body) {
               val tw = (be32(b, wOff.toInt) >> 16).toInt
               val th = (be32(b, wOff.toInt + 4) >> 16).toInt
               if (tw > 0 && th > 0) { w = tw; h = th }
             }
-          case "stsz" if body + 12 <= to =>
+          case "stsz" if body + 12 <= bend =>
             if (inTrak) {
               val n = be32(b, body.toInt + 8)
               curHandler match {
@@ -248,11 +252,7 @@ object MediaProbe {
                 case _ => () // text/hint/meta traks never feed `frames`
               }
             }
-          case "stsd" if body + 16 <= o + size =>
-            // sample-entry reads bound by the stsd box's OWN end — a
-            // truncated stsd must not read codec/channels/rate from
-            // the bytes of the next sibling box
-            val bend = o + size
+          case "stsd" if body + 16 <= bend =>
             val entryO = body + 8          // ver/flags + entry_count
             val fmt = fourcc(b, entryO.toInt + 4)
             // AudioSampleEntry: 4cc +4, reserved 6, dref 2,
@@ -261,7 +261,10 @@ object MediaProbe {
             // 14496-12 §12.2.3 layout shared by EVERY audio entry
             // (mp4a, ec-3, lpcm, .mp3, ...), so the generic read is
             // spec-correct once hdlr says 'soun'
-            def audioEntry(): Unit = {
+            // FIRST-wins like the video side and the EBML tracks, so a
+            // multi-audio-trak file reports codec, channels, rate and
+            // (via aSamples) frames all from the SAME trak
+            def audioEntry(): Unit = if (aCodec.isEmpty) {
               aCodec = fmt.trim
               if (entryO + 36 <= bend) {
                 ch = be16(b, entryO.toInt + 24)

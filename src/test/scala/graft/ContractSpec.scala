@@ -19,58 +19,19 @@ class ContractSpec extends SparkSpec {
     assert(empty.isEmpty, s"empty results: ${empty.toList.sorted}")
   }
 
-  test("every query tolerates EMPTY input tables (no runtime throw)") {
-    // the 100 TB reality a library must survive: a shard, partition or
-    // freshly-created corpus with ZERO rows. Every operator must plan
-    // and execute on schema-complete empty tables — no .head on an
-    // empty agg, no broadcast of a required first row, no ANSI throw
-    // from a domain that vanished. Empty output is fine; throwing is
-    // the bug.
-    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toFile
+  /** Shared totality harness: write `transform`ed twins of the ten
+    * tables to a temp dir, execute EVERY query entry against them, and
+    * require clean (possibly empty) results. Wrong-but-defined output
+    * is out of scope (the oracle's job on the clean domain); THROWING
+    * is the bug these sweeps exist to catch. */
+  private def totalitySweep(label: String)(
+      transform: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$label").toFile
     try {
       Tables.names.foreach { t =>
-        spark.read.parquet(s"$sf/$t.parquet").limit(0)
-          .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/$t.parquet")
-      }
-      val failures = SparkEntry.queries.toList.sortBy(_._1)
-        .flatMap { case (k, q) =>
-          try { q(spark, dir.getAbsolutePath).count(); None }
-          catch { case e: Exception =>
-            Some(s"$k: ${e.getClass.getSimpleName} " +
-              String.valueOf(e.getMessage).linesIterator.take(1).mkString)
-          }
-        }
-      assert(failures.isEmpty,
-        s"${failures.size} queries throw on empty tables:\n" +
-          failures.mkString("\n"))
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(dir)
-    }
-  }
-
-  test("every query tolerates NULL-injected inputs (no runtime throw)") {
-    // the fixtures carry no NULLs, so the suite's null-domain pins
-    // (filters, asc_nulls_last, coalesce) are exercised only at the
-    // plan level. Null 1-in-20 of every column deterministically and
-    // require every operator to still execute: ANSI null arithmetic,
-    // null keys in joins/groups, null text through the tokenizers —
-    // wrong-but-defined output is out of scope here (that's the
-    // oracle's job on the clean domain); THROWING is the bug.
-    import org.apache.spark.sql.functions.{col, lit, pmod, when, xxhash64}
-    val dir = java.nio.file.Files.createTempDirectory("graft-nulls").toFile
-    try {
-      Tables.names.foreach { t =>
-        val df = spark.read.parquet(s"$sf/$t.parquet")
-        val pk = df.columns.head
-        val injected = df.select(df.columns.zipWithIndex.map {
-          case (c, i) =>
-            when(pmod(xxhash64(col(pk).cast("string"), lit(i)), lit(20))
-              === 0, lit(null)).otherwise(col(c)).as(c)
-        }.toSeq: _*)
-        injected.write.mode("overwrite")
+        transform(spark.read.parquet(s"$sf/$t.parquet"))
+          .write.mode("overwrite")
           .parquet(s"${dir.getAbsolutePath}/$t.parquet")
       }
       val failures = SparkEntry.queries.toList.sortBy(_._1)
@@ -82,13 +43,38 @@ class ContractSpec extends SparkSpec {
           }
         }
       assert(failures.isEmpty,
-        s"${failures.size} queries throw on null-injected tables:\n" +
+        s"${failures.size} queries throw on $label tables:\n" +
           failures.mkString("\n"))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
       }
       rm(dir)
+    }
+  }
+
+  test("every query tolerates EMPTY input tables (no runtime throw)") {
+    // the 100 TB reality a library must survive: a shard, partition or
+    // freshly-created corpus with ZERO rows. Every operator must plan
+    // and execute on schema-complete empty tables — no .head on an
+    // empty agg, no broadcast of a required first row, no ANSI throw
+    // from a domain that vanished.
+    totalitySweep("empty")(_.limit(0))
+  }
+
+  test("every query tolerates NULL-injected inputs (no runtime throw)") {
+    // the fixtures carry no NULLs, so the suite's null-domain pins
+    // (filters, asc_nulls_last, coalesce) are exercised only at the
+    // plan level. Null 1-in-20 of every column deterministically and
+    // require every operator to still execute: ANSI null arithmetic,
+    // null keys in joins/groups, null text through the tokenizers.
+    import org.apache.spark.sql.functions.{col, lit, pmod, when, xxhash64}
+    totalitySweep("nulls") { df =>
+      val pk = df.columns.head
+      df.select(df.columns.zipWithIndex.map { case (c, i) =>
+        when(pmod(xxhash64(col(pk).cast("string"), lit(i)), lit(20))
+          === 0, lit(null)).otherwise(col(c)).as(c)
+      }.toSeq: _*)
     }
   }
 

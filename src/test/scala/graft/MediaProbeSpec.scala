@@ -407,6 +407,49 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.codec == "avc1" && info.channels == 2)
   }
 
+  test("mp4: two audio traks — codec, channels, rate and frames all " +
+      "come from the FIRST trak, never mixed across traks") {
+    def audioE(fcc: String, chn: Int, rate: Int): Array[Byte] =
+      cat(be32(36 + 8), cc(fcc), Array.fill[Byte](6)(0),
+        be16(1), be16(0), be16(0), be32(0), be16(chn), be16(16), be16(0),
+        be16(0), be32(rate.toLong << 16))
+    val ftyp = box("ftyp", cat(cc("M4A "), be32(0), cc("M4A ")))
+    val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+      be32(44100), be32(441000), Array.fill[Byte](80)(0)))
+    val moov = box("moov", cat(mvhd,
+      trakHSC("soun", audioE("mp4a", 2, 44100), 1000),
+      trakHSC("soun", audioE("ac-3", 6, 48000), 500)))
+    val info = MediaProbe.probe(cat(ftyp, moov)).get
+    assert(info.codec == "mp4a" && info.channels == 2 &&
+      info.sampleRate == 44100 && info.frames == 1000,
+      s"fields mixed across audio traks: $info")
+  }
+
+  test("mp4: truncated stsz / hdlr boxes read nothing from sibling " +
+      "bytes (walk-level own-end bounding)") {
+    // stsz declares size 16 (header + 8 body bytes): the sample_count
+    // position lands on the next sibling's size field, which must not
+    // be reported as the frame count. Likewise a truncated hdlr must
+    // not set the handler from sibling bytes (which would disable the
+    // no-hdlr fourcc fallback).
+    val ftyp = box("ftyp", cat(cc("isom"), be32(512), cc("isom")))
+    val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+      be32(1000), be32(5000), Array.fill[Byte](80)(0)))
+    val stsdEntry = cat(be32(86), cc("avc1"), Array.fill[Byte](78)(0))
+    val stsd = box("stsd", cat(be32(0), be32(1), stsdEntry))
+    val shortStsz = box("stsz", cat(be32(0), be32(0)))   // no count field
+    val shortHdlr = box("hdlr", cat(be32(0), be32(0)))   // no handler field
+    val stbl = box("stbl", cat(stsd, shortStsz))
+    val trak = box("trak", box("mdia", cat(shortHdlr,
+      box("minf", stbl))))
+    val moov = box("moov", cat(mvhd, trak))
+    val info = MediaProbe.probe(cat(ftyp, moov)).get
+    assert(info.frames == 0,
+      s"truncated stsz leaked sibling bytes as frames: ${info.frames}")
+    // handler stayed unset -> the fourcc fallback still routed avc1
+    assert(info.codec == "avc1", s"fallback lost: ${info.codec}")
+  }
+
   test("mp4: an all-ones mvhd duration (the spec's 'cannot be " +
       "determined' sentinel) reports 0, not 49.7 days") {
     val ftyp = box("ftyp", cat(cc("isom"), be32(512), cc("isom")))
