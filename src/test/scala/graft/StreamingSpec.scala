@@ -993,6 +993,94 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("CDC apply: the RocksDB store IS the materialized view, " +
+      "read back through the state data source across a restart") {
+    // the emissions-based parity test reconstructs the view from the
+    // sink; this one reads the STATE STORE itself (the thing a serving
+    // layer would query) through Spark's state data source, across a
+    // full query stop/restart. Keys inserted in phase 1 and untouched
+    // by phase 2's diff can only be present afterwards if the RocksDB
+    // state survived the checkpoint round trip.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val merged = SparkEntry.queries("q137_merge_apply")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mergedByKey = merged.map(t => t._1 -> t._3).toMap
+    val diff = SparkEntry.queries("q110_snapshot_diff")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = merged.collect {
+      case (id, "keep", text) => (id, 0L, "insert", text)
+      case (id, "update", _) => (id, 0L, "insert", "pre-update body")
+    } ++ diff.collect { case (id, "removed") => (id, 0L, "insert", "doomed") }
+    val cdc = diff.toSeq.collect {
+      case (id, "added") => (id, 1L, "insert", mergedByKey(id))
+      case (id, "changed") => (id, 1L, "update", mergedByKey(id))
+      case (id, "removed") => (id, 1L, "delete", null: String)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_cdc_ck").toFile
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.streaming.StatefulCounters.RocksDbProvider)
+    def stage(name: String, rows: Seq[(Long, Long, String, String)],
+        mtime: Long): java.io.File = {
+      val tmp = new java.io.File(dir, s"stage_$name")
+      rows.toDF("doc_id", "seq", "op", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val f = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"changes_$name.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(mtime); dst
+    }
+    try {
+      val now = System.currentTimeMillis()
+      stage("0", base, now - 120000)
+      val feedSchema = spark.read.parquet(
+        new java.io.File(dir, "changes_0.parquet").getAbsolutePath).schema
+      def start() =
+        graft.streaming.CdcApply.applyChanges(spark,
+            spark.readStream.schema(feedSchema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(dir.getAbsolutePath)).toDF()
+          .writeStream
+          // the sink must CONSUME every partition or the state stores
+          // never commit (STATE_STORE_COMMIT_VALIDATION_FAILED); the
+          // view itself is read from the store, not the sink
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.count(); ()
+          }
+          .option("checkpointLocation", s"${out.getAbsolutePath}/ckpt")
+          .outputMode("update").start()
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      stage("1", cdc, now - 60000)
+      val q2 = start() // NEW query instance, same checkpoint
+      try q2.processAllAvailable() finally q2.stop()
+      val state = spark.read.format("statestore")
+        .option("stateVarName", "body")
+        .load(s"${out.getAbsolutePath}/ckpt")
+      val got = state
+        .select(col("key").getField("value").cast("long").as("doc_id"),
+          col("value").getField("text").as("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == mergedByKey,
+        s"state store diverges from the batch MERGE: ${got.size} keys " +
+          s"vs ${mergedByKey.size}")
+      val removed = diff.collect { case (id, "removed") => id }.toSet
+      assert(removed.nonEmpty && removed.forall(!got.contains(_)),
+        "deleted keys must be absent from the store")
+      val untouched = merged.collect { case (id, "keep", _) => id }.toSet
+      assert(untouched.nonEmpty && untouched.forall(got.contains),
+        "phase-1 keys untouched by the diff prove restart recovery")
+    } finally {
+      rmTree(dir); rmTree(out)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("a stream can start on an EMPTY directory and pick up the " +
       "first arriving file") {
     // the documented production sequence — the stream exists before
