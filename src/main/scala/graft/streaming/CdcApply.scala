@@ -62,6 +62,21 @@ object CdcApply {
     * state store never sees a bare null), the text inside may be null. */
   final case class Doc(text: String)
 
+  /** Read the materialized view directly from the applying query's
+    * state store (Spark's state data source) — the serving-layer read
+    * path: no stream stop, no sink reconstruction, a plain batch
+    * DataFrame (doc_id, text) of the LIVE keys (tombstoned keys are
+    * absent because delete clears the state). At 100 TB this is the
+    * point of CDC maintenance: the view is queryable in place, from
+    * the same checkpoint the stream commits to, partition-parallel
+    * over the store's shards. */
+  def readView(spark: SparkSession, checkpoint: String): DataFrame =
+    spark.read.format("statestore")
+      .option("stateVarName", "body")
+      .load(checkpoint)
+      .select(col("key").getField("value").cast("long").as("doc_id"),
+        col("value").getField("text").as("text"))
+
   /** Apply a streaming change feed with columns (doc_id, seq, op,
     * text); update mode — the latest row per key is the view, rows
     * with live = false are tombstones. */

@@ -1002,7 +1002,6 @@ class StreamingSpec extends SparkSpec {
     // by phase 2's diff can only be present afterwards if the RocksDB
     // state survived the checkpoint round trip.
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
     val merged = SparkEntry.queries("q137_merge_apply")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val mergedByKey = merged.map(t => t._1 -> t._3).toMap
@@ -1056,12 +1055,8 @@ class StreamingSpec extends SparkSpec {
       stage("1", cdc, now - 60000)
       val q2 = start() // NEW query instance, same checkpoint
       try q2.processAllAvailable() finally q2.stop()
-      val state = spark.read.format("statestore")
-        .option("stateVarName", "body")
-        .load(s"${out.getAbsolutePath}/ckpt")
-      val got = state
-        .select(col("key").getField("value").cast("long").as("doc_id"),
-          col("value").getField("text").as("text"))
+      val got = graft.streaming.CdcApply
+        .readView(spark, s"${out.getAbsolutePath}/ckpt")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(got == mergedByKey,
         s"state store diverges from the batch MERGE: ${got.size} keys " +
