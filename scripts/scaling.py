@@ -25,7 +25,7 @@ def main(pa, pb, min_b=0.4):
     qa, qb = a["queries"], b["queries"]
     rows = []
     for k in sorted(qb):
-        if k in qa and qb[k] >= min_b:
+        if k in qa and qb[k] >= min_b and qa[k] > 0:
             rows.append((qb[k] / qa[k], qa[k], qb[k], k))
     rows.sort(reverse=True)
     print(f"{'ratio':>7} {'tA':>7} {'tB':>7}  query   "

@@ -192,6 +192,13 @@ object MediaProbe {
     // 14496-12 §8.4.3). The fourcc whitelist below stays only as the
     // fallback for streams whose hdlr precedes no stsd (or is absent).
     var curHandler = ""
+    // tkhd precedes mdia/hdlr inside its trak, so dims are STASHED per
+    // trak and committed only after the trak's subtree reveals the
+    // handler — width/height must come from the video trak (first-wins,
+    // like every other field), not from whichever trak was listed last:
+    // subtitle/chapter traks (tx3g) legally carry nonzero tkhd dims
+    var pendW = 0; var pendH = 0   // dims seen in the current trak
+    var fbW = 0; var fbH = 0       // first handlerless trak's dims
 
     def walk(from: Long, to: Long, depth: Int, inTrak: Boolean): Unit = {
       var o = from
@@ -216,7 +223,16 @@ object MediaProbe {
             if (depth < 8) walk(body, bend, depth + 1, inTrak)
           case "trak" =>
             curHandler = "" // each trak declares its own handler
+            pendW = 0; pendH = 0
             if (depth < 8) walk(body, bend, depth + 1, inTrak = true)
+            // commit the stash now the handler is known: video trak dims
+            // win (first video trak only); a handlerless trak's dims are
+            // kept aside and used only if no vide trak ever provides any
+            if (curHandler == "vide") {
+              if (w == 0 && pendW > 0) { w = pendW; h = pendH }
+            } else if (curHandler.isEmpty) {
+              if (fbW == 0 && pendW > 0) { fbW = pendW; fbH = pendH }
+            }
           case "hdlr" if body + 12 <= bend =>
             // ver/flags(4) pre_defined(4) handler_type(4)
             curHandler = fourcc(b, body.toInt + 8)
@@ -235,12 +251,13 @@ object MediaProbe {
               if (ts > 0 && dur != 0xffffffffL) durMs = dur * 1000L / ts
             }
           case "tkhd" =>
-            // width/height are the LAST 8 bytes of the box, 16.16 fixed
+            // width/height are the LAST 8 bytes of the box, 16.16 fixed;
+            // stashed per trak (first-wins), committed by the trak case
             val wOff = bend - 8
             if (wOff >= body) {
               val tw = (be32(b, wOff.toInt) >> 16).toInt
               val th = (be32(b, wOff.toInt + 4) >> 16).toInt
-              if (tw > 0 && th > 0) { w = tw; h = th }
+              if (tw > 0 && th > 0 && pendW == 0) { pendW = tw; pendH = th }
             }
           case "stsz" if body + 12 <= bend =>
             if (inTrak) {
@@ -276,7 +293,9 @@ object MediaProbe {
               case "vide" if fmt.nonEmpty =>
                 if (vCodec.isEmpty) vCodec = fmt.trim
               case "" => fmt match { // hdlr ABSENT only: fourcc fallback
-                case "mp4a" | "opus" | "ac-3" | "alac" | "fLaC" | "sowt"
+                // 'Opus' is the REGISTERED capitalization (Opus-in-ISOBMFF
+                // §4.3.2) — a lowercase arm would never match real files
+                case "mp4a" | "Opus" | "ac-3" | "alac" | "fLaC" | "sowt"
                     | "twos" | "ulaw" => audioEntry()
                 case other if other.nonEmpty =>
                   if (vCodec.isEmpty) vCodec = other.trim
@@ -294,6 +313,7 @@ object MediaProbe {
       }
     }
     walk(0, b.length.toLong, 0, inTrak = false)
+    if (w == 0 && fbW > 0) { w = fbW; h = fbH } // no vide trak spoke up
     if (durMs == 0 && vCodec.isEmpty && aCodec.isEmpty) None
     else Some(MediaInfo(container,
       if (vCodec.nonEmpty) vCodec else if (aCodec.nonEmpty) aCodec else "",

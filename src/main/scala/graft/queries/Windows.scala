@@ -79,8 +79,10 @@ object Windows {
     // Everything reports in exact integer units (cents / e4 basis
     // points): a rounded double trailing average diverged from the
     // oracle by one ulp-flip at a .00005 boundary on the fixture, so
-    // the division is floored integer arithmetic instead (values are
-    // non-negative, where Spark's div and DuckDB's // agree).
+    // the division is exact integer arithmetic instead. Spark's `div`
+    // and DuckDB's integer `//` BOTH truncate toward zero (measured:
+    // -500 // 3 = -166 in DuckDB, same as div), so the quotient agrees
+    // on the full BIGINT domain, negative sums included.
     "q136_range_frames" -> ((s, d) =>
       Tables.load(s, d, "events")
         // both domains pinned explicitly (mirrored in the oracle's

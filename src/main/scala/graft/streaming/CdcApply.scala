@@ -44,10 +44,19 @@ class CdcApplyProcessor extends StatefulProcessor[
       timerValues: TimerValues): Iterator[(Long, String, Boolean, String)] = {
     val ordered = rows.toSeq.sortBy(_._2)
     var lastOp: String = null
-    ordered.foreach { case (_, _, op, text) =>
+    ordered.foreach { case (_, seq, op, text) =>
       lastOp = op
-      if (op == "delete") body.clear()
-      else body.update(CdcApply.Doc(text))
+      op match {
+        case "delete" => body.clear()
+        case "insert" | "update" => body.update(CdcApply.Doc(text))
+        // the documented contract is op ∈ insert|update|delete — a
+        // malformed or differently-cased op must fail loudly, not
+        // silently upsert (a mangled "Delete" resurrecting the key as a
+        // live null-body document is corruption, not tolerance)
+        case other => throw new IllegalArgumentException(
+          s"CDC op must be insert|update|delete, got '$other' " +
+            s"(doc_id=$key, seq=$seq)")
+      }
     }
     if (lastOp == null) Iterator.empty
     else if (body.exists())

@@ -66,10 +66,18 @@ object StreamingWindows {
     // production sequence — fall back to the caller's declared layout
     // (default: the current NTZ generation; a nanos deployment passes
     // `nanosSchema`). tsToTimestamp normalizes whichever layout lands.
+    // The fallback is ONLY for "directory exists but no file matches yet"
+    // — a nonexistent (typo'd) path must still fail fast, not silently
+    // start a forever-empty stream. fs.exists distinguishes the two
+    // robustly across Spark's error classes (PATH_NOT_FOUND vs
+    // UNABLE_TO_INFER_SCHEMA) and filesystems (local/HDFS/object store).
     val onDisk =
       try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
       catch {
-        case _: org.apache.spark.sql.AnalysisException => emptyDirFallback
+        case e: org.apache.spark.sql.AnalysisException =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) emptyDirFallback else throw e
       }
     val r = spark.readStream.schema(onDisk)
       .option("pathGlobFilter", glob)

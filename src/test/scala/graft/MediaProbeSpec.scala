@@ -425,6 +425,76 @@ class MediaProbeSpec extends SparkSpec {
       s"fields mixed across audio traks: $info")
   }
 
+  // trak with tkhd dims in addition to handler/stsd/stsz
+  private def trakD(handler: String, entry: Array[Byte], samples: Long,
+      tw: Int, th: Int): Array[Byte] = {
+    val tkhd = box("tkhd", cat(be32(0), Array.fill[Byte](72)(0),
+      be32(tw.toLong << 16), be32(th.toLong << 16)))
+    val stsd = box("stsd", cat(be32(0), be32(1), entry))
+    val stsz = box("stsz", cat(be32(0), be32(0), be32(samples)))
+    val stbl = box("stbl", cat(stsd, stsz))
+    val minf = box("minf", stbl)
+    val hdlr = box("hdlr", cat(be32(0), be32(0), cc(handler),
+      Array.fill[Byte](13)(0)))
+    box("trak", cat(tkhd, box("mdia", cat(hdlr, minf))))
+  }
+
+  test("mp4: width/height come from the VIDEO trak, not whichever trak " +
+      "was listed last (a chapter trak legally carries tkhd dims)") {
+    val ftyp = box("ftyp", cat(cc("isom"), be32(512), cc("isom")))
+    val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+      be32(1000), be32(5000), Array.fill[Byte](80)(0)))
+    val textEntry = cat(be32(32), cc("tx3g"), Array.fill[Byte](24)(0))
+    val videoEntry = cat(be32(86), cc("avc1"), Array.fill[Byte](78)(0))
+    // video trak FIRST, chapter trak (with its own dims) after: the
+    // later trak's dims must not overwrite the video trak's
+    val a = MediaProbe.probe(cat(ftyp, box("moov", cat(mvhd,
+      trakD("vide", videoEntry, 150, 1920, 1080),
+      trakD("text", textEntry, 99, 640, 480))))).get
+    assert(a.width == 1920 && a.height == 1080,
+      s"later trak's tkhd dims overwrote the video trak's: $a")
+    // chapter trak FIRST: handler routing (not document order) decides
+    val b = MediaProbe.probe(cat(ftyp, box("moov", cat(mvhd,
+      trakD("text", textEntry, 99, 640, 480),
+      trakD("vide", videoEntry, 150, 1920, 1080))))).get
+    assert(b.width == 1920 && b.height == 1080,
+      s"non-video trak's dims won over the video trak's: $b")
+    assert(a.codec == "avc1" && b.codec == "avc1")
+  }
+
+  test("mp4: handlerless trak dims survive as the fallback when no " +
+      "vide trak provides any") {
+    val ftyp = box("ftyp", cat(cc("isom"), be32(512), cc("isom")))
+    val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+      be32(1000), be32(5000), Array.fill[Byte](80)(0)))
+    val videoEntry = cat(be32(86), cc("avc1"), Array.fill[Byte](78)(0))
+    val tkhd = box("tkhd", cat(be32(0), Array.fill[Byte](72)(0),
+      be32(640L << 16), be32(360L << 16)))
+    val stsd = box("stsd", cat(be32(0), be32(1), videoEntry))
+    val trak = box("trak", cat(tkhd,
+      box("mdia", box("minf", box("stbl", stsd))))) // NO hdlr anywhere
+    val info = MediaProbe.probe(cat(ftyp, box("moov", cat(mvhd, trak)))).get
+    assert(info.width == 640 && info.height == 360,
+      s"no-hdlr fallback dims lost: $info")
+  }
+
+  test("mp4: hdlr-absent fallback routes an 'Opus' entry (registered " +
+      "capitalization) to the audio fields, not the video codec") {
+    val ftyp = box("ftyp", cat(cc("M4A "), be32(0), cc("M4A ")))
+    val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+      be32(48000), be32(480000), Array.fill[Byte](80)(0)))
+    val entry = cat(be32(36 + 8), cc("Opus"), Array.fill[Byte](6)(0),
+      be16(1), be16(0), be16(0), be32(0), be16(2), be16(16), be16(0),
+      be16(0), be32(48000L << 16))
+    val stsd = box("stsd", cat(be32(0), be32(1), entry))
+    val trak = box("trak",
+      box("mdia", box("minf", box("stbl", stsd)))) // hdlr ABSENT
+    val info = MediaProbe.probe(cat(ftyp, box("moov", cat(mvhd, trak)))).get
+    assert(info.codec == "Opus" && info.channels == 2 &&
+      info.sampleRate == 48000,
+      s"Opus must route through audioEntry() in the no-hdlr fallback: $info")
+  }
+
   test("mp4: truncated stsz / hdlr boxes read nothing from sibling " +
       "bytes (walk-level own-end bounding)") {
     // stsz declares size 16 (header + 8 body bytes): the sample_count

@@ -1144,6 +1144,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("a NONEXISTENT source path fails fast instead of silently " +
+      "starting a forever-empty stream") {
+    // the empty-dir fallback is only for "directory exists, no file
+    // matches yet" — a typo'd path must surface at stream definition,
+    // not run forever producing zero rows
+    val parent = java.nio.file.Files.createTempDirectory("graft_ghost").toFile
+    val ghost = new java.io.File(parent, "no_such_subdir")
+    try {
+      intercept[org.apache.spark.sql.AnalysisException] {
+        StreamingWindows.eventsStream(spark, ghost.getAbsolutePath)
+      }
+    } finally rmTree(parent)
+  }
+
+  test("CDC apply: a malformed op fails the feed loudly instead of " +
+      "silently upserting") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.streaming.StatefulCounters.RocksDbProvider)
+    try {
+      // op ∈ insert|update|delete is the contract; a mangled "Delete"
+      // must not resurrect the key as a live document
+      val in = MemoryStream[(Long, Long, String, String)]
+      val q = StreamingWindows.runToMemory(
+        graft.streaming.CdcApply.applyChanges(spark,
+          in.toDF().toDF("doc_id", "seq", "op", "text")).toDF(),
+        "tbadop", mode = "update")
+      try {
+        in.addData(Seq((7L, 9L, "Delete", null: String)))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        def chain(t: Throwable): List[Throwable] =
+          if (t == null) Nil else t :: chain(t.getCause)
+        assert(chain(e).exists(c =>
+          c.isInstanceOf[IllegalArgumentException] &&
+            c.getMessage.contains("insert|update|delete")),
+          s"expected the op-contract IllegalArgumentException, got: $e")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("session window: streaming parity with batch sessionization") {
     // session windows require watermark + append/update; update mode may
     // emit intermediate merged sessions, so compare the final state per
