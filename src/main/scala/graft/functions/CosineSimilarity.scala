@@ -14,6 +14,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * bit-identical to the DuckDB oracle path, but in one fused loop with no
   * intermediate array allocation and no lambda interpretation. Stays
   * inside whole-stage codegen (single Java loop per row pair).
+  *
+  * Zero-norm domain: cosine against an all-zero vector is undefined
+  * (0/0); the function returns 0.0 — "orthogonal to everything" — NOT
+  * the raw IEEE NaN. A NaN here is poison downstream: Spark orders NaN
+  * above every real number, so a zero vector (padding rows and failed
+  * encodes are common in real embedding dumps) would out-rank every
+  * genuine neighbor in a top-k and pass every `sim >= t` threshold.
+  * Engines disagree on the raw value anyway (DuckDB's
+  * list_cosine_similarity returns -1.0, Spark HOFs NaN), so the pinned
+  * 0.0 is also the only cross-engine-stable choice.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,7 +55,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,7 +77,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
           double $yi = (double) $y.getFloat($i);
           $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+          : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 

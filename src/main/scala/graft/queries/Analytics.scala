@@ -678,7 +678,7 @@ object Analytics {
 
     "q131_sparse_cosine" ->
       """WITH t AS (SELECT doc_id,
-              unnest(string_split_regex(trim(text), '\s+')) AS term
+              unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
             FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
           dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
@@ -870,7 +870,7 @@ object Analytics {
 
     "q61_tfidf" ->
       """WITH toks AS (SELECT doc_id,
-              unnest(string_split_regex(trim(text), '\s+')) AS term
+              unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
             FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
                  GROUP BY doc_id, term),

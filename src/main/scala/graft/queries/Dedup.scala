@@ -60,9 +60,15 @@ object Dedup {
   /** THE canonical whitespace tokenizer over `text` — every batch and
     * streaming text op shares this one definition (cross-query results
     * and streaming/batch parity depend on all sites tokenizing
-    * identically; the DuckDB twin is the literal
-    * `string_split_regex(trim(text), '\s+')` in the oracle SQL). */
-  val TokExpr: String = "split(trim(text), '\\\\s+')"
+    * identically; the DuckDB twin is the same explicit class in the
+    * oracle SQL). The class is spelled out instead of `\s` because the
+    * engines' regex dialects disagree on U+000B: Java's `\s` is
+    * `[ \t\n\x0B\f\r]` but DuckDB's RE2 `\s` is `[ \t\n\f\r]` (no
+    * vertical tab) — a VT in real corpus text would silently tokenize
+    * differently in the two engines, diverging every shingle/minhash/
+    * term oracle. The explicit class is Java-`\s`-identical, so the
+    * Spark-side semantics are unchanged. */
+  val TokExpr: String = "split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+')"
 
   /** Adds the whitespace-token column to any (doc_id, text, ...) frame. */
   def withTok(df: DataFrame): DataFrame =
@@ -201,20 +207,32 @@ object Dedup {
       .filter(col("sh").isNotNull)
   }
 
-  /** (doc_id, ns): distinct-shingle count per document — tiny (one row
-    * per doc), broadcast into the pair join. */
+  /** (doc_id, ns): distinct-shingle count per document — corpus
+    * cardinality (one row per LIVE doc), so it is joined back by
+    * doc_id and never force-broadcast; at fixture scale AQE broadcasts
+    * it on its own, at 10^9 docs it shuffles. */
   def shingleCounts(shingles: DataFrame): DataFrame =
     shingles.groupBy("doc_id").agg(count(lit(1)).as("ns"))
 
+  /** ONE row: the corpus's most-shared trigram (max document frequency;
+    * ties resolve to the lexicographically largest via max(struct) —
+    * fully deterministic). The single source for q113's phrase probe
+    * AND [[bm25Terms]], so "the BM25 terms are the words of q113's
+    * phrase" holds by construction, not by two hand-synchronized
+    * copies of the aggregation. */
+  def topTrigram(dd: DataFrame): DataFrame =
+    shingledOf(dd)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(max(struct(col("df"), col("sh"))).as("t"))
+      .select(col("t").getField("sh").as("phrase"))
+
   /** The deterministic BM25 query-term set: the distinct words of
-    * q113's most-shared trigram. ONE source for batch q118 and the
-    * streaming scorer's serve state, so their parity is by
+    * q113's most-shared trigram ([[topTrigram]]). ONE source for batch
+    * q118 and the streaming scorer's serve state, so their parity is by
     * construction. Input: a (doc_id, tok, ...) frame. */
   def bm25Terms(dd: DataFrame): DataFrame =
-    shingledOf(dd)
-      .groupBy("sh").agg(count(lit(1)).as("dfq"))
-      .agg(max(struct(col("dfq"), col("sh"))).as("t"))
-      .select(explode(split(col("t").getField("sh"), " ")).as("term"))
+    topTrigram(dd)
+      .select(explode(split(col("phrase"), " ")).as("term"))
       .distinct()
 
   /** (doc_id, dl, term, tf): per-document term frequencies restricted to
@@ -451,10 +469,17 @@ object Dedup {
       .select(col("p.a_id"), col("p.b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(counts.select(col("doc_id").as("a_id"),
-        col("ns").as("na"))), Seq("a_id"))
-      .join(broadcast(counts.select(col("doc_id").as("b_id"),
-        col("ns").as("nb"))), Seq("b_id"))
+      // `counts` is one row per document — corpus cardinality, NOT a
+      // bounded dimension. No broadcast() hint: forcing it would hit
+      // Spark's broadcast hard limit at the 10^9-doc target (the q73
+      // rule: the corpus side is never broadcast). Catalyst/AQE still
+      // auto-broadcasts below autoBroadcastJoinThreshold, so fixture-
+      // scale plans are unchanged; at scale this is a shuffle join on
+      // the already-sub-quadratic pair stream's ids.
+      .join(counts.select(col("doc_id").as("a_id"),
+        col("ns").as("na")), Seq("a_id"))
+      .join(counts.select(col("doc_id").as("b_id"),
+        col("ns").as("nb")), Seq("b_id"))
       .withColumn("jac_raw",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac_raw") >= threshold)
@@ -782,9 +807,12 @@ object Dedup {
       val wedges = oriented.select(col("src"), col("dst").as("v"))
         .join(oriented.select(col("src"), col("dst").as("w")), Seq("src"))
         .filter(col("v") < col("w"))
+      // the v < w filter above makes (v, w) already canonically ordered
+      // — matching e's a_id < b_id invariant directly, so the closure
+      // probe is a plain two-column equi-join (no least/greatest
+      // wrapping on the dominant wedge stream)
       wedges
-        .join(e, least(col("v"), col("w")) === col("a_id") &&
-          greatest(col("v"), col("w")) === col("b_id"))
+        .join(e, col("v") === col("a_id") && col("w") === col("b_id"))
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
@@ -857,10 +885,7 @@ object Dedup {
     // constant, nothing quadratic at any corpus size.
     "q113_phrase_search" -> ((s, d) => {
       val dd = docs(s, d)
-      val top = shingledOf(dd)
-        .groupBy("sh").agg(count(lit(1)).as("df"))
-        .agg(max(struct(col("df"), col("sh"))).as("t"))
-        .select(col("t").getField("sh").as("phrase"))
+      val top = topTrigram(dd)
       dd.crossJoin(broadcast(top))
         .withColumn("n_occ", expr(
           """case when size(tok) < 3 then cast(0 as bigint)
@@ -1161,7 +1186,7 @@ object Dedup {
 
   private val docsTokCte =
     """t AS (SELECT doc_id,
-           string_split_regex(trim(text), '\s+') AS tok FROM documents)"""
+           string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS tok FROM documents)"""
 
   /** DuckDB CTE chain to the exact-decimal BM25 score table `sc`
     * (doc_id, sc) — the oracle twin of [[bm25Scores]], shared by the

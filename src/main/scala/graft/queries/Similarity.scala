@@ -35,6 +35,27 @@ object Similarity {
     Tables.load(s, d, "embeddings")
   }
 
+  /** Sign-bucket LSH near-duplicate candidate edges over an
+    * (vec_id, embedding) frame: pairs with a_id < b_id in the same
+    * sign bucket and cosine >= tau, carrying the raw similarity. The
+    * ONE definition behind q38 (which reports the pairs) and q117
+    * (which clusters them), so "q117's candidate edges are exactly
+    * q38's sub-quadratic set" holds by construction — a threshold or
+    * bucketing change cannot silently decouple the two. */
+  private def embedNearDupEdges(e0: DataFrame, tau: Double): DataFrame = {
+    val e = e0.select(col("vec_id"), bucketExpr.as("bucket"),
+      col("embedding").as("emb"))
+    val a = e.select(col("vec_id").as("a_id"), col("bucket"),
+      col("emb").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("bucket"),
+      col("emb").as("b_emb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim_raw", cosine("a_emb", "b_emb"))
+      .filter(col("sim_raw") >= tau)
+      .select("a_id", "b_id", "sim_raw")
+  }
+
   /** PQ distance terms (vec_id, sub, c_id, d2): every vector's exact
     * DECIMAL(38,20) squared distance to each of the K=8 codebook
     * centroids in each of the M=4 16-dim subspaces (init = the first 8
@@ -187,20 +208,10 @@ object Similarity {
 
     // q38: LSH-bucketed near-duplicate candidate pairs (cosine >= 0.3
     // within a sign bucket) — the pair space shrinks ~16x vs brute force
-    "q38_embed_neardup" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"),
-        col("embedding").as("emb"))
-      val a = e.select(col("vec_id").as("a_id"), col("bucket"),
-        col("emb").as("a_emb"))
-      val b = e.select(col("vec_id").as("b_id"), col("bucket"),
-        col("emb").as("b_emb"))
-      a.join(b, Seq("bucket"))
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("sim_raw", cosine("a_emb", "b_emb"))
-        .filter(col("sim_raw") >= 0.3)
+    "q38_embed_neardup" -> ((s, d) =>
+      embedNearDupEdges(emb(s, d), 0.3)
         .select(col("a_id"), col("b_id"), round(col("sim_raw"), 4).as("sim"))
-        .orderBy("a_id", "b_id")
-    }),
+        .orderBy("a_id", "b_id")),
 
     // q47: distributed kNN join — top-3 neighbors per probe (first 100
     // vectors) within the probe's LSH bucket: candidate generation is a
@@ -469,16 +480,7 @@ object Similarity {
     // against the corpus (the q73 pattern). Oracle: DuckDB recursive-CTE
     // closure over the same edge predicate.
     "q117_semantic_dedup" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"),
-        col("embedding").as("emb"))
-      val a = e.select(col("vec_id").as("a_id"), col("bucket"),
-        col("emb").as("a_emb"))
-      val b = e.select(col("vec_id").as("b_id"), col("bucket"),
-        col("emb").as("b_emb"))
-      val edges = a.join(b, Seq("bucket"))
-        .filter(col("a_id") < col("b_id"))
-        .filter(cosine("a_emb", "b_emb") >= 0.3)
-        .select("a_id", "b_id")
+      val edges = embedNearDupEdges(emb(s, d), 0.3).select("a_id", "b_id")
       graft.operators.ConnectedComponents.run(edges, "a_id", "b_id",
           reliable = graft.operators.Materialize.reliable(s))
         .filter(col("node") =!= col("cluster_id"))

@@ -29,6 +29,30 @@ class ExpressionSpec extends SparkSpec {
     assert(got == Seq(1.0, 0.0, -1.0))
   }
 
+  test("cosine_sim: zero vectors yield 0.0, never NaN (codegen + " +
+      "interpreted)") {
+    GraftFunctions.register(spark)
+    // A zero-norm side is 0/0 in raw IEEE — and Spark orders NaN above
+    // every real number, so a NaN would outrank every genuine neighbor
+    // in a top-k and pass every sim >= t filter. The pinned contract is
+    // 0.0 (orthogonal to everything): zero vectors sort LAST and fail
+    // thresholds. Padding rows / failed encodes make zero vectors
+    // common in real embedding dumps.
+    val df = Seq(
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f)),  // zero left
+      (Array(1f, 2f, 3f), Array(0f, 0f, 0f)),  // zero right
+      (Array(0f, 0f, 0f), Array(0f, 0f, 0f))   // both zero
+    ).toDF("a", "b")
+    val got = df.select(expr("cosine_sim(a, b)")).as[Double].collect().toSeq
+    assert(got == Seq(0.0, 0.0, 0.0), s"zero-norm cosine must pin 0.0: $got")
+    // same through the interpreted path (constant folding at optimize
+    // time evaluates nullSafeEval, not doGenCode)
+    val lit = spark.sql(
+      "SELECT cosine_sim(array(cast(0 as float)), array(cast(5 as float)))")
+      .collect()(0).getDouble(0)
+    assert(lit == 0.0, s"interpreted zero-norm cosine must pin 0.0: $lit")
+  }
+
   test("cosine_sim: bit-identical to the HOF formulation on real data") {
     GraftFunctions.register(spark)
     val e = Tables.load(spark, sf, "embeddings")

@@ -66,8 +66,13 @@ object PlanDigests {
       "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x2 | Exchange x3 | Filter x3 | Generate x1 | HashAggregate x4 | Project x3 | Scan parquet x2 | Sort x1",
     "q37_ngram_jaccard" ->
       "AQEShuffleRead x5 | BroadcastExchange x1 | BroadcastHashJoin x2 | ColumnarToRow x1 | Exchange x5 | Filter x3 | Generate x3 | HashAggregate x4 | ObjectHashAggregate x3 | Project x7 | ReusedExchange x2 | Scan parquet x1 | Sort x1",
+    // r9: jaccardPairsOf no longer force-broadcasts the per-doc counts
+    // (corpus cardinality — would exceed the broadcast limit at scale);
+    // AQE still broadcasts it here at runtime (BroadcastHashJoin x3
+    // unchanged) but plans the agg as shuffle-then-broadcast (+1
+    // BroadcastExchange/HashAggregate/AQEShuffleRead vs the forced hint)
     "q45_curation" ->
-      "AQEShuffleRead x8 | BroadcastExchange x2 | BroadcastHashJoin x3 | ColumnarToRow x2 | Exchange x8 | Filter x7 | Generate x3 | HashAggregate x6 | ObjectHashAggregate x3 | Project x11 | ReusedExchange x2 | Scan parquet x2 | Sort x5 | Window x2 | WindowGroupLimit x4",
+      "AQEShuffleRead x9 | BroadcastExchange x3 | BroadcastHashJoin x3 | ColumnarToRow x2 | Exchange x8 | Filter x7 | Generate x3 | HashAggregate x7 | ObjectHashAggregate x3 | Project x11 | ReusedExchange x2 | Scan parquet x2 | Sort x5 | Window x2 | WindowGroupLimit x4",
     "q67_dedup_clusters" ->
       "AQEShuffleRead x1 | Exchange x1 | Project x1 | Scan ExistingRDD x1 | Sort x1",
     "q73_incremental_dedup" ->
