@@ -677,8 +677,8 @@ object Analytics {
           GROUP BY dev.event_type ORDER BY event_type""",
 
     "q131_sparse_cosine" ->
-      """WITH t AS (SELECT doc_id,
-              unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
+      s"""WITH t AS (SELECT doc_id,
+              unnest(${Dedup.DuckTokExpr}) AS term
             FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
           dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
@@ -869,8 +869,8 @@ object Analytics {
           ORDER BY 1, 2, 3""",
 
     "q61_tfidf" ->
-      """WITH toks AS (SELECT doc_id,
-              unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
+      s"""WITH toks AS (SELECT doc_id,
+              unnest(${Dedup.DuckTokExpr}) AS term
             FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
                  GROUP BY doc_id, term),

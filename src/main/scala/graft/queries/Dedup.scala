@@ -70,6 +70,17 @@ object Dedup {
     * Spark-side semantics are unchanged. */
   val TokExpr: String = "split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+')"
 
+  /** The DuckDB twin of [[TokExpr]] — ONE definition for every oracle
+    * SQL site (an ordinary Scala string, so it renders with
+    * single-backslash escapes: exactly what a DuckDB string literal
+    * passes through to RE2). Interpolate it into `s"""` oracle strings
+    * (interpolated VALUES are not escape-processed) or concatenate into
+    * plain triple-quoted ones — never re-spell the class by hand: the
+    * two string contexts need different backslash depths and a wrong
+    * copy silently re-introduces the cross-engine drift. */
+  val DuckTokExpr: String =
+    "string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')"
+
   /** Adds the whitespace-token column to any (doc_id, text, ...) frame. */
   def withTok(df: DataFrame): DataFrame =
     df.withColumn("tok", expr(TokExpr))
@@ -1185,8 +1196,8 @@ object Dedup {
               GROUP BY 1, 2, 3, 4)"""
 
   private val docsTokCte =
-    """t AS (SELECT doc_id,
-           string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS tok FROM documents)"""
+    s"""t AS (SELECT doc_id,
+           $DuckTokExpr AS tok FROM documents)"""
 
   /** DuckDB CTE chain to the exact-decimal BM25 score table `sc`
     * (doc_id, sc) — the oracle twin of [[bm25Scores]], shared by the

@@ -17,6 +17,17 @@ object TextOps {
   private def docs(s: SparkSession, d: String) =
     Dedup.withTok(Tables.load(s, d, "documents"))
 
+  /** The two cross-engine character classes (ordinary Scala strings →
+    * single-backslash escapes, which is both the Java-regex form AND
+    * the exact bytes a DuckDB literal passes to RE2). ONE definition
+    * per class: the Spark side passes them to regexp_replace/
+    * regexp_count, the oracle s-strings interpolate them, so the
+    * Spark/oracle pairing is structural, not six hand-synced copies.
+    * Whitespace is spelled out because RE2's \s lacks U+000B
+    * (see Dedup.TokExpr). */
+  private val PunctKeepClass = "[\\w \\t\\n\\x0B\\f\\r]"
+  private val BpeTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
+
   /** (doc_id, n_bigrams, avg_logp): the q97 KenLM-style bigram LM score
     * — add-one-smoothed token-bigram probabilities trained ON the
     * corpus, each doc scored by its mean log-prob. The bigram-count
@@ -166,9 +177,7 @@ object TextOps {
           // replaces was CodegenFallback (interpreted per token)
           round(length(array_join(col("tok"), "")) / size(col("tok")), 4)
             .as("avg_tok_len"),
-          // \s is spelled out: Java \s includes U+000B, RE2's does not
-          // (see Dedup.TokExpr) — the explicit class is engine-stable
-          round(length(regexp_replace(col("text"), "[\\w \\t\\n\\x0B\\f\\r]", ""))
+          round(length(regexp_replace(col("text"), PunctKeepClass, ""))
             / length(col("text")), 6).as("punct_ratio"),
           round(col("hits_en") / size(col("tok")), 6).as("stop_ratio"))
         .orderBy("doc_id")),
@@ -177,8 +186,7 @@ object TextOps {
     "q42_token_count" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         size(col("tok")).cast("long").as("ws_tokens"),
-        regexp_count(col("text"),
-          lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"))
+        regexp_count(col("text"), lit(BpeTokenRegex))
           .cast("long").as("bpe_tokens"),
         col("n_chars"))
         .orderBy("doc_id")),
@@ -228,7 +236,7 @@ object TextOps {
       val q = docs(s, d)
         .withColumn("nt", size(col("tok")))
         .withColumn("pr",
-          length(regexp_replace(col("text"), "[\\w \\t\\n\\x0B\\f\\r]", ""))
+          length(regexp_replace(col("text"), PunctKeepClass, ""))
           / length(col("text")))
       val f = q.filter(col("nt") >= 30 && col("pr") <= 0.1)
       // exact dedup via rank-1-per-hash (the q62 shape) instead of
@@ -788,9 +796,8 @@ object TextOps {
         size(col("col")).cast("long").as("n_toks"),
         md5(concat_ws(" ", col("col"))).as("h"))
 
-  // whitespace class spelled out — RE2's \s lacks U+000B (Dedup.TokExpr)
-  private val duckTok =
-    "string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')"
+  // the one shared DuckDB tokenizer (see Dedup.DuckTokExpr)
+  private val duckTok = Dedup.DuckTokExpr
 
   /** DuckDB CTE chain to the per-doc bigram-LM score table `lp`
     * (doc_id, n_bigrams, avg_logp) — the oracle twin of
@@ -876,15 +883,14 @@ object TextOps {
             CAST(len(tok) AS BIGINT) AS n_tokens,
             round(list_sum(list_transform(tok, t -> CAST(length(t) AS DOUBLE)))
               / len(tok), 4) AS avg_tok_len,
-            round(length(regexp_replace(text, '[\\w \\t\\n\\x0B\\f\\r]', '', 'g'))
+            round(length(regexp_replace(text, '$PunctKeepClass', '', 'g'))
               / length(text), 6) AS punct_ratio,
             round(${duckHits(profiles.head._2)} / len(tok), 6) AS stop_ratio
           FROM t ORDER BY doc_id""",
 
     "q42_token_count" ->
       s"""SELECT doc_id, CAST(len($duckTok) AS BIGINT) AS ws_tokens,
-            CAST(len(regexp_extract_all(text,
-              '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]'))
+            CAST(len(regexp_extract_all(text, '$BpeTokenRegex'))
               AS BIGINT) AS bpe_tokens,
             n_chars
           FROM documents ORDER BY doc_id""",
@@ -914,7 +920,7 @@ object TextOps {
     "q45_curation" ->
       s"""WITH t AS (SELECT doc_id, text, lang, $duckTok AS tok FROM documents),
           q AS (SELECT doc_id, text, lang, tok, len(tok) AS nt,
-                  length(regexp_replace(text, '[\\w \\t\\n\\x0B\\f\\r]', '', 'g'))
+                  length(regexp_replace(text, '$PunctKeepClass', '', 'g'))
                     / length(text) AS pr
                 FROM t),
           f AS (SELECT * FROM q WHERE nt >= 30 AND pr <= 0.1),

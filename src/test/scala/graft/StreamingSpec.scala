@@ -596,7 +596,7 @@ class StreamingSpec extends SparkSpec {
       val truth = Tables.load(spark, sf, "documents")
         .select(org.apache.spark.sql.functions.explode(
           org.apache.spark.sql.functions.expr(
-            "split(trim(text), '\\\\s+')")).as("term"))
+            graft.queries.Dedup.TokExpr)).as("term"))
         .groupBy("term").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val n = truth.values.sum
