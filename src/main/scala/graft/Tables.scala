@@ -65,13 +65,32 @@ object Det {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  /** Deterministic mean: exact decimal sum divided by count, rounded. */
-  def davg(c: Column, scale: Int = 2, digits: Int = 4): Column =
-    round(dsum(c, scale) / count(lit(1)), digits)
+  /** Deterministic mean, EXACT: the half-up quotient is computed in
+    * scaled-integer arithmetic — floor((2·S·10^d + C) / (2·C)) with S
+    * the exact decimal sum and C the count — then one double division
+    * by 10^d. The previous round(double-sum / count, d) was a latent
+    * cross-engine tie bomb: on a 5th-decimal half-tie (e.g.
+    * 591.31 / 8 = 73.91375) Spark's round HALF-UPs the shortest
+    * decimal repr to 73.9138 while DuckDB rounds the binary double
+    * DOWN to 73.9137 (measured; DuckDB decimal division also degrades
+    * to DOUBLE, so no decimal-division escape exists). Integer floor
+    * matches `//`'s truncation only on the non-negative domain —
+    * which money/quantity columns pin. */
+  def davg(c: Column, scale: Int = 2, digits: Int = 4): Column = {
+    val p = math.round(math.pow(10, digits))
+    val s = sum((c.cast(DecimalType(18, scale)) * p).cast("long"))
+    val n = count(lit(1))
+    val num = s * lit(2L) + n
+    val den = n * lit(2L)
+    (num - pmod(num, den)) / den / lit(p.toDouble)
+  }
 
   /** Oracle-side SQL equivalents (DuckDB). */
   def sqlDsum(col: String, scale: Int = 2): String =
     s"CAST(sum(CAST($col AS DECIMAL(18,$scale))) AS DOUBLE)"
-  def sqlDavg(col: String, scale: Int = 2, digits: Int = 4): String =
-    s"round(${sqlDsum(col, scale)} / count(*), $digits)"
+  def sqlDavg(col: String, scale: Int = 2, digits: Int = 4): String = {
+    val p = math.round(math.pow(10, digits))
+    s"(((2 * sum(CAST(CAST($col AS DECIMAL(18,$scale)) * $p AS BIGINT))" +
+      s" + count(*)) // (2 * count(*))) / $p.0)"
+  }
 }

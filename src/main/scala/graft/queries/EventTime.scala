@@ -91,7 +91,9 @@ object EventTime {
     "q31_session_window" -> ((s, d) =>
       sessionAgg(Tables.load(s, d, "events")
         .select("user_id", "ts").distinct())
-        .orderBy("user_id", "sstart")),
+        // nulls-last pin on the nullable sort key (suite convention:
+        // Spark asc = NULLS FIRST, DuckDB = NULLS LAST)
+        .orderBy(col("user_id").asc_nulls_last, col("sstart"))),
 
     // q130: concurrency gauge — the interval -> step-function operator
     // none of the fixed windows cover (sessions SPAN hour boundaries):

@@ -218,10 +218,15 @@ object Relational {
           countDistinct(col("lang")).as("n_langs"))
         .orderBy("split")),
 
-    // q55: seeded stratified sampling (per-language fractions) — the
-    // sampling is hash-seeded so the draw is reproducible; counts are
-    // rows-only checked (no DuckDB RNG twin) and proportions are
-    // asserted in ScalaTest
+    // q55: seeded stratified sampling (per-language fractions) via the
+    // Spark sampleBy API. NOTE the determinism boundary honestly:
+    // sampleBy draws from per-partition positional rand(seed), so the
+    // draw is reproducible only for a FIXED partition layout — a
+    // different core count or maxPartitionBytes reassigns rows and
+    // changes which rows are sampled (expected Bernoulli counts, not
+    // exact rows). That is why q55 is rows-only by contract with
+    // ScalaTest proportion assertions, and why the content-hash twin
+    // q54 exists for the "stable across runs and cluster sizes" draw.
     "q55_stratified_sample" -> ((s, d) => {
       val fractions = Map("en" -> 0.5, "es" -> 0.5, "de" -> 0.5,
         "fr" -> 0.5, "zh" -> 0.5)
@@ -242,15 +247,49 @@ object Relational {
             .as("p90_approx"))
         .orderBy("l_returnflag")),
 
-    // q57: correlation / covariance / dispersion statistics
-    "q57_stats" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+    // q57: correlation / stddev / variance — computed from EXACT
+    // integer moment sums, not the built-in double aggregates. Det
+    // policy: corr/stddev_samp merge partial states in task-completion
+    // order, so their low double bits depend on the partitioning and
+    // differ from DuckDB's accumulation — near a round() boundary that
+    // flips the last printed digit. Here every moment (Σx, Σy, Σxy,
+    // Σx², Σy²) is an exact DECIMAL(38,0) sum of scaled-integer (cents)
+    // products — order-independent — and the textbook closed forms
+    //   corr = (nΣxy−ΣxΣy) / sqrt((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    //   var  = (nΣx²−(Σx)²) / (n(n−1))
+    // are evaluated in double from identical integers in both engines:
+    // bit-identical results (scaling by 100 cancels in corr; sd
+    // rescales by /100, var by /10^4).
+    "q57_stats" -> ((s, d) => {
+      val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val b = t(s, d, "lineitem").select(col("l_returnflag"),
+        expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)")
+          .as("qx"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+          .as("py"),
+        expr("cast(cast(l_discount as decimal(18,2)) * 100 as bigint)")
+          .as("dz"))
+      val m = b.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("qx").cast(dec38)).as("sx"),
+        sum(col("py").cast(dec38)).as("sy"),
+        sum((col("qx") * col("py")).cast(dec38)).as("sxy"),
+        sum((col("qx") * col("qx")).cast(dec38)).as("sxx"),
+        sum((col("py") * col("py")).cast(dec38)).as("syy"),
+        sum(col("dz").cast(dec38)).as("sd"),
+        sum((col("dz") * col("dz")).cast(dec38)).as("sdd"))
+      def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+      m.select(col("l_returnflag"),
+        round(dbl(col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt(dbl(col("n") * col("sxx") - col("sx") * col("sx"))
+            * dbl(col("n") * col("syy") - col("sy") * col("sy"))), 4)
           .as("qty_price_corr"),
-          round(stddev_samp(col("l_quantity")), 4).as("qty_sd"),
-          round(var_samp(col("l_discount")), 6).as("disc_var"))
-        .orderBy("l_returnflag")),
+        round(sqrt(dbl(col("n") * col("sxx") - col("sx") * col("sx"))
+          / dbl(col("n") * (col("n") - 1))) / 100, 4).as("qty_sd"),
+        round(dbl(col("n") * col("sdd") - col("sd") * col("sd"))
+          / dbl(col("n") * (col("n") - 1)) / 10000, 6).as("disc_var"))
+        .orderBy("l_returnflag")
+    }),
 
     // q78: equi-width histogram of a measure — bins via floor division
     // (bin arithmetic is identical IEEE ops in both engines; the
@@ -275,6 +314,11 @@ object Relational {
       val topk = udaf(new graft.functions.TopKAgg(3),
         org.apache.spark.sql.Encoders.product[graft.functions.TopKEntry])
       t(s, d, "orders")
+        // domain pin (mirrored in the oracle): the aggregator's entry
+        // type holds a primitive Double, so a NULL price would rank as
+        // 0.0 while the oracle's row_number ranks the NULL row — pin
+        // the non-null domain explicitly instead
+        .filter(col("o_totalprice").isNotNull)
         .groupBy("o_custkey")
         .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
         .select(col("o_custkey"), posexplode(col("top")))
@@ -308,9 +352,16 @@ object Relational {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           count(lit(1)).as("cnt"))),
 
-    // q16: rollup + grouping_id
+    // q16: rollup + grouping_id. The group columns are pinned non-null
+    // (mirrored in the oracle): a NULL data value would coalesce to the
+    // same 'ALL' label as a subtotal row, making the (status, prio)
+    // output sort non-total — Spark and DuckDB would then order the
+    // tied rows independently and the row-order compare could flake on
+    // a regenerated fixture (q16_cube is immune: it sorts by gid too).
     "q16_rollup" -> ((s, d) =>
       t(s, d, "orders")
+        .filter(col("o_orderstatus").isNotNull &&
+          col("o_orderpriority").isNotNull)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"), grouping_id().cast("long").as("gid"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -336,6 +387,7 @@ object Relational {
                coalesce(o_orderpriority, 'ALL') AS prio,
                count(*) AS cnt
         FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY status, prio""")
     }),
@@ -746,18 +798,35 @@ object Relational {
          FROM documents GROUP BY 1 ORDER BY split""",
 
     "q57_stats" ->
-      """SELECT l_returnflag,
-               round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-               round(stddev_samp(l_quantity), 4) AS qty_sd,
-               round(var_samp(l_discount), 6) AS disc_var
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """WITH b AS (SELECT l_returnflag,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qx,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS py,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS dz
+             FROM lineitem),
+          m AS (SELECT l_returnflag, count(*) AS n,
+               sum(CAST(qx AS HUGEINT)) AS sx, sum(CAST(py AS HUGEINT)) AS sy,
+               sum(CAST(qx AS HUGEINT) * py) AS sxy,
+               sum(CAST(qx AS HUGEINT) * qx) AS sxx,
+               sum(CAST(py AS HUGEINT) * py) AS syy,
+               sum(CAST(dz AS HUGEINT)) AS sd,
+               sum(CAST(dz AS HUGEINT) * dz) AS sdd
+             FROM b GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           round(CAST(n*sxy - sx*sy AS DOUBLE)
+             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                 * CAST(n*syy - sy*sy AS DOUBLE)), 4) AS qty_price_corr,
+           round(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+             / CAST(n*(n-1) AS DOUBLE)) / 100, 4) AS qty_sd,
+           round(CAST(n*sdd - sd*sd AS DOUBLE)
+             / CAST(n*(n-1) AS DOUBLE) / 10000, 6) AS disc_var
+         FROM m ORDER BY l_returnflag""",
 
     "q81_group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey) AS rn
-           FROM orders) t
+           FROM orders WHERE o_totalprice IS NOT NULL) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
 
     "q78_histogram" ->
@@ -792,7 +861,9 @@ object Relational {
                 coalesce(o_orderpriority, 'ALL') AS prio,
                 count(*) AS cnt,
                 CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
-         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         FROM orders
+         WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          ORDER BY status, prio""",
 
     "q16_cube" ->
@@ -808,6 +879,7 @@ object Relational {
                coalesce(o_orderpriority, 'ALL') AS prio,
                count(*) AS cnt
          FROM orders
+         WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY status, prio""",
 

@@ -64,7 +64,14 @@ object Scalars {
         least(col("l_tax"), col("l_discount")).as("le"))
         .orderBy("l_orderkey", "l_linenumber")),
 
-    // q26: JSON functions (get_json_object + from_json on events.props)
+    // q26: JSON functions (get_json_object + from_json on events.props).
+    // The row domain is k > 50 ONLY — identical to the oracle's WHERE.
+    // Parser agreement (from_json's typed k2 == get_json_object's k) is
+    // its own OUTPUT column, n_typed, oracled as count(*): if the two
+    // Spark parsers ever disagree on a kept row (e.g. a string-encoded
+    // number, where the typed schema yields NULL), the compare fails on
+    // a column NAMED for the claim instead of silently shrinking the
+    // Spark-side domain and reading as an engine bug.
     "q26_json_fns" -> ((s, d) => {
       val ev = t(s, d, "events")
       val parsed = ev.select(
@@ -72,12 +79,16 @@ object Scalars {
         get_json_object(col("props"), "$.k").cast("long").as("k"),
         from_json(col("props"), StructType(Seq(StructField("k", LongType))))
           .getField("k").as("k2"))
-      parsed.filter(col("k") > 50 && col("k") === col("k2"))
+      parsed.filter(col("k") > 50)
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        .agg(count(lit(1)).as("n"),
+          count(when(col("k2") === col("k"), 1)).as("n_typed"),
+          sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
           round(avg(col("k")), 4).as("avg_k"))
-        .orderBy("event_type")
+        // nulls-last pin: a NULL event_type group would sort first in
+        // Spark (asc = NULLS FIRST) and last in the DuckDB oracle
+        .orderBy(col("event_type").asc_nulls_last)
     }),
 
     // q27: array higher-order functions over embeddings
@@ -143,7 +154,9 @@ object Scalars {
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "q26_json_fns" ->
-      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      """SELECT event_type, count(*) AS n,
+           count(*) AS n_typed,
+           CAST(sum(k) AS BIGINT) AS sum_k,
            min(k) AS min_k, max(k) AS max_k, round(avg(k), 4) AS avg_k
          FROM (SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

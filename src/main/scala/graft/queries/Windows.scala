@@ -110,7 +110,10 @@ object Windows {
                partition by user_id order by ts
                range between interval 1 day preceding and current row)
              AS avg_1d_e4""")
-        .orderBy("user_id", "tss", "event_id")),
+        // nulls-last pin on the nullable sort keys (ts is filtered
+        // non-null above, so tss is safe; user_id/event_id are not)
+        .orderBy(col("user_id").asc_nulls_last, col("tss"),
+          col("event_id").asc_nulls_last)),
 
     "q19_analytic_windows" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
