@@ -101,6 +101,20 @@ object ImageOps {
     rec.copy(height = th, width = tw, data = out)
   }
 
+  /** Per-record RNG seed: run seed + record origin through a splitmix64
+    * finalizer. A plain `seed * GOLDEN ^ hash` is NOT enough: the origin
+    * hash only perturbs the low 32 bits, and java.util.Random's first
+    * draws come from the HIGH bits of its 48-bit state — neighboring
+    * origins then share their first apply/skip decision corpus-wide
+    * (observed: 16 origins, 16 near-identical first nextDouble ≈ 0.95).
+    * The finalizer avalanches every input bit into every output bit. */
+  private def perRecordSeed(seed: Long, origin: String): Long = {
+    var z = seed * 0x9E3779B97F4A7C15L ^ origin.hashCode.toLong
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** A10: seeded random flip — horizontal, vertical, or both. The seed
     * is MIXED with the record's origin so a corpus-wide augmentation run
     * picks a different (but run-deterministic and retry-stable) flip per
@@ -108,8 +122,7 @@ object ImageOps {
     * record in the corpus the identical flip — zero augmentation
     * diversity (reference seeds 42 => deterministic per record). */
   def flipSeeded(rec: ImageRecord, seed: Long): ImageRecord =
-    new scala.util.Random(
-      seed * 0x9E3779B97F4A7C15L ^ rec.origin.hashCode.toLong)
+    new scala.util.Random(perRecordSeed(seed, rec.origin))
       .nextInt(3) match {
       case 0 => flip(rec, horizontal = true, vertical = false)
       case 1 => flip(rec, horizontal = false, vertical = true)
@@ -199,10 +212,14 @@ object ImageOps {
   }
 
   /** A16: with probability `prob`, add seeded gaussian noise (sigma on the
-    * 0-255 scale; reference uses N(0, 0.01) on unit-scaled tensors). */
+    * 0-255 scale; reference uses N(0, 0.01) on unit-scaled tensors).
+    * The seed is origin-mixed like [[flipSeeded]]: a corpus-wide map with
+    * one run seed draws an independent apply-decision and noise mask per
+    * image — a bare-seed RNG would stamp the IDENTICAL mask on every
+    * record (zero augmentation diversity). */
   def gaussianNoise(rec: ImageRecord, seed: Long, prob: Double = 0.5,
       sigma: Double = 2.55): ImageRecord = {
-    val rng = new scala.util.Random(seed)
+    val rng = new scala.util.Random(perRecordSeed(seed, rec.origin))
     if (rng.nextDouble() >= prob) rec
     else {
       val out = new Array[Byte](rec.data.length)
@@ -220,7 +237,9 @@ object ImageOps {
     * mean color or seeded random values. */
   def randomErase(rec: ImageRecord, seed: Long, prob: Double = 0.5,
       fillMean: Boolean = true): ImageRecord = {
-    val rng = new scala.util.Random(seed)
+    // origin-mixed seed, same rationale as gaussianNoise/flipSeeded:
+    // per-record rectangles, not one corpus-wide rectangle
+    val rng = new scala.util.Random(perRecordSeed(seed, rec.origin))
     if (rng.nextDouble() >= prob) return rec
     val (h, w, c) = (rec.height, rec.width, rec.nChannels)
     val area = h * w

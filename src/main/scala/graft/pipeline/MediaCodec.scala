@@ -42,7 +42,17 @@ object MediaCodec {
     * available in this zero-egress container — a decoder built with
     * guessed tables would pass a self-consistent encoder-twin test and
     * still emit garbage on every real-world file, strictly worse than
-    * the honest drop. The implemented codecs (FLAC, both ADPCMs) are
+    * the honest drop. The blocker is not just Huffman: even the
+    * Huffman-FREE MPEG layers (I/II, plain bit-allocation + linear
+    * quantization) cannot be decoded faithfully without ISO 11172-3
+    * Table B.3 — the 512-coefficient synthesis-filterbank prototype
+    * window, a numerically-optimized design published only as a data
+    * table (the matrixing cosines ARE closed-form; the window is not).
+    * Structural mp3/mp4/ogg/webm METADATA (codec id, duration, rate,
+    * channels, frame offsets) needs none of those tables and is parsed
+    * for real by [[MediaProbe]] — at 100 TB that is what lets a
+    * pipeline filter/bucket/cost-model media rows and route only the
+    * wanted subset through a codec-equipped deploy. The implemented codecs (FLAC, both ADPCMs) are
     * ALGORITHMIC — Rice coding, LPC, step adaptation — so their
     * correctness is provable without the standard's data tables. A
     * codec-equipped deploy plugs its own [[MediaCodec]] in. Video [[sampleFrames]] demuxes + decodes FOR

@@ -120,6 +120,14 @@ class ImagePipelineSpec extends SparkSpec {
     // erase with mean fill on a solid image is a no-op (fill == content)
     val s = solid(8, 8, (9, 9, 9))
     assert(ImageOps.randomErase(s, 1).data.sameElements(s.data))
+    // origin-mixed seed: one run seed yields per-record diversity — over
+    // a spread of origins, not every noise mask can be identical (prob
+    // 0.5 alone makes all-same astronomically unlikely over 16 records)
+    val masks = (1 to 16).map { i =>
+      ImageOps.gaussianNoise(g.copy(origin = s"img$i"), seed = 7).data.toSeq
+    }
+    assert(masks.distinct.size > 1,
+      "corpus-wide noise must differ per record under one run seed")
   }
 
   test("augment chain: typed Dataset end-to-end, invalid rows dropped") {
