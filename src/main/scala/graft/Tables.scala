@@ -82,7 +82,23 @@ object Det {
     val n = count(lit(1))
     val num = s * lit(2L) + n
     val den = n * lit(2L)
-    (num - pmod(num, den)) / den / lit(p.toDouble)
+    // integral `div`, NOT long `/`: Spark's `/` is double division,
+    // exact only while num < 2^53 — a 100 TB partition's scaled sum
+    // exceeds that and would drift from the oracle's exact `//`
+    call_function("div", num, den) / lit(p.toDouble)
+  }
+
+  /** Exact per-row half-up ratio of two NON-NEGATIVE integer columns
+    * (davg's scalar twin, same rationale): floor((2·num·10^d + den) /
+    * (2·den)) / 10^d in pure long arithmetic, NULL when den = 0 —
+    * pinned explicitly because Spark's double x/0 (NaN/Inf) and an
+    * ANSI integer div-by-zero throw would otherwise diverge from
+    * whatever the oracle does on an empty document. */
+  def dratio(num: Column, den: Column, digits: Int = 4): Column = {
+    val p = math.round(math.pow(10, digits))
+    val n2 = num.cast("long") * lit(2L * p) + den.cast("long")
+    val d2 = den.cast("long") * lit(2L)
+    when(den > 0, call_function("div", n2, d2) / lit(p.toDouble))
   }
 
   /** Oracle-side SQL equivalents (DuckDB). */
@@ -92,5 +108,12 @@ object Det {
     val p = math.round(math.pow(10, digits))
     s"(((2 * sum(CAST(CAST($col AS DECIMAL(18,$scale)) * $p AS BIGINT))" +
       s" + count(*)) // (2 * count(*))) / $p.0)"
+  }
+  /** dratio's DuckDB twin: BIGINT `//` truncates toward zero, which on
+    * the pinned non-negative domain equals dratio's floor. */
+  def sqlDratio(num: String, den: String, digits: Int = 4): String = {
+    val p = math.round(math.pow(10, digits))
+    s"(CASE WHEN $den > 0 THEN ((2 * $p * CAST($num AS BIGINT) + $den)" +
+      s" // (2 * CAST($den AS BIGINT))) / $p.0 END)"
   }
 }

@@ -126,14 +126,18 @@ object TextOps {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
         .orderBy("h")),
 
-    // q33: per-language corpus stats
+    // q33: per-language corpus stats. Means via Det.davg (exact
+    // scaled-integer half-up quotient) — round(avg(int),4) is the q13
+    // tie-bomb class: safe on today's fixture (n_docs divides 10^4)
+    // but one regeneration away from a 5th-decimal half-tie where the
+    // engines round opposite ways.
     "q33_text_stats" -> ((s, d) =>
       docs(s, d)
         .select(col("lang"), size(col("tok")).as("ntok"), col("n_chars"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("ntok")), 4).as("avg_tokens"),
-          round(avg(col("n_chars")), 4).as("avg_chars"))
+          graft.Det.davg(col("ntok"), 0).as("avg_tokens"),
+          graft.Det.davg(col("n_chars"), 0).as("avg_chars"))
         .orderBy("lang")),
 
     // q33t: top-20 terms by frequency
@@ -166,7 +170,13 @@ object TextOps {
         .orderBy("actual", "pred")
     }),
 
-    // q41: document quality scoring (length / punctuation / stopword ratios)
+    // q41: document quality scoring (length / punctuation / stopword
+    // ratios). Per-row rationals via Det.dratio (exact long-arithmetic
+    // half-up quotient) — same tie-bomb class as q13/q33's means, but
+    // PER ROW, so one regenerated doc whose n/m shortest-repr ends in
+    // a half-tie would flip the whole hash. dratio also pins den = 0
+    // to NULL on both engines (empty doc: Spark double 0/0 is NaN,
+    // DuckDB's differs — neither is a contract).
     "q41_quality" -> ((s, d) =>
       docs(s, d)
         .withColumn("hits_en", expr(hitsExpr(profiles.head._2)))
@@ -175,11 +185,13 @@ object TextOps {
           // sum of token lengths == length of the zero-separator join —
           // a codegen'd builtin; the aggregate/transform HOF chain this
           // replaces was CodegenFallback (interpreted per token)
-          round(length(array_join(col("tok"), "")) / size(col("tok")), 4)
-            .as("avg_tok_len"),
-          round(length(regexp_replace(col("text"), PunctKeepClass, ""))
-            / length(col("text")), 6).as("punct_ratio"),
-          round(col("hits_en") / size(col("tok")), 6).as("stop_ratio"))
+          graft.Det.dratio(length(array_join(col("tok"), "")),
+            size(col("tok")), 4).as("avg_tok_len"),
+          graft.Det.dratio(
+            length(regexp_replace(col("text"), PunctKeepClass, "")),
+            length(col("text")), 6).as("punct_ratio"),
+          graft.Det.dratio(col("hits_en"), size(col("tok")), 6)
+            .as("stop_ratio"))
         .orderBy("doc_id")),
 
     // q42: token counting — whitespace and a BPE-ish regex tokenizer
@@ -830,8 +842,8 @@ object TextOps {
 
     "q33_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
-            round(avg(len($duckTok)), 4) AS avg_tokens,
-            round(avg(n_chars), 4) AS avg_chars
+            ${graft.Det.sqlDavg(s"len($duckTok)", 0)} AS avg_tokens,
+            ${graft.Det.sqlDavg("n_chars", 0)} AS avg_chars
           FROM documents GROUP BY lang ORDER BY lang""",
 
     "q33_top_terms" ->
@@ -881,11 +893,14 @@ object TextOps {
       s"""WITH t AS (SELECT doc_id, text, $duckTok AS tok FROM documents)
           SELECT doc_id,
             CAST(len(tok) AS BIGINT) AS n_tokens,
-            round(list_sum(list_transform(tok, t -> CAST(length(t) AS DOUBLE)))
-              / len(tok), 4) AS avg_tok_len,
-            round(length(regexp_replace(text, '$PunctKeepClass', '', 'g'))
-              / length(text), 6) AS punct_ratio,
-            round(${duckHits(profiles.head._2)} / len(tok), 6) AS stop_ratio
+            ${graft.Det.sqlDratio(
+              "list_sum(list_transform(tok, t -> CAST(length(t) AS BIGINT)))",
+              "len(tok)", 4)} AS avg_tok_len,
+            ${graft.Det.sqlDratio(
+              s"length(regexp_replace(text, '$PunctKeepClass', '', 'g'))",
+              "length(text)", 6)} AS punct_ratio,
+            ${graft.Det.sqlDratio(duckHits(profiles.head._2),
+              "len(tok)", 6)} AS stop_ratio
           FROM t ORDER BY doc_id""",
 
     "q42_token_count" ->
