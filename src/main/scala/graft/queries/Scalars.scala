@@ -85,7 +85,10 @@ object Scalars {
           count(when(col("k2") === col("k"), 1)).as("n_typed"),
           sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
-          round(avg(col("k")), 4).as("avg_k"))
+          // Det.davg, not round(avg,4): the group count is arbitrary, so
+          // the quotient can terminate on a 5th-decimal half-tie where
+          // the engines round opposite ways (q13/q33 class)
+          graft.Det.davg(col("k"), 0).as("avg_k"))
         // nulls-last pin: a NULL event_type group would sort first in
         // Spark (asc = NULLS FIRST) and last in the DuckDB oracle
         .orderBy(col("event_type").asc_nulls_last)
@@ -154,12 +157,13 @@ object Scalars {
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "q26_json_fns" ->
-      """SELECT event_type, count(*) AS n,
+      s"""SELECT event_type, count(*) AS n,
            count(*) AS n_typed,
            CAST(sum(k) AS BIGINT) AS sum_k,
-           min(k) AS min_k, max(k) AS max_k, round(avg(k), 4) AS avg_k
+           min(k) AS min_k, max(k) AS max_k,
+           ${graft.Det.sqlDavg("k", 0)} AS avg_k
          FROM (SELECT event_type,
-                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                 CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
                FROM events) t
          WHERE k > 50 GROUP BY event_type ORDER BY event_type""",
 

@@ -350,4 +350,54 @@ class PropertySpec extends SparkSpec {
       assert(a.intersect(a).count() == xs.distinct.size.toLong)
     }
   }
+
+  test("property: Det.davg / Det.dratio equal the BigDecimal HALF_UP " +
+      "reference (including exact half-ties)") {
+    // The whole point of the scaled-integer quotient is agreeing with
+    // decimal HALF_UP on inputs where round(double, d) does NOT — so
+    // the reference here is java.math.BigDecimal, not doubles. The
+    // generator forces the half-tie denominators (2^a·5^b) that make
+    // n/m terminate one digit past the rounding point.
+    def ref(num: Long, den: Long, digits: Int): Double =
+      new java.math.BigDecimal(num)
+        .divide(new java.math.BigDecimal(den), digits,
+          java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val tieDen = Gen.oneOf(8L, 16L, 32L, 160L, 2500L, 7L, 12L, 100L)
+    val cases = for {
+      den <- tieDen
+      num <- Gen.chooseNum(0L, 2000000L)
+    } yield (num, den)
+    forSamples(cases, 40) { case (num, den) =>
+      // dratio: one row, direct quotient
+      val got = Seq((num, den)).toDF("n", "d")
+        .select(Det.dratio(col("n"), col("d"), 4).as("q"))
+        .head().getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(got) ==
+          java.lang.Double.doubleToLongBits(ref(num, den, 4)),
+        s"dratio($num/$den) = $got, expected ${ref(num, den, 4)}")
+      // davg: den rows of scale-0 values summing to num (spread so the
+      // per-row values differ), same quotient
+      val vals = (0L until den).map(i => num / den +
+        (if (i < num % den) 1L else 0L))
+      assert(vals.sum == num)
+      val gotAvg = vals.toDF("v").agg(Det.davg(col("v"), 0).as("q"))
+        .head().getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(gotAvg) ==
+          java.lang.Double.doubleToLongBits(ref(num, den, 4)),
+        s"davg over $den rows summing $num = $gotAvg, " +
+          s"expected ${ref(num, den, 4)}")
+    }
+    // the measured q13 tie case: eight 2-decimal rows summing 591.31,
+    // mean 73.91375 — davg must HALF_UP to 73.9138 (round(double, 4)
+    // gave DuckDB 73.9137)
+    val money = (Seq.fill(7)("73.91") :+ "73.94").toDF("s")
+      .select(col("s").cast("decimal(18,2)").as("v"))
+    val m = money.agg(Det.davg(col("v")).as("q")).head().getDouble(0)
+    assert(m == 73.9138, s"half-tie mean must round up: $m")
+    // dratio den = 0 contract: NULL, not NaN/Inf/throw
+    val z = Seq((5L, 0L)).toDF("n", "d")
+      .select(Det.dratio(col("n"), col("d"), 4).as("q")).head()
+    assert(z.isNullAt(0), "den = 0 must yield NULL")
+  }
 }
