@@ -494,8 +494,14 @@ object Dedup {
       .withColumn("jac_raw",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac_raw") >= threshold)
+      // threshold filter on the RAW double (long÷long IEEE division is
+      // bit-identical across engines); only the PRESENTATION round goes
+      // through Det.dratio — a reduced denominator of 2^5·5^b (160,
+      // 800, …) terminates at the 5th decimal without being
+      // binary-exact, the round(double,4) cross-engine tie case
       .select(col("a_id"), col("b_id"), col("inter"),
-        round(col("jac_raw"), 4).as("jac"))
+        graft.Det.dratio(col("inter"),
+          col("na") + col("nb") - col("inter"), 4).as("jac"))
   }
 
   /** One row per document: its hashed 3-shingle set as both a
@@ -569,8 +575,10 @@ object Dedup {
       .withColumn("jac_raw",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac_raw") >= t)
+      // raw-double filter + Det.dratio presentation (see jaccardPairsOf)
       .select(col("a_id"), col("b_id"), col("inter"),
-        round(col("jac_raw"), 4).as("jac"))
+        graft.Det.dratio(col("inter"),
+          col("na") + col("nb") - col("inter"), 4).as("jac"))
       .distinct()
   }
 
@@ -618,8 +626,9 @@ object Dedup {
         size(col("la")).as("na"))
       .withColumn("cont_raw", col("inter") / col("na"))
       .filter(col("cont_raw") >= t)
+      // raw-double filter + Det.dratio presentation (see jaccardPairsOf)
       .select(col("sub_id"), col("sup_id"), col("inter"),
-        round(col("cont_raw"), 4).as("cont"))
+        graft.Det.dratio(col("inter"), col("na"), 4).as("cont"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -1273,7 +1282,8 @@ object Dedup {
       s"""WITH $docsTokCte,
          ${duckPairCtes("t")}
          SELECT a_id, b_id, inter,
-                round(inter / (na + nb - inter), 4) AS jac
+                ${graft.Det.sqlDratio("inter", "(na + nb - inter)", 4)}
+                  AS jac
          FROM p WHERE inter / (na + nb - inter) >= 0.5
          ORDER BY a_id, b_id""",
 
@@ -1311,7 +1321,8 @@ object Dedup {
       s"""WITH $docsTokCte,
          ${duckPairCtes("t", 1000000000)}
          SELECT a_id, b_id, inter,
-                round(inter / (na + nb - inter), 4) AS jac
+                ${graft.Det.sqlDratio("inter", "(na + nb - inter)", 4)}
+                  AS jac
          FROM p WHERE inter / (na + nb - inter) >= 0.5
          ORDER BY a_id, b_id""",
 
@@ -1492,7 +1503,7 @@ object Dedup {
                 FROM n a JOIN n b ON a.s = b.s AND a.doc_id <> b.doc_id
                 GROUP BY 1, 2)
           SELECT p.sub_id, p.sup_id, p.inter,
-            round(p.inter / nc.ns, 4) AS cont
+            ${graft.Det.sqlDratio("p.inter", "nc.ns", 4)} AS cont
           FROM p JOIN nc ON nc.doc_id = p.sub_id
           WHERE p.inter / nc.ns >= 0.75
           ORDER BY sub_id, sup_id""",

@@ -166,8 +166,11 @@ object StreamingDedup {
       .withColumn("jac_raw",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac_raw") >= t)
+      // Det.dratio presentation, IDENTICAL to batch q103's (the parity
+      // pin compares jac values bit-for-bit)
       .select(col("a_id"), col("b_id"), col("inter"),
-        round(col("jac_raw"), 4).as("jac"))
+        graft.Det.dratio(col("inter"),
+          col("na") + col("nb") - col("inter"), 4).as("jac"))
   }
 
   /** Streaming twin of batch q124: CONTAINMENT (>= t) of each ARRIVING
@@ -212,8 +215,9 @@ object StreamingDedup {
         size(col("os")).as("na"))
       .withColumn("cont_raw", col("inter") / col("na"))
       .filter(col("cont_raw") >= t)
+      // Det.dratio presentation, IDENTICAL to batch q124's (parity pin)
       .select(col("a_id"), col("b_id"), col("inter"),
-        round(col("cont_raw"), 4).as("cont"))
+        graft.Det.dratio(col("inter"), col("na"), 4).as("cont"))
   }
 
   /** Static boilerplate dictionary for [[boilerplateStripNew]] — built
