@@ -15,15 +15,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * intermediate array allocation and no lambda interpretation. Stays
   * inside whole-stage codegen (single Java loop per row pair).
   *
-  * Zero-norm domain: cosine against an all-zero vector is undefined
-  * (0/0); the function returns 0.0 — "orthogonal to everything" — NOT
-  * the raw IEEE NaN. A NaN here is poison downstream: Spark orders NaN
-  * above every real number, so a zero vector (padding rows and failed
-  * encodes are common in real embedding dumps) would out-rank every
-  * genuine neighbor in a top-k and pass every `sim >= t` threshold.
-  * Engines disagree on the raw value anyway (DuckDB's
-  * list_cosine_similarity returns -1.0, Spark HOFs NaN), so the pinned
-  * 0.0 is also the only cross-engine-stable choice.
+  * Non-finite domain, pinned to 0.0 ("orthogonal to everything"): a
+  * zero vector makes the raw IEEE result 0/0 = NaN, and a NaN/Inf
+  * COMPONENT (fp overflow in an encoder, a poisoned row) propagates NaN
+  * through the accumulators the same way — so the guard is on the
+  * RESULT: any non-finite similarity returns 0.0. A NaN here is poison
+  * downstream: Spark orders NaN above every real number, so one bad
+  * vector (padding rows and failed encodes are common in real embedding
+  * dumps) would out-rank every genuine neighbor in a top-k and pass
+  * every `sim >= t` threshold. Engines disagree on the raw value anyway
+  * (DuckDB's list_cosine_similarity returns -1.0 on zero vectors, Spark
+  * HOFs NaN), so the pinned 0.0 is also the only cross-engine-stable
+  * choice. (An Inf RESULT with finite norms is impossible in exact math
+  * — Cauchy–Schwarz — but reachable in IEEE when the dot overflows
+  * before the norms do; the finiteness guard covers it.)
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -56,7 +61,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0
-    else dot / (math.sqrt(na) * math.sqrt(nb))
+    else {
+      val r = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (java.lang.Double.isFinite(r)) r else 0.0
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -79,6 +87,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
         }
         ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
           : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        if (!java.lang.Double.isFinite(${ev.value})) ${ev.value} = 0.0;
       """
     })
 
@@ -90,9 +99,9 @@ object CosineSimilarity {
   /** Mismatched vector lengths are a data bug — failing loudly beats
     * silently truncating to the shorter array and returning a
     * plausible-looking similarity (and matches DuckDB
-    * list_cosine_similarity, which also rejects them). Zero vectors
-    * still yield NaN (0/0), the cross-engine-consistent result; callers
-    * that need a guard handle it (q76's zero-norm CASE). */
+    * list_cosine_similarity, which also rejects them). Degenerate
+    * VALUES (zero vectors, NaN/Inf components) are pinned to 0.0 by the
+    * expression itself — see the class scaladoc. */
   def requireSameLength(nx: Int, ny: Int): Int = {
     if (nx != ny) throw new IllegalArgumentException(
       s"cosine_sim: vector length mismatch ($nx vs $ny)")

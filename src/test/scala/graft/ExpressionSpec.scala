@@ -53,6 +53,27 @@ class ExpressionSpec extends SparkSpec {
     assert(lit == 0.0, s"interpreted zero-norm cosine must pin 0.0: $lit")
   }
 
+  test("cosine_sim: NaN/Inf components pin 0.0 too (the result-finiteness " +
+      "guard, codegen + interpreted)") {
+    GraftFunctions.register(spark)
+    // A poisoned COMPONENT (fp overflow in an encoder) propagates NaN
+    // through the accumulators exactly like a zero norm propagates 0/0 —
+    // same downstream poison (NaN sorts above every real), same pin.
+    val df = Seq(
+      (Array(Float.NaN, 1f), Array(1f, 2f)),
+      (Array(1f, 2f), Array(Float.PositiveInfinity, 1f)),
+      (Array(Float.NegativeInfinity, Float.NaN), Array(3f, 4f)),
+      (Array(Float.MaxValue, Float.MaxValue),       // finite inputs whose
+        Array(Float.MaxValue, -Float.MaxValue))     // dot overflows first
+    ).toDF("a", "b")
+    val got = df.select(expr("cosine_sim(a, b)")).as[Double].collect().toSeq
+    assert(got.forall(_ == 0.0), s"non-finite cosine must pin 0.0: $got")
+    val lit = spark.sql(
+      "SELECT cosine_sim(array(cast('NaN' as float)), array(cast(1 as float)))")
+      .collect()(0).getDouble(0)
+    assert(lit == 0.0, s"interpreted NaN-component cosine must pin 0.0: $lit")
+  }
+
   test("cosine_sim: bit-identical to the HOF formulation on real data") {
     GraftFunctions.register(spark)
     val e = Tables.load(spark, sf, "embeddings")
