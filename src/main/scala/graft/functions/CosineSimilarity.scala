@@ -160,4 +160,42 @@ object GraftFunctions {
         reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
+
+  /** Per-(session, name) record of the registry builder a
+    * [[registerUdaf]] call installed, so repeat calls can recognize
+    * their own binding by identity. Weak keys: a retired session must
+    * not be pinned by this cache. */
+  private val udafBound =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, AnyRef]]()
+
+  /** Idempotently register a typed-Aggregator SQL function (e.g. q93's
+    * `bloom_agg_1m`). `spark.udf.register` synthesizes a fresh registry
+    * builder per call, so the native expressions' builder-identity
+    * check can't apply directly; instead the builder the registry holds
+    * right after registration is remembered per session, and later
+    * calls are silent no-ops only while that exact binding is still
+    * live. A foreign binding of the name — made before or after a
+    * previous call — fails the identity check and is reclaimed, same
+    * semantics as [[register]].
+    */
+  def registerUdaf(spark: SparkSession, name: String,
+      udf: => org.apache.spark.sql.expressions.UserDefinedFunction): Unit =
+    synchronized {
+      val reg = spark.sessionState.functionRegistry
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      val mine = Option(udafBound.get(spark)).flatMap(_.get(name))
+      val live = reg.lookupFunctionBuilder(id)
+      if (!mine.exists(m => live.exists(_ eq m))) {
+        spark.udf.register(name, udf)
+        reg.lookupFunctionBuilder(id).foreach { b =>
+          var m = udafBound.get(spark)
+          if (m == null) {
+            m = scala.collection.mutable.Map.empty[String, AnyRef]
+            udafBound.put(spark, m)
+          }
+          m.update(name, b.asInstanceOf[AnyRef])
+        }
+      }
+    }
 }

@@ -623,7 +623,7 @@ object Relational {
       // orders (FP ~1.5e-5 at K=6 — see BloomFilter.K); size the
       // filter for the BUILD side's key count, not the probe side's
       // row count
-      s.udf.register("bloom_agg_1m",
+      graft.functions.GraftFunctions.registerUdaf(s, "bloom_agg_1m",
         udaf(new graft.functions.BloomFilterAgg(1 << 20),
           org.apache.spark.sql.Encoders.scalaLong))
       Tables.register(s, d, "orders", "lineitem")

@@ -435,4 +435,38 @@ class ExpressionSpec extends SparkSpec {
     assert(s2.sql("SELECT hash60('abc')").head().getLong(0) == expected,
       "a post-hoc foreign rebinding must not survive re-registration")
   }
+
+  test("registerUdaf: repeat calls keep the same binding; a foreign " +
+      "rebinding is reclaimed (the q93 bloom_agg registration path)") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val s2 = spark.newSession()
+    val id = FunctionIdentifier("bloom_agg_test")
+    def udafFn = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BloomFilterAgg(1 << 10),
+      org.apache.spark.sql.Encoders.scalaLong)
+    def bound = s2.sessionState.functionRegistry.lookupFunctionBuilder(id)
+    GraftFunctions.registerUdaf(s2, "bloom_agg_test", udafFn)
+    val first = bound
+    assert(first.isDefined, "first call must bind the name")
+    // repeat call: silent no-op — the registry binding is IDENTICALLY
+    // the one the first call installed (no 'replaced a previously
+    // registered function' warn per query invocation)
+    GraftFunctions.registerUdaf(s2, "bloom_agg_test", udafFn)
+    assert(bound.exists(b => first.exists(_ eq b)),
+      "repeat registerUdaf must not re-replace its own live binding")
+    // the function actually works through SQL
+    val bf = s2.sql(
+      "SELECT bloom_agg_test(xxhash64(cast(id as string))) FROM range(50)")
+      .head().getAs[Array[Byte]](0)
+    assert(bf.length == (1 << 10) / 8 && bf.exists(_ != 0))
+    // a foreign rebinding AFTER registration loses on the next call —
+    // identity guard, not once-per-session
+    s2.udf.register("bloom_agg_test", (x: Long) => x)
+    GraftFunctions.registerUdaf(s2, "bloom_agg_test", udafFn)
+    val re = s2.sql(
+      "SELECT bloom_agg_test(xxhash64(cast(id as string))) FROM range(50)")
+      .head().getAs[Array[Byte]](0)
+    assert(re.length == (1 << 10) / 8,
+      "a post-hoc foreign rebinding must be reclaimed as the aggregate")
+  }
 }
