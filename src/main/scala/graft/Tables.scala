@@ -78,13 +78,22 @@ object Det {
     * which money/quantity columns pin. */
   def davg(c: Column, scale: Int = 2, digits: Int = 4): Column = {
     val p = math.round(math.pow(10, digits))
-    val s = sum((c.cast(DecimalType(18, scale)) * p).cast("long"))
+    // the scaled SUM accumulates in DECIMAL(38,0), not LongType: a
+    // 100 TB group (10^12 rows × a 10^8-scaled value) tops 2^63, and
+    // under ANSI a long sum THROWS on overflow — dsum's decimal rule
+    // applies to the scaled sum too (the DuckDB twin is immune by
+    // construction: its sum(BIGINT) widens to HUGEINT). Per-row the
+    // scaled value still fits decimal exactly (digits >= scale, so
+    // c·10^d is integral).
+    val s = sum((c.cast(DecimalType(18, scale)) * p).cast(DecimalType(38, 0)))
     val n = count(lit(1))
     val num = s * lit(2L) + n
     val den = n * lit(2L)
-    // integral `div`, NOT long `/`: Spark's `/` is double division,
-    // exact only while num < 2^53 — a 100 TB partition's scaled sum
-    // exceeds that and would drift from the oracle's exact `//`
+    // integral `div`, NOT `/`: on these operands Spark's `/` is
+    // decimal/double division with rounding — the half-up construction
+    // needs the exact floored quotient, which `div` gives for decimal
+    // and long operands alike (result is LongType: the QUOTIENT is a
+    // mean scaled by 10^d, small even when the sum is huge)
     call_function("div", num, den) / lit(p.toDouble)
   }
 
