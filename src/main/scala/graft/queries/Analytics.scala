@@ -86,8 +86,11 @@ object Analytics {
         .select("user_id").distinct()
       su.agg(count(lit(1)).as("signups"))
         .crossJoin(converted.agg(count(lit(1)).as("converted")))
+        // zero-signup guard (the empty corpus): ANSI `div 0` throws in
+        // Spark while DuckDB's `// 0` is NULL — pin NULL on both
         .select(col("signups"), col("converted"),
-          expr("(converted * 10000) div signups").as("conv_e4"))
+          when(col("signups") > 0,
+            expr("(converted * 10000) div signups")).as("conv_e4"))
     }),
 
     // q69: event-path analysis — each user's ordered path over their
@@ -180,9 +183,12 @@ object Analytics {
       s1.agg(count(lit(1)).as("n_signup"))
         .crossJoin(s2.agg(count(lit(1)).as("n_click")))
         .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
+        // zero-signup guard, same contract as q60's conv_e4
         .select(col("n_signup"), col("n_click"), col("n_purchase"),
-          expr("(n_click * 10000) div n_signup").as("step2_bp"),
-          expr("(n_purchase * 10000) div n_signup").as("step3_bp"))
+          when(col("n_signup") > 0,
+            expr("(n_click * 10000) div n_signup")).as("step2_bp"),
+          when(col("n_signup") > 0,
+            expr("(n_purchase * 10000) div n_signup")).as("step3_bp"))
     }),
 
     // q84: RFM customer segmentation — recency / frequency / monetary

@@ -36,7 +36,12 @@ class ContractSpec extends SparkSpec {
       }
       val failures = SparkEntry.queries.toList.sortBy(_._1)
         .flatMap { case (k, q) =>
-          try { q(spark, dir.getAbsolutePath).count(); None }
+          // collect(), NOT count(): count() column-prunes the final
+          // projection, so a per-row expression that throws on the
+          // degraded domain (an ANSI 0 div 0, a cast, a parse) would
+          // never execute and the sweep would vacuously pass — exactly
+          // the blind spot that hid q60's empty-input divide-by-zero
+          try { q(spark, dir.getAbsolutePath).collect(); None }
           catch { case e: Exception =>
             Some(s"$k: ${e.getClass.getSimpleName} " +
               String.valueOf(e.getMessage).linesIterator.take(1).mkString)
