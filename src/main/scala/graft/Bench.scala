@@ -17,8 +17,22 @@ package graft
   * A query that throws is recorded under "errors" — NOT under "queries"
   * — because a time-to-exception reads as a (fast) success and masked a
   * real crash in round 3. A clean run has no "errors" key.
+  *
+  * Execution is a noop-sink WRITE, not count(): count() lets Catalyst
+  * column-prune the final projection, so a map-only scoring query
+  * (q41's regex ratios, q42's tokenizers, q71/q76's vector math) was
+  * timed as little more than its scan — the measured work silently
+  * excluded exactly the expressions those queries exist to run. The
+  * noop sink consumes every output column (full projection, final
+  * sort included) with zero driver materialization and no I/O cost,
+  * so timings are the real per-query work. Methodology delta vs the
+  * count()-based rounds 1-8 is measured and recorded in
+  * IMPLEMENTATION.md's bench-protocol note.
   */
 object Bench {
+  private def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's core count: an unset SPARK_GRAFT_CPUS
@@ -45,7 +59,7 @@ object Bench {
     // like-with-like (cold total ~= warmup_sec, warm total = value).
     val w0 = System.nanoTime()
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
+      try exec(SparkEntry.queries(n)(spark, sfDir))
       catch { case _: Throwable => () }
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
@@ -56,7 +70,7 @@ object Bench {
       val secs = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
-          SparkEntry.queries(name)(spark, sfDir).count()
+          exec(SparkEntry.queries(name)(spark, sfDir))
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           errors += name -> s"${e.getClass.getName}: ${e.getMessage}"

@@ -16,6 +16,20 @@ object Relational {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Spark Percentile-expression interpolation replayed verbatim over
+    * pre-picked bracketing values (q46): pos = p·(n−1); the bracketing
+    * row when pos is integral, else the convex combination
+    * (ceil(pos)−pos)·lo + (pos−floor(pos))·hi — the exact double
+    * arithmetic of Percentile.getPercentile, so the domain-counts
+    * formulation is bit-identical to the aggregate it replaces.
+    * Expects columns `n` (group row count), `lo`, `hi`. */
+  private def interpolate(p: String, lo: String, hi: String) = {
+    val pos = s"($p * cast(n - 1 as double))"
+    expr(s"""CASE WHEN floor($pos) = ceil($pos) THEN $lo
+             ELSE (ceil($pos) - $pos) * $lo + ($pos - floor($pos)) * $hi
+             END""")
+  }
+
   val queries: Map[String, Q] = Map(
     // q01: scan + count
     "q01_scan_count" -> ((s, d) =>
@@ -392,16 +406,52 @@ object Relational {
         ORDER BY status, prio""")
     }),
 
-    // q46: exact percentiles / median per group (interpolated)
-    "q46_percentiles" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 4)
-            .as("p50"),
-          round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 4)
-            .as("p90"))
-        .orderBy("l_returnflag")),
+    // q46: exact percentiles / median per group (interpolated) — NOT
+    // the percentile_cont aggregate, which buffers every group value
+    // into one reducer's object buffer (corpus-sized single-task state
+    // at 100 TB, and the honest noop-sink bench measured it at 3.2 s
+    // where count() had hidden it at 0.16 s). The q88 value-domain
+    // formulation instead: a 2-decimal money column has a BOUNDED
+    // domain no matter the corpus size, so groupBy(flag, price) counts
+    // shrink the data map-side, a per-flag cumulative window runs over
+    // domain-sized input, and ONE tiny aggregate picks the bracketing
+    // values. The interpolation replays Spark's Percentile expression
+    // arithmetic exactly — pos = p·(n−1); lo when pos is integral,
+    // else the convex form (ceil(pos)−pos)·lo + (pos−floor(pos))·hi
+    // (NOT lo + (hi−lo)·frac, which can differ in the last ULP) — so
+    // the result (and the DuckDB quantile_cont oracle match) is
+    // bit-identical to the aggregate it replaces.
+    "q46_percentiles" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val vc = t(s, d, "lineitem")
+        // percentile_cont skips NULL inputs; mirror the domain
+        .filter(col("l_extendedprice").isNotNull)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("x"))
+        .agg(count(lit(1)).as("cnt"))
+      val cume = vc
+        .withColumn("run", sum("cnt").over(W.partitionBy("l_returnflag")
+          .orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("tot", sum("cnt").over(W.partitionBy("l_returnflag")))
+      def pick(p: String, name: String) = {
+        // 0-based fractional rank, identical to Percentile's position
+        val pos = expr(s"$p * cast(tot - 1 as double)")
+        val lo = min(when(col("run") >= floor(pos) + 1, col("x")))
+        val hi = min(when(col("run") >= ceil(pos) + 1, col("x")))
+        // ceil(pos)+1 can exceed tot only when frac = 0 (pos integral),
+        // where hi is unused: coalesce keeps the arithmetic total
+        (lo, coalesce(hi, lo), name)
+      }
+      val (lo50, hi50, _) = pick("0.5", "p50")
+      val (lo90, hi90, _) = pick("0.9", "p90")
+      cume.groupBy("l_returnflag")
+        .agg(max("tot").as("n"),
+          lo50.as("lo50"), hi50.as("hi50"),
+          lo90.as("lo90"), hi90.as("hi90"))
+        .select(col("l_returnflag"),
+          round(interpolate("0.5", "lo50", "hi50"), 4).as("p50"),
+          round(interpolate("0.9", "lo90", "hi90"), 4).as("p90"))
+        .orderBy("l_returnflag")
+    }),
 
     // q49: hot-key-safe aggregation — the two-phase salted aggregate
     // (operators.Skew) under the oracle gate: results must be identical
@@ -472,24 +522,35 @@ object Relational {
         ORDER BY o.o_orderkey""")
     }),
 
-    // q87: winsorized robust stats — per-group p05/p95 cutpoints via
-    // percentile_disc (an ACTUAL data value, no interpolation: the
-    // cross-engine-exact choice; DuckDB twin is the literal SQL-standard
-    // definition, min(x) where cume_dist >= p), then the mean of the
-    // clamped column. Each clamped price converts to exact integer
-    // CENTS per row (decimal(18,2) * 100 -> bigint), so the sum is
-    // order-independent and the mean is a floored integer division —
-    // no double summation, no decimal-division scale rules. The
-    // cutpoint aggregate holds per-group sorted state like q46; the
-    // clamp+sum pass is map-side partial aggregation after a 3-row
-    // broadcast join.
+    // q87: winsorized robust stats — per-group p05/p95 cutpoints with
+    // percentile_disc SEMANTICS (an ACTUAL data value, no
+    // interpolation: the cross-engine-exact choice; DuckDB twin is the
+    // literal SQL-standard definition, min(x) where cume_dist >= p)
+    // computed via the q88/q46 value-domain counts formulation — the
+    // percentile_disc AGGREGATE buffers every group value into one
+    // reducer (corpus-sized single-task state at 100 TB; the honest
+    // noop bench measured it at 2.7 s where count() had hidden it).
+    // cume_dist >= p is decided in exact INTEGER arithmetic
+    // (20·run >= tot, 20·run >= 19·tot), no double division anywhere.
+    // Then the mean of the clamped column: each clamped price converts
+    // to exact integer CENTS per row (decimal(18,2) * 100 -> bigint),
+    // so the sum is order-independent and the mean is a floored
+    // integer division — no double summation, no decimal-division
+    // scale rules. The clamp+sum pass is map-side partial aggregation
+    // after a 3-row broadcast join.
     "q87_winsorize" -> ((s, d) => {
-      val cut = t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(
-          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)")
-            .as("p05"),
-          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
-            .as("p95"))
+      val W = org.apache.spark.sql.expressions.Window
+      val cut = t(s, d, "lineitem")
+        // percentile_disc skips NULL inputs; mirror the domain
+        .filter(col("l_extendedprice").isNotNull)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("x"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("run", sum("cnt").over(W.partitionBy("l_returnflag")
+          .orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("tot", sum("cnt").over(W.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(min(when(col("run") * 20 >= col("tot"), col("x"))).as("p05"),
+          min(when(col("run") * 20 >= col("tot") * 19, col("x"))).as("p95"))
       t(s, d, "lineitem")
         .join(broadcast(cut), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("p05"), col("p95"),
