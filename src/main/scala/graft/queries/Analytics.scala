@@ -193,12 +193,18 @@ object Analytics {
 
     // q84: RFM customer segmentation — recency / frequency / monetary
     // quartile scores. Deliberately NOT ntile over a global-order
-    // window (one task at scale): quartile CUTPOINTS are one tiny
+    // window (one task at scale): quartile CUTPOINTS are one 1-row
     // percentile aggregate broadcast to every row, and scoring is a
-    // map-side comparison — the formulation that survives a 100x
-    // customer count. Cutpoint comparisons are IEEE-identical
-    // cross-engine (q46 pinned percentile_cont parity); monetary uses
-    // the Det decimal-exact sum.
+    // map-side comparison. Honest caveat: `mon` is a per-customer SUM
+    // (continuous, unbounded value domain), so its percentile_cont
+    // state buffers the per-customer rows in one reducer — the q46/q88
+    // value-domain rewrite does NOT apply; at an extreme customer
+    // count the cutpoints would move to an approx-quantile sketch
+    // (rank error only shifts quartile BOUNDARIES). rec/freq are
+    // domain-bounded and could rewrite, but splitting the three
+    // measures across two formulations buys nothing while mon binds.
+    // Cutpoint comparisons are IEEE-identical cross-engine (q46 pinned
+    // percentile_cont parity); monetary uses the Det decimal-exact sum.
     "q84_rfm_segments" -> ((s, d) => {
       val base = Tables.load(s, d, "orders")
         .groupBy("o_custkey")
