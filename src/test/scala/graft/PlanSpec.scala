@@ -44,6 +44,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "map-side partial aggregation expected")
   }
 
+  test("q13 shares one physical sum buffer per column between dsum and " +
+      "davg (Catalyst dedupes the identical agg expressions)") {
+    // Det.davg rescales AFTER aggregation, so avg_qty/avg_price ride
+    // sum_qty/sum_base_price's buffers: the final HashAggregate carries
+    // exactly 5 sums (qty, extendedprice, disc_price, charge, discount)
+    // + 1 count for 8 output aggregates. A davg refactor that
+    // reintroduces a per-row scaled sum shows up here as a 6th/7th sum.
+    val p = finalPlan("q13_hash_agg")
+    val finalAgg = p.linesIterator
+      .find(l => l.contains("HashAggregate") && !l.contains("partial_"))
+      .getOrElse(fail(s"no final HashAggregate line in:\n$p"))
+    val nSums = "sum\\(".r.findAllIn(finalAgg).size
+    assert(nSums == 5, s"expected 5 deduped sums, got $nSums:\n$finalAgg")
+    assert("count\\(".r.findAllIn(finalAgg).size == 1, finalAgg)
+  }
+
   test("q17 argmax contains no Window operator") {
     val p = finalPlan("q17_argmax")
     assert(!p.contains("Window"), "argmax must stay aggregation-based")
