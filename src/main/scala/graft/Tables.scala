@@ -77,6 +77,11 @@ object Det {
     * matches `//`'s truncation only on the non-negative domain —
     * which money/quantity columns pin. */
   def davg(c: Column, scale: Int = 2, digits: Int = 4): Column = {
+    // S·10^d is integral ONLY when d >= scale; below that the
+    // decimal(38,0) cast would HALF_UP-round S·10^d silently and the
+    // "exact" mean would quietly stop being exact — fail at plan
+    // construction instead
+    require(digits >= scale, s"davg needs digits ($digits) >= scale ($scale)")
     val p = math.round(math.pow(10, digits))
     // the sum is dsum's EXACT decimal sum, scaled by 10^d only AFTER
     // aggregation: 2·(Σv)·10^d + n = 2·Σ(v·10^d) + n exactly (decimal
@@ -122,6 +127,9 @@ object Det {
   def sqlDsum(col: String, scale: Int = 2): String =
     s"CAST(sum(CAST($col AS DECIMAL(18,$scale))) AS DOUBLE)"
   def sqlDavg(col: String, scale: Int = 2, digits: Int = 4): String = {
+    // same integrality precondition as davg (v·10^d must be a whole
+    // number or DuckDB's BIGINT cast rounds it)
+    require(digits >= scale, s"sqlDavg needs digits ($digits) >= scale ($scale)")
     val p = math.round(math.pow(10, digits))
     s"(((2 * sum(CAST(CAST($col AS DECIMAL(18,$scale)) * $p AS BIGINT))" +
       s" + count(*)) // (2 * count(*))) / $p.0)"
