@@ -13,7 +13,52 @@ enforcement then applies to just that subset. The driver passes no
 `only` and gets the full-registry check.
 """
 import json, math, sys
+import hashlib, struct
+from decimal import Decimal
 import duckdb
+
+
+def canon(v):
+    """Canonical string form of one value — the Python mirror of
+    graft.Verify.canon (same rules, by contract). Lets a hash failure be
+    localized to a COLUMN: Verify writes _colhash/<q>.json sidecars from
+    the Spark dump; we recompute the same hashes from DuckDB's rows."""
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return format(struct.unpack(">Q", struct.pack(">d", v))[0], "016x")
+    if isinstance(v, Decimal):
+        return format(v, "f")
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, tuple):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):  # DuckDB STRUCT → canon as Spark Row (field order)
+        return "{" + ",".join(canon(x) for x in v.values()) + "}"
+    import datetime
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        us = (v - epoch) // datetime.timedelta(microseconds=1)
+        return str(us)
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def col_hashes(cols, rows):
+    """column → md5 of the NUL-joined canonical value stream (row order)."""
+    digests = [hashlib.md5() for _ in cols]
+    for row in rows:
+        for i, v in enumerate(row):
+            digests[i].update(canon(v).encode("utf-8"))
+            digests[i].update(b"\x00")
+    return {c: d.hexdigest() for c, d in zip(cols, digests)}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -77,11 +122,35 @@ def main(sf_dir, out_dir, only=None):
             n_fail += 1
             continue
         bad = [(i, g, e) for i, (g, e) in enumerate(zip(got, exp)) if g != e]
+        # per-column verdicts (VERDICT r9 task 2): localize any
+        # divergence to named columns, and cross-check the Scala-side
+        # sidecar so a canonicalization drift between Verify.canon and
+        # canon() above surfaces here instead of muddying a diagnosis
+        gh, eh = col_hashes(gcols, got), col_hashes(ecols, exp)
+        badcols = [c for c in gcols if gh[c] != eh[c]]
+        side = f"{out_dir}/_colhash/{name}.json"
+        if os.path.exists(side):
+            sc = json.load(open(side))
+            drift = [c for c in gcols
+                     if c in sc and sc[c] != gh[c]]
+            if drift:
+                print(f"  !! {name}: sidecar/py canon drift on {drift} "
+                      "(Verify.canon vs check.canon disagree — fix the "
+                      "canonicalizers, the data may be fine)")
         if bad:
             i, g, e = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(got)} rows differ; "
+                  f"divergent columns: {badcols}; "
                   f"first at {i}:\n  spark={g}\n  duck ={e}\n  cols={gcols}")
             n_fail += 1
+        elif badcols:
+            # value-equal but canonical-form-different (±0.0, decimal
+            # scale): the kind of latent divergence a stricter driver
+            # hash could trip on — warn loudly, don't fail the gate
+            print(f"  ok {name}: {len(got)} rows  "
+                  f"!! canonical-form divergence in {badcols} "
+                  "(values equal; e.g. -0.0 vs 0.0 or decimal scale)")
+            n_pass += 1
         else:
             print(f"  ok {name}: {len(got)} rows")
             n_pass += 1

@@ -80,8 +80,11 @@ object Det {
     // S·10^d is integral ONLY when d >= scale; below that the
     // decimal(38,0) cast would HALF_UP-round S·10^d silently and the
     // "exact" mean would quietly stop being exact — fail at plan
-    // construction instead
-    require(digits >= scale, s"davg needs digits ($digits) >= scale ($scale)")
+    // construction instead. Upper bound: p must be an exact Long power
+    // of ten, and math.round(math.pow(10, d)) silently saturates at
+    // Long.MaxValue past d = 18 — wrong scale factor, not an error
+    require(digits >= scale && digits <= 18,
+      s"davg needs 18 >= digits ($digits) >= scale ($scale)")
     val p = math.round(math.pow(10, digits))
     // the sum is dsum's EXACT decimal sum, scaled by 10^d only AFTER
     // aggregation: 2·(Σv)·10^d + n = 2·Σ(v·10^d) + n exactly (decimal
@@ -91,7 +94,8 @@ object Det {
     // run once per GROUP on the aggregated scalar), and a query that
     // computes dsum(c) next to davg(c) shares ONE physical aggregate
     // buffer (Catalyst dedupes identical agg expressions — q13's
-    // sum_qty/avg_qty pairs collapse; measured 2.2 s → ~1.3 s). Sum
+    // sum_qty/avg_qty pairs collapse; measured 2.17 s → 1.84 s at
+    // sf0.1 — see IMPLEMENTATION.md's q13 bench record). Sum
     // headroom now matches dsum's decimal(28,scale) — 26 integral
     // digits, ~10 orders above a 10^12-row × 10^5-value group — and
     // under ANSI an overflow THROWS rather than wrapping (the DuckDB
@@ -117,6 +121,9 @@ object Det {
     * ANSI integer div-by-zero throw would otherwise diverge from
     * whatever the oracle does on an empty document. */
   def dratio(num: Column, den: Column, digits: Int = 4): Column = {
+    require(digits >= 0 && digits <= 18,
+      s"dratio needs 0 <= digits ($digits) <= 18: 10^digits must be an " +
+        "exact Long (math.round(pow) saturates past 18)")
     val p = math.round(math.pow(10, digits))
     val n2 = num.cast("long") * lit(2L * p) + den.cast("long")
     val d2 = den.cast("long") * lit(2L)
@@ -129,7 +136,8 @@ object Det {
   def sqlDavg(col: String, scale: Int = 2, digits: Int = 4): String = {
     // same integrality precondition as davg (v·10^d must be a whole
     // number or DuckDB's BIGINT cast rounds it)
-    require(digits >= scale, s"sqlDavg needs digits ($digits) >= scale ($scale)")
+    require(digits >= scale && digits <= 18,
+      s"sqlDavg needs 18 >= digits ($digits) >= scale ($scale)")
     val p = math.round(math.pow(10, digits))
     s"(((2 * sum(CAST(CAST($col AS DECIMAL(18,$scale)) * $p AS BIGINT))" +
       s" + count(*)) // (2 * count(*))) / $p.0)"
@@ -137,6 +145,8 @@ object Det {
   /** dratio's DuckDB twin: BIGINT `//` truncates toward zero, which on
     * the pinned non-negative domain equals dratio's floor. */
   def sqlDratio(num: String, den: String, digits: Int = 4): String = {
+    require(digits >= 0 && digits <= 18,
+      s"sqlDratio needs 0 <= digits ($digits) <= 18")
     val p = math.round(math.pow(10, digits))
     s"(CASE WHEN $den > 0 THEN ((2 * $p * CAST($num AS BIGINT) + $den)" +
       s" // (2 * CAST($den AS BIGINT))) / $p.0 END)"

@@ -1,5 +1,6 @@
 package graft
 import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
@@ -14,6 +15,69 @@ import java.nio.file.{Files, Paths}
   * against the dump dir, so a missing key reads as FAIL, not pass.
   */
 object Verify {
+  /** Canonical string form of one output value, shared (by contract,
+    * not by code) with `canon()` in scripts/check.py: when a DRIVER
+    * hash fails but the local compare passes (round 9's q136), the
+    * per-column sidecar hashes below name the divergent COLUMN instead
+    * of costing a round of guessing (VERDICT r9 task 2). Floats go out
+    * as raw IEEE-754 bit patterns (NaN spelled out) so no decimal
+    * formatter is in the loop; timestamps as epoch micros; decimals as
+    * plain strings — every rule chosen because Python can reproduce it
+    * exactly from DuckDB's fetchall values.
+    */
+  private def canon(v: Any): String = v match {
+    case null => "∅"
+    case b: Boolean => if (b) "true" else "false"
+    case f: Float => canon(f.toDouble) // float→double widening is exact
+    case d: Double =>
+      if (d.isNaN) "NaN"
+      else f"${java.lang.Double.doubleToLongBits(d)}%016x"
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.underlying.toPlainString
+    case d: java.sql.Date => d.toLocalDate.toString
+    case d: java.time.LocalDate => d.toString
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case i: java.time.Instant =>
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+    case a: scala.collection.Seq[_] =>
+      a.map(canon).mkString("[", ",", "]")
+    case r: org.apache.spark.sql.Row =>
+      r.toSeq.map(canon).mkString("{", ",", "}")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => canon(k) + "=" + canon(x) }
+        .sorted.mkString("<", ",", ">")
+    case other => other.toString // integral types and strings
+  }
+
+  /** column name → md5 of the NUL-joined canonical value stream in dump
+    * row order, computed from the parquet actually written (so the
+    * sidecar hashes exactly the bytes the driver compares). */
+  private[graft] def columnHashes(
+      df: org.apache.spark.sql.DataFrame): Seq[(String, String, Long)] = {
+    val cols = df.columns
+    val digests = cols.map(_ => MessageDigest.getInstance("MD5"))
+    var rows = 0L
+    // driver-side iteration is the point here: Verify is the dump tool
+    // (single coalesced file, sf0.01), not a library operator
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      var i = 0
+      while (i < cols.length) {
+        digests(i).update(canon(row.get(i)).getBytes("UTF-8"))
+        digests(i).update(0.toByte)
+        i += 1
+      }
+      rows += 1
+    }
+    cols.zipWithIndex.map { case (c, i) =>
+      (c, digests(i).digest().map(x => f"$x%02x").mkString, rows)
+    }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     // match Bench: default to the machine's core count so dev runs and
@@ -49,6 +113,21 @@ object Verify {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          // per-column canonical hash sidecar (VERDICT r9 task 2):
+          // hashed from the parquet just written so row order is the
+          // dump's own; a driver-vs-local divergence next round reads
+          // as "column X differs", not "some hash differs"
+          try {
+            new java.io.File(s"$outDir/_colhash").mkdirs()
+            val hashes = columnHashes(spark.read.parquet(s"$outDir/$name"))
+            val body = hashes
+              .map { case (c, h, _) => s"${q(c)}: ${q(h)}" }
+            val rows = hashes.headOption.map(_._3).getOrElse(0L)
+            Files.writeString(Paths.get(s"$outDir/_colhash/$name.json"),
+              (body :+ s"${q("_rows")}: $rows").mkString("{", ",", "}"))
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name sidecar failed: $e")
+          }
           None
         } catch { case e: Throwable =>
           val msg = s"${e.getClass.getName}: ${e.getMessage}"

@@ -51,13 +51,35 @@ class PlanSpec extends SparkSpec {
     // exactly 5 sums (qty, extendedprice, disc_price, charge, discount)
     // + 1 count for 8 output aggregates. A davg refactor that
     // reintroduces a per-row scaled sum shows up here as a 6th/7th sum.
-    val p = finalPlan("q13_hash_agg")
-    val finalAgg = p.linesIterator
-      .find(l => l.contains("HashAggregate") && !l.contains("partial_"))
-      .getOrElse(fail(s"no final HashAggregate line in:\n$p"))
-    val nSums = "sum\\(".r.findAllIn(finalAgg).size
-    assert(nSums == 5, s"expected 5 deduped sums, got $nSums:\n$finalAgg")
-    assert("count\\(".r.findAllIn(finalAgg).size == 1, finalAgg)
+    // Counted on the executed plan TREE (typed agg modes on the
+    // HashAggregateExec nodes), not a plan-string regex — a Spark
+    // simpleString format change then can't mis-count silently.
+    val df = SparkEntry.queries("q13_hash_agg")(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      Complete, Count, Final, Sum}
+    // AQE materializes sub-stages as leaf QueryStageExec nodes, so a
+    // plain tree collect stops at stage boundaries — walk through them
+    val finals = scala.collection.mutable.Buffer.empty[HashAggregateExec]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case h: HashAggregateExec =>
+        if (h.aggregateExpressions.exists(e =>
+          e.mode == Final || e.mode == Complete)) finals += h
+        h.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(finals.size == 1,
+      s"expected exactly one final HashAggregate, got ${finals.size}")
+    val aggs = finals.head.aggregateExpressions
+    val nSums = aggs.count(_.aggregateFunction.isInstanceOf[Sum])
+    val nCounts = aggs.count(_.aggregateFunction.isInstanceOf[Count])
+    assert(nSums == 5, s"expected 5 deduped sums, got $nSums: $aggs")
+    assert(nCounts == 1, s"expected 1 count, got $nCounts: $aggs")
   }
 
   test("q17 argmax contains no Window operator") {
