@@ -88,6 +88,43 @@ object Similarity {
         .as("d2"))
   }
 
+  /** Micro-unit long format (vec_id, pos, vi): the exact-BIGINT
+    * quantization every Lloyd consumer shares. */
+  private def microEl(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        expr("cast(floor(cast(col as double) * 1000000 + 0.5) as bigint)")
+          .as("vi"))
+
+  /** Exact squared norms of the centroid sum vectors; an (impossible in
+    * practice, but guarded identically in the oracle) all-zero sum
+    * vector drops out rather than dividing by zero. */
+  private def centNorms(cent: DataFrame): DataFrame =
+    cent.groupBy("c_id")
+      .agg(sum(expr("cast(si as decimal(38,0)) * cast(si as decimal(38,0))"))
+        .as("cn2"))
+      .filter(col("cn2") > 0)
+
+  /** One exact assignment pass: every el vector to its nearest centroid
+    * by the scale-invariant ranking r = sign(dot)·dot²/cn2. Argmax per
+    * vector via max(struct(r, -c_id)) — the q17 trick: identical
+    * semantics to a (r DESC, c_id ASC) ranking window (ties on the
+    * exact double r break to the LOWEST c_id) but it fuses into the
+    * aggregate chain with no per-round sort. Centroids broadcast —
+    * the corpus never shuffles for them. */
+  private def assignTo(el: DataFrame, cent: DataFrame): DataFrame =
+    el.join(broadcast(cent), Seq("pos"))
+      .groupBy("vec_id", "c_id")
+      .agg(sum(expr("cast(vi as decimal(38,0)) * si")).as("dot"))
+      .join(broadcast(centNorms(cent)), Seq("c_id"))
+      .withColumn("r", expr(
+        """(case when dot >= 0 then 1.0d else -1.0d end)
+           * cast(dot as double) * cast(dot as double)
+           / cast(cn2 as double)"""))
+      .groupBy("vec_id")
+      .agg(max(struct(col("r"), (-col("c_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("c_id"))
+
   /** q50's Lloyd loop (k = 16 seeded from the first 16 vectors):
     * `iters` assign/recompute rounds over a micro-unit long format,
     * returning the final (vec_id, c_id) assignment.
@@ -121,38 +158,13 @@ object Similarity {
     * centroids never shuffle. */
   private[graft] def lloydAssignments(s: SparkSession, d: String,
       iters: Int): DataFrame = {
-    val el = graft.operators.Materialize.truncate(
-      emb(s, d).select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("pos"),
-          expr("cast(floor(cast(col as double) * 1000000 + 0.5) as bigint)")
-            .as("vi")))
+    val el = graft.operators.Materialize.truncate(microEl(emb(s, d)))
     var cent = graft.operators.Materialize.truncate(
       el.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("pos"), col("vi").as("si")))
     var asg: DataFrame = el.sparkSession.emptyDataFrame
     for (i <- 1 to iters) {
-      // exact squared norm of each centroid sum vector; an (impossible
-      // in practice, but guarded identically in the oracle) all-zero
-      // sum vector drops out rather than dividing by zero
-      val cn2 = cent.groupBy("c_id")
-        .agg(sum(expr("cast(si as decimal(38,0)) * cast(si as decimal(38,0))"))
-          .as("cn2"))
-        .filter(col("cn2") > 0)
-      // argmax per vector via max(struct(r, -c_id)) — the q17 trick:
-      // identical semantics to a (r DESC, c_id ASC) ranking window
-      // (ties on the exact double r break to the LOWEST c_id) but it
-      // fuses into the aggregate chain with no per-round sort
-      asg = el.join(broadcast(cent), Seq("pos"))
-        .groupBy("vec_id", "c_id")
-        .agg(sum(expr("cast(vi as decimal(38,0)) * si")).as("dot"))
-        .join(broadcast(cn2), Seq("c_id"))
-        .withColumn("r", expr(
-          """(case when dot >= 0 then 1.0d else -1.0d end)
-             * cast(dot as double) * cast(dot as double)
-             / cast(cn2 as double)"""))
-        .groupBy("vec_id")
-        .agg(max(struct(col("r"), (-col("c_id")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("c_id"))
+      asg = assignTo(el, cent)
       // the final round's recomputed centroids have no consumer — an
       // eager materialization there would be a pure waste job
       if (i < iters) cent = graft.operators.Materialize.truncate(
@@ -169,19 +181,45 @@ object Similarity {
     graft.operators.Materialize.truncate(asg)
   }
 
+  /** iters full Lloyd rounds (assign + recompute, INCLUDING the final
+    * recompute) over an already-materialized micro-unit `el`, seeded
+    * from its 16 lowest vec_ids; returns the final centroid SUM-vector
+    * table (k·dims rows, materialized). This is the TRAINING half used
+    * when training input ≠ assignment input (q139 trains on a sample,
+    * q140 routes probes against the final codebook): unlike
+    * lloydAssignments, the post-final-assignment centroids DO have
+    * consumers here, so the extra recompute is paid deliberately. */
+  private[graft] def lloydCentroids(el: DataFrame, iters: Int): DataFrame = {
+    val seeds = el.select("vec_id").distinct()
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("c_id"))
+    var cent = graft.operators.Materialize.truncate(
+      el.join(broadcast(seeds), col("vec_id") === col("c_id"))
+        .select(col("c_id"), col("pos"), col("vi").as("si")))
+    for (_ <- 1 to iters) {
+      val asg = assignTo(el, cent)
+      cent = graft.operators.Materialize.truncate(
+        el.join(asg, Seq("vec_id"))
+          .groupBy("c_id", "pos").agg(sum("vi").as("si")))
+    }
+    cent
+  }
+
   /** The q50 oracle's unrolled Lloyd rounds: CTEs n_i (norms), s_i
     * (dots), a_i (assignments), c_i (recomputed sum vectors) replaying
-    * lloydAssignments round by round with identical exact arithmetic. */
-  private def lloydRoundsSql(iters: Int): String =
+    * lloydAssignments round by round with identical exact arithmetic.
+    * `src` is the training-input CTE name — "el" for full-corpus
+    * training (q50/q140), the sampled CTE for q139. */
+  private def lloydRoundsSql(iters: Int, src: String = "el"): String =
     (1 to iters).map { i =>
       s"""n$i AS (SELECT c_id,
                sum(CAST(si AS DECIMAL(38,0)) * CAST(si AS DECIMAL(38,0)))
                  AS cn2
              FROM c${i - 1} GROUP BY c_id HAVING cn2 > 0),
-          s$i AS (SELECT el.vec_id, c.c_id,
-               sum(CAST(el.vi AS DECIMAL(38,0)) * c.si) AS dot
-             FROM el JOIN c${i - 1} c USING (pos)
-             GROUP BY el.vec_id, c.c_id),
+          s$i AS (SELECT $src.vec_id, c.c_id,
+               sum(CAST($src.vi AS DECIMAL(38,0)) * c.si) AS dot
+             FROM $src JOIN c${i - 1} c USING (pos)
+             GROUP BY $src.vec_id, c.c_id),
           a$i AS (SELECT vec_id, c_id FROM (
                SELECT s.vec_id, s.c_id, row_number() OVER (
                  PARTITION BY s.vec_id ORDER BY
@@ -190,9 +228,31 @@ object Similarity {
                      / CAST(n.cn2 AS DOUBLE) DESC,
                    s.c_id) AS rn
                FROM s$i s JOIN n$i n USING (c_id)) t WHERE rn = 1),
-          c$i AS (SELECT a.c_id, el.pos, sum(el.vi) AS si
-             FROM el JOIN a$i a USING (vec_id) GROUP BY a.c_id, el.pos)"""
+          c$i AS (SELECT a.c_id, $src.pos, sum($src.vi) AS si
+             FROM $src JOIN a$i a USING (vec_id) GROUP BY a.c_id, $src.pos)"""
     }.mkString(",\n")
+
+  /** The oracle's final-codebook CTEs shared by q139/q140: nf = exact
+    * norms of the trained sum vectors (c`iters`), sf/af = one full
+    * assignment pass of `el` against them — the SQL replay of
+    * assignTo(el, lloydCentroids(...)). */
+  private def assignVsFinalSql(iters: Int): String =
+    s"""nf AS (SELECT c_id,
+            sum(CAST(si AS DECIMAL(38,0)) * CAST(si AS DECIMAL(38,0)))
+              AS cn2
+          FROM c$iters GROUP BY c_id HAVING cn2 > 0),
+        sf AS (SELECT el.vec_id, c.c_id,
+            sum(CAST(el.vi AS DECIMAL(38,0)) * c.si) AS dot
+          FROM el JOIN c$iters c USING (pos)
+          GROUP BY el.vec_id, c.c_id),
+        af AS (SELECT vec_id, c_id FROM (
+            SELECT s.vec_id, s.c_id, row_number() OVER (
+              PARTITION BY s.vec_id ORDER BY
+                (CASE WHEN s.dot >= 0 THEN 1.0 ELSE -1.0 END)
+                  * CAST(s.dot AS DOUBLE) * CAST(s.dot AS DOUBLE)
+                  / CAST(n.cn2 AS DOUBLE) DESC,
+                s.c_id) AS rn
+            FROM sf s JOIN nf n USING (c_id)) t WHERE rn = 1)"""
 
   val queries: Map[String, Q] = Map(
     // q34: brute-force cosine top-10 vs probe vec_id = 0
@@ -467,6 +527,108 @@ object Similarity {
         .crossJoin(broadcast(scanned))
     }),
 
+    // q139: SAMPLED-TRAINING IVF — the 100 TB training story
+    // (SCALE.md's q50 paragraph) as an executable, oracled query
+    // instead of prose: the Lloyd loop trains the codebook on a
+    // deterministic CONTENT-HASH sample (the q80/q92 keep-rule
+    // family — md5 of the exact micro-unit CSV, a pure content
+    // function: reproducible across runs/engines/partitionings, no
+    // RNG, and never float formatting), then the FULL corpus is
+    // assigned map-side against the broadcast codebook — the shape
+    // that makes billion-vector IVF trainable: codebook quality
+    // saturates long before corpus size, so training cost is sample-
+    // sized while assignment stays one map-side pass. The rate here is
+    // 75% (12 of 16 leading md5 hex chars) because the fixture IS
+    // sample-sized — 500 near-uniform vectors for k=16 means the
+    // probe's neighborhood must be represented in training at all
+    // (measured: a 25% sample recalls 0/5, 50% recalls 1/5, 75%
+    // matches the full-train 4/5 while scanning 33 of 500); at corpus
+    // scale the rate drops as far as cluster structure allows and the
+    // keep rule is the same one-character compare. The summary row
+    // reports the honest price: recall_bp of the sampled-codebook
+    // probe against the exact brute-force top-5, next to n_scanned
+    // (probe cost) and n_train (training cost).
+    "q139_ivf_sampled" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val keep = expr(
+        """substr(md5(array_join(transform(embedding,
+             v -> cast(cast(floor(cast(v as double) * 1000000 + 0.5)
+                       as bigint) as string)), ',')), 1, 1)
+           NOT IN ('c', 'd', 'e', 'f')""")
+      val elS = graft.operators.Materialize.truncate(
+        microEl(e.filter(keep)))
+      val cent = lloydCentroids(elS, 3)
+      val el = graft.operators.Materialize.truncate(microEl(e))
+      val lists = graft.operators.Materialize.truncate(assignTo(el, cent))
+      val bestC = lists.filter(col("vec_id") === 0).select("c_id")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pe"))
+      val cand = e.join(lists, Seq("vec_id"))
+        .join(broadcast(bestC), Seq("c_id"))
+        .filter(col("vec_id") =!= 0)
+      val scanned = cand.agg(count(lit(1)).as("n_scanned"))
+      val ntrain = elS.select("vec_id").distinct()
+        .agg(count(lit(1)).as("n_train"))
+      val top = cand.crossJoin(broadcast(probe))
+        .select(col("vec_id"), round(cosine("embedding", "pe"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      val brute = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), round(cosine("embedding", "pe"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      brute.join(top.select("vec_id"), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(col("hits"), (col("hits") * 2000).as("recall_bp"))
+        .crossJoin(broadcast(scanned))
+        .crossJoin(broadcast(ntrain))
+    }),
+
+    // q140: MULTI-PROBE over the LEARNED codebook — q120's recall/cost
+    // knob composed with q50's trained centroids (the r9 verdict's
+    // "two halves exist, not composed"): inverted lists are one full
+    // assignment pass against the final 3-round codebook, and the
+    // probe ranks ALL k centroids by the same exact integer ranking
+    // the assignment uses, then scans its 2 nearest lists. Production
+    // IVF multi-probe exactly: probe cost ∝ the probed lists' sizes,
+    // never the corpus; the 2nd list buys back the recall a borderline
+    // probe loses when its true neighbors sit across a Voronoi face.
+    // Summary row: hits + recall_bp vs the exact brute arm, n_scanned
+    // the price.
+    "q140_multiprobe_learned" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val el = graft.operators.Materialize.truncate(microEl(e))
+      val cent = lloydCentroids(el, 3)
+      val lists = graft.operators.Materialize.truncate(assignTo(el, cent))
+      val pr = el.filter(col("vec_id") === 0)
+        .join(broadcast(cent), Seq("pos"))
+        .groupBy("c_id")
+        .agg(sum(expr("cast(vi as decimal(38,0)) * si")).as("dot"))
+        .join(broadcast(centNorms(cent)), Seq("c_id"))
+        .withColumn("r", expr(
+          """(case when dot >= 0 then 1.0d else -1.0d end)
+             * cast(dot as double) * cast(dot as double)
+             / cast(cn2 as double)"""))
+        .orderBy(col("r").desc, col("c_id")).limit(2)
+        .select("c_id")
+      val cand = e.join(lists, Seq("vec_id"))
+        .join(broadcast(pr), Seq("c_id"))
+        .filter(col("vec_id") =!= 0)
+      val scanned = cand.agg(count(lit(1)).as("n_scanned"))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pe"))
+      val top = cand.crossJoin(broadcast(probe))
+        .select(col("vec_id"), round(cosine("embedding", "pe"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      val brute = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), round(cosine("embedding", "pe"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      brute.join(top.select("vec_id"), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(col("hits"), (col("hits") * 2000).as("recall_bp"))
+        .crossJoin(broadcast(scanned))
+    }),
+
     // q117: SemDeDup-style SEMANTIC dedup — the embedding-space twin of
     // the text dedup chain (q35 LSH candidates -> q67 clusters -> q102
     // canon): near-duplicate MEANING, not near-duplicate bytes, is what
@@ -694,6 +856,98 @@ object Similarity {
                 WHERE vec_id IN (SELECT vec_id FROM top5))
           SELECT hits, hits * 2000 AS recall_bp,
             (SELECT n_scanned FROM sc) AS n_scanned FROM h""",
+
+    // sampled training: els is the 75% md5-of-content sample, the
+    // Lloyd CTEs replay over els only, then ONE full assignment pass
+    // (assignVsFinalSql) routes the whole corpus against the trained
+    // codebook — the exact SQL mirror of lloydCentroids(elS, 3) +
+    // assignTo(el, cent)
+    "q139_ivf_sampled" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                     FROM embeddings),
+          el AS (SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                     + 0.5) AS BIGINT) AS vi
+                 FROM embeddings),
+          samp AS (SELECT vec_id FROM (
+                 SELECT vec_id, substr(md5(array_to_string(
+                     list_transform(embedding,
+                       v -> CAST(CAST(floor(CAST(v AS DOUBLE) * 1000000
+                         + 0.5) AS BIGINT) AS VARCHAR)), ',')), 1, 1) AS hk
+                 FROM embeddings) t
+               WHERE hk NOT IN ('c', 'd', 'e', 'f')),
+          els AS (SELECT el.* FROM el JOIN samp USING (vec_id)),
+          c0 AS (SELECT vec_id AS c_id, pos, vi AS si FROM els
+                 WHERE vec_id IN (SELECT vec_id FROM samp
+                                  ORDER BY vec_id LIMIT 16)),
+          ${lloydRoundsSql(3, "els")},
+          ${assignVsFinalSql(3)},
+          p AS (SELECT emb AS pe FROM e WHERE vec_id = 0),
+          cand AS (SELECT e.vec_id, e.emb FROM e JOIN af USING (vec_id)
+                   WHERE af.c_id = (SELECT c_id FROM af WHERE vec_id = 0)
+                     AND e.vec_id <> 0),
+          top5 AS (SELECT vec_id FROM (
+                 SELECT c.vec_id,
+                   round(list_cosine_similarity(c.emb, p.pe), 4) AS sim
+                 FROM cand c, p ORDER BY sim DESC, vec_id LIMIT 5) t),
+          brute AS (SELECT vec_id FROM (
+                 SELECT e.vec_id,
+                   round(list_cosine_similarity(e.emb, p.pe), 4) AS sim
+                 FROM e, p WHERE e.vec_id <> 0
+                 ORDER BY sim DESC, vec_id LIMIT 5) t),
+          h AS (SELECT count(*) AS hits FROM brute
+                WHERE vec_id IN (SELECT vec_id FROM top5))
+          SELECT hits, hits * 2000 AS recall_bp,
+            (SELECT count(*) FROM cand) AS n_scanned,
+            (SELECT count(*) FROM samp) AS n_train
+          FROM h""",
+
+    // full-corpus training (c0 = first 16 vectors, as q50), one
+    // assignment pass against the FINAL codebook c3 for the inverted
+    // lists, probe ranked against all centroids, 2 nearest lists
+    // scanned
+    "q140_multiprobe_learned" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                     FROM embeddings),
+          el AS (SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                     + 0.5) AS BIGINT) AS vi
+                 FROM embeddings),
+          c0 AS (SELECT vec_id AS c_id, pos, vi AS si FROM el
+                 WHERE vec_id < 16),
+          ${lloydRoundsSql(3)},
+          ${assignVsFinalSql(3)},
+          pr AS (SELECT c_id FROM (
+                 SELECT s.c_id, row_number() OVER (ORDER BY
+                     (CASE WHEN s.dot >= 0 THEN 1.0 ELSE -1.0 END)
+                       * CAST(s.dot AS DOUBLE) * CAST(s.dot AS DOUBLE)
+                       / CAST(n.cn2 AS DOUBLE) DESC,
+                     s.c_id) AS rn
+                 FROM (SELECT c.c_id,
+                         sum(CAST(el.vi AS DECIMAL(38,0)) * c.si) AS dot
+                       FROM el JOIN c3 c USING (pos)
+                       WHERE el.vec_id = 0 GROUP BY c.c_id) s
+                 JOIN nf n USING (c_id)) t WHERE rn <= 2),
+          p AS (SELECT emb AS pe FROM e WHERE vec_id = 0),
+          cand AS (SELECT e.vec_id, e.emb FROM e
+                   JOIN af USING (vec_id) JOIN pr ON af.c_id = pr.c_id
+                   WHERE e.vec_id <> 0),
+          top5 AS (SELECT vec_id FROM (
+                 SELECT c.vec_id,
+                   round(list_cosine_similarity(c.emb, p.pe), 4) AS sim
+                 FROM cand c, p ORDER BY sim DESC, vec_id LIMIT 5) t),
+          brute AS (SELECT vec_id FROM (
+                 SELECT e.vec_id,
+                   round(list_cosine_similarity(e.emb, p.pe), 4) AS sim
+                 FROM e, p WHERE e.vec_id <> 0
+                 ORDER BY sim DESC, vec_id LIMIT 5) t),
+          h AS (SELECT count(*) AS hits FROM brute
+                WHERE vec_id IN (SELECT vec_id FROM top5))
+          SELECT hits, hits * 2000 AS recall_bp,
+            (SELECT count(*) FROM cand) AS n_scanned
+          FROM h""",
 
     // q38's edge predicate + q67's recursive-CTE transitive closure;
     // dropped = every node whose component holds a smaller id

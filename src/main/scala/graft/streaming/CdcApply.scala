@@ -16,23 +16,36 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   * feed moves only the delta, and state is O(live keys)).
   *
   * Emission is update-mode: one row per key per batch carrying the
-  * LAST applied op, an explicit `live` flag, and the post-apply body.
-  * The latest emission per key IS the view; `live = false` is the
-  * tombstone, applied by absence exactly like the batch side
-  * (StreamingSpec proves set equality with oracled q137). Liveness is
-  * its own column — NOT "body is null" — because a NULL-text document
-  * is a legal live row (q110/snapshotSides: a NULL-text doc has a NULL
-  * digest), so body nullness cannot double as the delete marker. For
-  * the same reason state wraps the body in a product ([[CdcApply.Doc]]):
-  * ValueState rejects a bare null value, and a null-body insert must
-  * materialize, not kill the query. Within a batch, ops apply in
-  * ascending seq order — CDC feeds are ordered per key by
-  * construction; cross-key order is irrelevant to a keyed store.
+  * WINNING op (highest seq applied so far), an explicit `live` flag,
+  * and the post-apply body. The latest emission per key IS the view;
+  * `live = false` is the tombstone, applied by absence exactly like
+  * the batch side (StreamingSpec proves set equality with oracled
+  * q137). Liveness is its own column — NOT "body is null" — because a
+  * NULL-text document is a legal live row (q110/snapshotSides: a
+  * NULL-text doc has a NULL digest), so body nullness cannot double as
+  * the delete marker. For the same reason state wraps the body in a
+  * product ([[CdcApply.Doc]]): ValueState rejects a bare null value,
+  * and a null-body insert must materialize, not kill the query.
+  *
+  * OUT-OF-ORDER feeds (r10): conflict resolution is last-writer-wins
+  * on the per-key `seq` — an op applies only when its seq is strictly
+  * greater than the stored one, so an update delivered BEFORE its
+  * insert sticks (the late insert is recognized as stale and skipped),
+  * a delete beats any lower-seq resurrection, and duplicate deliveries
+  * (seq equal to the stored one) are idempotent no-ops — at-least-once
+  * transports apply exactly-once. The price: a delete stores a
+  * TOMBSTONE (live = false, seq retained) instead of clearing state,
+  * because the seq watermark is what refuses a late lower-seq insert;
+  * state is therefore O(keys ever seen), not O(live keys). At 100 TB a
+  * deployment bounds that with the store's TTL knob sized to the
+  * feed's maximum disorder horizon (tombstones older than the horizon
+  * can never lose to a late write); the fixture keeps TTL off so
+  * parity tests are exact over any staging.
   */
 class CdcApplyProcessor extends StatefulProcessor[
     Long, (Long, Long, String, String), (Long, String, Boolean, String)] {
   // in: (doc_id, seq, op, text) — op ∈ insert|update|delete
-  // out: (doc_id, last_op, live, body)
+  // out: (doc_id, winning_op, live, body)
   @transient private var body: ValueState[CdcApply.Doc] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -43,33 +56,39 @@ class CdcApplyProcessor extends StatefulProcessor[
       rows: Iterator[(Long, Long, String, String)],
       timerValues: TimerValues): Iterator[(Long, String, Boolean, String)] = {
     val ordered = rows.toSeq.sortBy(_._2)
-    var lastOp: String = null
+    if (ordered.isEmpty) return Iterator.empty
+    var cur = if (body.exists()) body.get() else null
     ordered.foreach { case (_, seq, op, text) =>
-      lastOp = op
-      op match {
-        case "delete" => body.clear()
-        case "insert" | "update" => body.update(CdcApply.Doc(text))
-        // the documented contract is op ∈ insert|update|delete — a
-        // malformed or differently-cased op must fail loudly, not
-        // silently upsert (a mangled "Delete" resurrecting the key as a
-        // live null-body document is corruption, not tolerance)
+      // the documented contract is op ∈ insert|update|delete — a
+      // malformed or differently-cased op must fail loudly EVEN WHEN
+      // STALE, not silently upsert (a mangled "Delete" resurrecting
+      // the key as a live null-body document is corruption, not
+      // tolerance)
+      val live = op match {
+        case "delete" => false
+        case "insert" | "update" => true
         case other => throw new IllegalArgumentException(
           s"CDC op must be insert|update|delete, got '$other' " +
             s"(doc_id=$key, seq=$seq)")
       }
+      // last-writer-wins: strictly-greater seq applies; equal seq is a
+      // duplicate delivery and lower seq a late straggler — both skip
+      if (cur == null || seq > cur.seq)
+        cur = CdcApply.Doc(if (live) text else null, seq, op, live)
     }
-    if (lastOp == null) Iterator.empty
-    else if (body.exists())
-      Iterator.single((key, lastOp, true, body.get().text))
-    else Iterator.single((key, lastOp, false, null))
+    body.update(cur)
+    Iterator.single((key, cur.op, cur.live, if (cur.live) cur.text else null))
   }
 }
 
 object CdcApply {
 
   /** Non-null state wrapper: the stored value is always a Doc (so the
-    * state store never sees a bare null), the text inside may be null. */
-  final case class Doc(text: String)
+    * state store never sees a bare null), the text inside may be null.
+    * Carries the winning op's seq (the LWW watermark), the op itself,
+    * and liveness — a dead key keeps its Doc as a tombstone so late
+    * lower-seq writes can still lose to it. */
+  final case class Doc(text: String, seq: Long, op: String, live: Boolean)
 
   /** Read the materialized view directly from the applying query's
     * state store (Spark's state data source) — the serving-layer read
@@ -78,11 +97,13 @@ object CdcApply {
     * absent because delete clears the state). At 100 TB this is the
     * point of CDC maintenance: the view is queryable in place, from
     * the same checkpoint the stream commits to, partition-parallel
-    * over the store's shards. */
+    * over the store's shards. Tombstones (kept for LWW against late
+    * writes) are filtered here — the VIEW is the live keys. */
   def readView(spark: SparkSession, checkpoint: String): DataFrame =
     spark.read.format("statestore")
       .option("stateVarName", "body")
       .load(checkpoint)
+      .filter(col("value").getField("live"))
       .select(col("key").getField("value").cast("long").as("doc_id"),
         col("value").getField("text").as("text"))
 

@@ -40,7 +40,9 @@ class PlanAuditSpec extends SparkSpec {
     "q126_perplexity_buckets", // q126: V scalar + 1-row cutpoints
     "q127_dsir_weights", // q127: the two V scalars are 1-row crosses
     "q128_pmi_collocations", // q128: the two totals are 1-row crosses
-    "q131_sparse_cosine") // q131: n_docs + probe norm are 1-row crosses
+    "q131_sparse_cosine", // q131: n_docs + probe norm are 1-row crosses
+    "q139_ivf_sampled", // q139: brute arm + 1-row n_scanned/n_train
+    "q140_multiprobe_learned") // q140: brute arm + 1-row n_scanned
 
   test("no CartesianProduct anywhere; BNLJ only where declared") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -48,6 +48,20 @@ object PlanDigests {
     // back out of the checkpoints
     "q50_ivf_kmeans" ->
       "BroadcastExchange x3 | BroadcastHashJoin x2 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Filter x4 | Project x5 | Scan ExistingRDD x2 | Scan parquet x2 | TakeOrderedAndProject x1",
+    // r10: sampled-training IVF — training is behind the Materialize
+    // checkpoints (Scan ExistingRDD), so the visible plan is the
+    // probe/audit read path: broadcast joins only, 3 shuffles (the
+    // brute arm's TakeOrdered ranking + summary sides), both
+    // TakeOrdereds, and the corpus parquet scans for the exact arms.
+    // An Exchange or aggregate reappearing beyond this means training
+    // work leaked out of the checkpoints (the q50 class of drift).
+    "q139_ivf_sampled" ->
+      "AQEShuffleRead x1 | BroadcastExchange x7 | BroadcastHashJoin x5 | BroadcastNestedLoopJoin x4 | ColumnarToRow x4 | Exchange x3 | Filter x7 | HashAggregate x8 | Project x11 | ReusedExchange x2 | Scan ExistingRDD x4 | Scan parquet x4 | TakeOrderedAndProject x2",
+    // r10: multi-probe over the learned codebook — same checkpointed
+    // training, plus the probe's 16-row centroid ranking (one extra
+    // TakeOrdered) and the 2-list candidate join
+    "q140_multiprobe_learned" ->
+      "AQEShuffleRead x2 | BroadcastExchange x8 | BroadcastHashJoin x7 | BroadcastNestedLoopJoin x3 | ColumnarToRow x4 | Exchange x3 | Filter x10 | HashAggregate x8 | Project x13 | ReusedExchange x2 | Scan ExistingRDD x5 | Scan parquet x4 | TakeOrderedAndProject x3",
     "q102_cluster_canon" ->
       "AQEShuffleRead x4 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x1 | Exchange x4 | Project x3 | Scan ExistingRDD x1 | Scan parquet x1 | Sort x3 | SortAggregate x2",
     "q103_prefix_jaccard" ->

@@ -1076,6 +1076,96 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("CDC apply survives an OUT-OF-ORDER feed: updates and deletes " +
+      "delivered before their inserts, plus duplicate deliveries, " +
+      "still converge to the batch q137 MERGE") {
+    // real change transports reorder across partitions and redeliver
+    // on retry. Three staged files arrive as separate micro-batches in
+    // the WRONG causal order: the high-seq CDC wave first (updates /
+    // deletes / adds, seq 2), the base-snapshot inserts LATE (seq 1),
+    // then a retry file duplicating earlier deliveries. Last-writer-
+    // wins on seq must make this converge to exactly the ordered
+    // outcome: the early update's body survives its late insert, the
+    // early delete refuses the late resurrection, duplicates no-op.
+    import spark.implicits._
+    val merged = SparkEntry.queries("q137_merge_apply")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mergedByKey = merged.map(t => t._1 -> t._3).toMap
+    val diff = SparkEntry.queries("q110_snapshot_diff")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val changed = diff.collect { case (id, "changed") => id }.toSet
+    val removed = diff.collect { case (id, "removed") => id }.toSet
+    assert(changed.nonEmpty && removed.nonEmpty,
+      "fixture must exercise both update-before-insert and " +
+        "delete-before-insert")
+    // wave A (arrives FIRST, seq 2): the CDC ops
+    val waveA = diff.toSeq.collect {
+      case (id, "added") => (id, 2L, "insert", mergedByKey(id))
+      case (id, "changed") => (id, 2L, "update", mergedByKey(id))
+      case (id, "removed") => (id, 2L, "delete", null: String)
+    }
+    // wave B (arrives SECOND but causally FIRST, seq 1): base snapshot
+    val waveB = merged.collect {
+      case (id, "keep", text) => (id, 1L, "insert", text)
+      case (id, "update", _) => (id, 1L, "insert", "pre-update body")
+    } ++ removed.toSeq.map(id => (id, 1L, "insert", "doomed"))
+    // wave C: a transport retry — duplicates of earlier deliveries
+    val waveC = removed.toSeq.map(id => (id, 1L, "insert", "doomed")) ++
+      changed.take(3).toSeq.map(id => (id, 2L, "update", mergedByKey(id)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ooo").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_ooo_ck").toFile
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.streaming.StatefulCounters.RocksDbProvider)
+    def stage(name: String, rows: Seq[(Long, Long, String, String)],
+        mtime: Long): Unit = {
+      val tmp = new java.io.File(dir, s"stage_$name")
+      rows.toDF("doc_id", "seq", "op", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val f = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"changes_$name.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    try {
+      val now = System.currentTimeMillis()
+      stage("0", waveA, now - 180000)
+      stage("1", waveB, now - 120000)
+      stage("2", waveC, now - 60000)
+      val feedSchema = spark.read.parquet(
+        new java.io.File(dir, "changes_0.parquet").getAbsolutePath).schema
+      val q = graft.streaming.CdcApply.applyChanges(spark,
+          spark.readStream.schema(feedSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dir.getAbsolutePath)).toDF()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.count(); ()
+        }
+        .option("checkpointLocation", s"${out.getAbsolutePath}/ckpt")
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = graft.streaming.CdcApply
+        .readView(spark, s"${out.getAbsolutePath}/ckpt")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == mergedByKey,
+        s"out-of-order feed diverged from the batch MERGE: " +
+          s"${got.size} keys vs ${mergedByKey.size}")
+      assert(changed.forall(id => got(id) == mergedByKey(id)
+          && got(id) != "pre-update body"),
+        "the seq-2 update must survive its late seq-1 insert")
+      assert(removed.forall(!got.contains(_)),
+        "the seq-2 delete must refuse the late seq-1 resurrection " +
+          "and its duplicate redelivery")
+    } finally {
+      rmTree(dir); rmTree(out)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("a stream can start on an EMPTY directory and pick up the " +
       "first arriving file") {
     // the documented production sequence — the stream exists before

@@ -143,6 +143,45 @@ class TextSimilaritySpec extends SparkSpec {
       "multi-probe must still scan a strict subset of the corpus")
   }
 
+  test("sampled-training IVF: trains on a strict subset, scans one " +
+      "list, and the sampled codebook still retains recall signal") {
+    val r = SparkEntry.queries("q139_ivf_sampled")(spark, sf).head()
+    val total = Tables.load(spark, sf, "embeddings").count()
+    val (hits, recallBp, nScanned, nTrain) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nTrain < total, "training must read a strict subset")
+    assert(nTrain > total / 2,
+      "the 75% keep rule should keep more than half the corpus")
+    assert(nScanned < total / 4,
+      "single-list probe must scan a small fraction of the corpus")
+    assert(recallBp == hits * 2000, "recall_bp is exact integer bp")
+    // floor: a codebook trained on the sample must route the probe to
+    // a list holding at least one true neighbor (measured 2/5 at
+    // sf0.001, 4/5 at sf0.01 — 0/5 means the sampling broke training)
+    assert(hits >= 1, s"sampled-training recall floor violated: $hits/5")
+  }
+
+  test("multi-probe over the LEARNED codebook: at least the static " +
+      "single-probe's recall at a scan cost below the static 5-list") {
+    val lp = SparkEntry.queries("q140_multiprobe_learned")(spark, sf).head()
+    val sp = SparkEntry.queries("q89_ann_recall")(spark, sf).head()
+    val mp = SparkEntry.queries("q120_multiprobe_ivf")(spark, sf).head()
+    val total = Tables.load(spark, sf, "embeddings").count()
+    assert(lp.getLong(0) >= sp.getLong(0),
+      "2 learned lists must never recall less than 1 static bucket")
+    assert(lp.getLong(2) > 0 && lp.getLong(2) < total,
+      "learned multi-probe must scan a strict subset of the corpus")
+    // 2 of 16 learned lists vs 5 of 16 sign buckets: the learned
+    // router buys its recall with a strictly smaller candidate set
+    // (measured 61 vs 156 at sf0.001 at EQUAL 4/5 recall)
+    assert(lp.getLong(2) < mp.getLong(2),
+      s"learned 2-list scan (${lp.getLong(2)}) should undercut the " +
+        s"static 5-bucket scan (${mp.getLong(2)})")
+    info(s"recall: learned-2 ${lp.getLong(0)}/5 @ ${lp.getLong(2)} " +
+      s"scanned; static-5 ${mp.getLong(0)}/5 @ ${mp.getLong(2)}; " +
+      s"static-1 ${sp.getLong(0)}/5")
+  }
+
   test("token counts: bpe tokenization never undercounts ws tokens") {
     val q = SparkEntry.queries("q42_token_count")(spark, sf)
     assert(q.filter($"bpe_tokens" < $"ws_tokens").count() == 0)
