@@ -62,21 +62,38 @@ object MediaFixtures {
   }
 
   /** mp4 with one avc1 video track: `(1 + id % 6)` seconds at
-    * timescale 1000, 320x240, `24 * seconds` stsz samples. */
+    * timescale 1000, 320x240, `24 * seconds` samples with full sample
+    * tables — mdhd (media timescale 1000), a two-run stts (all samples
+    * at Δ41ms except the last at the remainder, so Σ = secs·1000
+    * exactly), a two-run stsc (chunks of 10 then 7), and a variable
+    * stsz whose sizes cycle deterministically from the id. */
   private def mp4(id: Long): Array[Byte] = {
     def box(typ: String, body: Array[Byte]): Array[Byte] =
       cat(be32(body.length + 8L), cc(typ), body)
     val secs = 1 + (id % 6).toInt
+    val n = 24 * secs
     val ftyp = box("ftyp", cat(cc("isom"), be32(512), cc("isom")))
     val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
       be32(1000), be32(secs * 1000L), Array.fill[Byte](80)(0)))
     val tkhd = box("tkhd", cat(be32(0), Array.fill[Byte](72)(0),
       be32(320L << 16), be32(240L << 16)))
+    val mdhd = box("mdhd", cat(be32(0), be32(0), be32(0),
+      be32(1000), be32(secs * 1000L), be32(0)))
     val stsd = box("stsd", cat(be32(0), be32(1),
       cat(be32(86), cc("avc1"), Array.fill[Byte](78)(0))))
-    val stsz = box("stsz", cat(be32(0), be32(0), be32(24L * secs)))
-    val stbl = box("stbl", cat(stsd, stsz))
-    val mdia = box("mdia", cat(
+    // (n-1) samples at 41 ticks + 1 closing sample at the remainder:
+    // Σ count·delta = secs·1000 exactly, so trackDurMs == durationMs
+    val lastDelta = secs * 1000L - (n - 1) * 41L
+    val stts = box("stts", cat(be32(0), be32(2),
+      be32(n - 1L), be32(41), be32(1), be32(lastDelta)))
+    val stsc = box("stsc", cat(be32(0), be32(2),
+      be32(1), be32(10), be32(0), // run 1: chunks 1.. hold 10 samples
+      be32(3), be32(7), be32(0))) // run 2: from chunk 3, 7 per chunk
+    val sizes = cat(Array.tabulate(n)(i =>
+      be32(100L + ((id + i) % 50))): _*)
+    val stsz = box("stsz", cat(be32(0), be32(0), be32(n.toLong), sizes))
+    val stbl = box("stbl", cat(stsd, stts, stsc, stsz))
+    val mdia = box("mdia", cat(mdhd,
       box("hdlr", cat(be32(0), be32(0), cc("vide"), Array.fill[Byte](13)(0))),
       box("minf", stbl)))
     val moov = box("moov", cat(mvhd, box("trak", cat(tkhd, mdia))))

@@ -29,11 +29,26 @@ object MediaProbe {
 
   /** One typed metadata record per recognized clip. Unknown numeric
     * fields are 0 (ints) / 0L (longs); `codec` is the innermost coded
-    * stream this probe could identify, `container` the outer framing. */
+    * stream this probe could identify, `container` the outer framing.
+    *
+    * The four trailing fields are the ISO-BMFF SAMPLE-TABLE summary
+    * (r10) — pure structure from the primary trak's stts/stsc/stsz
+    * boxes, 0 for every other container: `trackDurMs` is the EXACT
+    * track duration (Σ stts sample_count·sample_delta, rescaled by the
+    * mdhd media timescale — the movie-level mvhd duration in
+    * `durationMs` legally disagrees when traks differ), `fpsMilli` the
+    * exact frame rate in millihertz derived from it, `sampleBytes` /
+    * `maxSampleBytes` the total and largest coded sample from stsz,
+    * and `chunks` the chunk count reconstructed from the stsc run
+    * table + the stsz sample count. These are what let a 100 TB media
+    * scan cost-model decode work (bytes, frame counts, rates) and spot
+    * corrupt tables WITHOUT touching codec data. */
   final case class MediaInfo(
       container: String, codec: String,
       sampleRate: Int, channels: Int, bitrateKbps: Int,
-      durationMs: Long, width: Int, height: Int, frames: Long)
+      durationMs: Long, width: Int, height: Int, frames: Long,
+      trackDurMs: Long = 0, fpsMilli: Long = 0,
+      sampleBytes: Long = 0, maxSampleBytes: Long = 0, chunks: Long = 0)
 
   /** Probe any supported container; None when nothing matches. Order
     * matters only for speed — the magic checks are disjoint. */
@@ -199,6 +214,19 @@ object MediaProbe {
     // subtitle/chapter traks (tx3g) legally carry nonzero tkhd dims
     var pendW = 0; var pendH = 0   // dims seen in the current trak
     var fbW = 0; var fbH = 0       // first handlerless trak's dims
+    // sample-table stash for the trak being walked (r10): mdhd media
+    // timescale, stts duration/count sums, stsz totals, stsc runs —
+    // committed as a GROUP per trak so trackDurMs/fpsMilli/sampleBytes/
+    // chunks always describe the SAME trak (first video trak wins,
+    // audio fallback, handlerless last — the `frames` routing)
+    var pendTs = 0L
+    var pendSttsDur = 0L; var pendSttsN = 0L
+    var pendSzN = 0L; var pendSzTotal = 0L; var pendSzMax = 0L
+    var pendStsc: Vector[(Long, Long)] = Vector.empty // (first_chunk, spc)
+    // committed groups: (trackDurMs, fpsMilli, bytes, maxBytes, chunks)
+    type SampleGroup = (Long, Long, Long, Long, Long)
+    var vGrp: SampleGroup = null; var aGrp: SampleGroup = null
+    var anyGrp: SampleGroup = null
 
     def walk(from: Long, to: Long, depth: Int, inTrak: Boolean): Unit = {
       var o = from
@@ -224,6 +252,9 @@ object MediaProbe {
           case "trak" =>
             curHandler = "" // each trak declares its own handler
             pendW = 0; pendH = 0
+            pendTs = 0; pendSttsDur = 0; pendSttsN = 0
+            pendSzN = 0; pendSzTotal = 0; pendSzMax = 0
+            pendStsc = Vector.empty
             if (depth < 8) walk(body, bend, depth + 1, inTrak = true)
             // commit the stash now the handler is known: video trak dims
             // win (first video trak only); a handlerless trak's dims are
@@ -232,6 +263,45 @@ object MediaProbe {
               if (w == 0 && pendW > 0) { w = pendW; h = pendH }
             } else if (curHandler.isEmpty) {
               if (fbW == 0 && pendW > 0) { fbW = pendW; fbH = pendH }
+            }
+            // sample-table commit: exact track duration = Σ stts
+            // (count·delta) rescaled by the mdhd media timescale (mvhd
+            // movie duration legally differs across traks); exact fps
+            // in millihertz = samples·timescale·1000 / Σduration; chunk
+            // count reconstructed from stsc runs + the stsz sample
+            // count (the last run extends to the remaining samples,
+            // ISO 14496-12 §8.7.4)
+            locally {
+              val tdur = if (pendTs > 0 && pendSttsDur > 0)
+                pendSttsDur * 1000L / pendTs else 0L
+              val fps = if (pendSttsDur > 0 && pendTs > 0 && pendSttsN > 0)
+                pendSttsN * pendTs * 1000L / pendSttsDur else 0L
+              var chunks = 0L
+              if (pendStsc.nonEmpty && pendSzN > 0) {
+                var covered = 0L
+                var i = 0
+                while (i < pendStsc.length) {
+                  val (fc, spc) = pendStsc(i)
+                  if (spc > 0) {
+                    if (i + 1 < pendStsc.length) {
+                      val nch = pendStsc(i + 1)._1 - fc
+                      if (nch > 0) { chunks += nch; covered += nch * spc }
+                    } else if (pendSzN > covered) {
+                      chunks += (pendSzN - covered + spc - 1) / spc
+                    }
+                  }
+                  i += 1
+                }
+              }
+              val grp = (tdur, fps, pendSzTotal, pendSzMax, chunks)
+              val hasSignal = tdur > 0 || fps > 0 || pendSzTotal > 0 ||
+                chunks > 0
+              if (hasSignal) curHandler match {
+                case "vide" => if (vGrp == null) vGrp = grp
+                case "soun" => if (aGrp == null) aGrp = grp
+                case "" => if (anyGrp == null) anyGrp = grp
+                case _ => () // text/hint/meta traks never commit
+              }
             }
           case "hdlr" if body + 12 <= bend =>
             // ver/flags(4) pre_defined(4) handler_type(4)
@@ -259,14 +329,73 @@ object MediaProbe {
               val th = (be32(b, wOff.toInt + 4) >> 16).toInt
               if (tw > 0 && th > 0 && pendW == 0) { pendW = tw; pendH = th }
             }
+          case "mdhd" if body + 4 <= bend =>
+            // media timescale: v0 at offset 12 (after 4+4+4), v1 at 20
+            // (after 4+8+8) — the unit stts durations are expressed in
+            if (inTrak && pendTs == 0) {
+              val ver = u8(b, body.toInt)
+              if (ver == 1 && body + 24 <= bend)
+                pendTs = be32(b, body.toInt + 20)
+              else if (ver == 0 && body + 16 <= bend)
+                pendTs = be32(b, body.toInt + 12)
+            }
+          case "stts" if body + 8 <= bend =>
+            // time-to-sample runs: Σ count and Σ count·delta are the
+            // exact sample count and track duration (media timescale).
+            // Entry reads bounded by the box's own end — a table whose
+            // declared entry_count overruns the box yields the partial
+            // sums, never sibling bytes
+            if (inTrak && pendSttsN == 0) {
+              val n = be32(b, body.toInt + 4)
+              var i = 0L; var off = body + 8
+              var cnt = 0L; var dur = 0L
+              while (i < n && off + 8 <= bend) {
+                val sc = be32(b, off.toInt)
+                val sd = be32(b, off.toInt + 4)
+                cnt += sc; dur += sc * sd
+                i += 1; off += 8
+              }
+              pendSttsN = cnt; pendSttsDur = dur
+            }
+          case "stsc" if body + 8 <= bend =>
+            // sample-to-chunk runs (first_chunk, samples_per_chunk,
+            // desc_idx) — kept as runs; the chunk count needs the stsz
+            // sample count, so it resolves at trak commit
+            if (inTrak && pendStsc.isEmpty) {
+              val n = be32(b, body.toInt + 4)
+              var i = 0L; var off = body + 8
+              val runs = Vector.newBuilder[(Long, Long)]
+              while (i < n && off + 12 <= bend) {
+                runs += ((be32(b, off.toInt), be32(b, off.toInt + 4)))
+                i += 1; off += 12
+              }
+              pendStsc = runs.result()
+            }
           case "stsz" if body + 12 <= bend =>
             if (inTrak) {
+              val fixed = be32(b, body.toInt + 4) // nonzero = constant size
               val n = be32(b, body.toInt + 8)
               curHandler match {
                 case "vide" => if (vSamples == 0) vSamples = n
                 case "soun" => if (aSamples == 0) aSamples = n
                 case "" => if (anySamples == 0) anySamples = n
                 case _ => () // text/hint/meta traks never feed `frames`
+              }
+              // size totals: constant-size tracks multiply; variable
+              // tracks walk the table, bounded by the box's own end
+              if (pendSzN == 0 && n > 0) {
+                pendSzN = n
+                if (fixed > 0) {
+                  pendSzTotal = fixed * n; pendSzMax = fixed
+                } else {
+                  var i = 0L; var off = body + 12
+                  while (i < n && off + 4 <= bend) {
+                    val sz = be32(b, off.toInt)
+                    pendSzTotal += sz
+                    if (sz > pendSzMax) pendSzMax = sz
+                    i += 1; off += 4
+                  }
+                }
               }
             }
           case "stsd" if body + 16 <= bend =>
@@ -315,12 +444,20 @@ object MediaProbe {
     walk(0, b.length.toLong, 0, inTrak = false)
     if (w == 0 && fbW > 0) { w = fbW; h = fbH } // no vide trak spoke up
     if (durMs == 0 && vCodec.isEmpty && aCodec.isEmpty) None
-    else Some(MediaInfo(container,
-      if (vCodec.nonEmpty) vCodec else if (aCodec.nonEmpty) aCodec else "",
-      sr, ch, if (durMs > 0) (b.length * 8L / durMs).toInt else 0,
-      durMs, w, h,
-      if (vSamples > 0) vSamples
-      else if (aSamples > 0) aSamples else anySamples))
+    else {
+      val grp = if (vGrp != null) vGrp
+        else if (aGrp != null) aGrp
+        else if (anyGrp != null) anyGrp
+        else (0L, 0L, 0L, 0L, 0L)
+      Some(MediaInfo(container,
+        if (vCodec.nonEmpty) vCodec else if (aCodec.nonEmpty) aCodec else "",
+        sr, ch, if (durMs > 0) (b.length * 8L / durMs).toInt else 0,
+        durMs, w, h,
+        if (vSamples > 0) vSamples
+        else if (aSamples > 0) aSamples else anySamples,
+        trackDurMs = grp._1, fpsMilli = grp._2,
+        sampleBytes = grp._3, maxSampleBytes = grp._4, chunks = grp._5))
+    }
   }
 
   // ------------------------------------------------- EBML (webm / mkv)

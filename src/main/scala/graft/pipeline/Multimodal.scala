@@ -111,9 +111,13 @@ object Multimodal {
       .flatMap { case (id, bytes) =>
         MediaProbe.probe(bytes).map(m => (id, m.container, m.codec,
           m.sampleRate, m.channels, m.bitrateKbps, m.durationMs,
-          m.width, m.height, m.frames))
+          m.width, m.height, m.frames,
+          m.trackDurMs, m.fpsMilli, m.sampleBytes, m.maxSampleBytes,
+          m.chunks))
       }.toDF("media_id", "container", "codec", "sample_rate", "channels",
-        "bitrate_kbps", "duration_ms", "width", "height", "frames")
+        "bitrate_kbps", "duration_ms", "width", "height", "frames",
+        "track_dur_ms", "fps_milli", "sample_bytes", "max_sample_bytes",
+        "chunks")
   }
 
   /** Video frame sampling through the [[MediaCodec]] seam. The default

@@ -318,6 +318,60 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.frames == 150)
   }
 
+  test("mp4 sample tables: mdhd/stts/stsc/stsz give exact duration, " +
+      "fps, byte totals and chunk count; truncated tables stay bounded") {
+    // 30 samples: 29 at Δ100 + 1 at Δ100 (media timescale 600 →
+    // trackDur = 3000/600·1000 = 5000 ms, fps = 30·600·1000/3000 =
+    // 6000 mHz); chunks: run (1, spc 4) then (3, spc 8) → 2·4 = 8
+    // covered, ceil(22/8) = 3 → 5 chunks; sizes 10,20,...,300 →
+    // Σ = 4650, max 300
+    def fix(stts: Array[Byte], stsc: Array[Byte],
+        stsz: Array[Byte]): Array[Byte] = {
+      val ftyp = box("ftyp", cat(cc("isom"), be32(0), cc("isom")))
+      val mvhd = box("mvhd", cat(be32(0), be32(0), be32(0),
+        be32(1000), be32(5000), Array.fill[Byte](80)(0)))
+      val mdhd = box("mdhd", cat(be32(0), be32(0), be32(0),
+        be32(600), be32(3000), be32(0)))
+      val stsd = box("stsd", cat(be32(0), be32(1),
+        cat(be32(86), cc("avc1"), Array.fill[Byte](78)(0))))
+      val hdlr = box("hdlr", cat(be32(0), be32(0), cc("vide"),
+        Array.fill[Byte](13)(0)))
+      val stbl = box("stbl", cat(stsd, stts, stsc, stsz))
+      val trak = box("trak", box("mdia", cat(mdhd, hdlr,
+        box("minf", stbl))))
+      cat(ftyp, box("moov", cat(mvhd, trak)))
+    }
+    val stts = box("stts", cat(be32(0), be32(2),
+      be32(29), be32(100), be32(1), be32(100)))
+    val stsc = box("stsc", cat(be32(0), be32(2),
+      be32(1), be32(4), be32(0), be32(3), be32(8), be32(0)))
+    val stsz = box("stsz", cat(be32(0), be32(0), be32(30),
+      cat(Array.tabulate(30)(i => be32((i + 1) * 10L)): _*)))
+    val info = MediaProbe.probe(fix(stts, stsc, stsz)).get
+    assert(info.trackDurMs == 5000, s"trackDurMs ${info.trackDurMs}")
+    assert(info.fpsMilli == 6000, s"fpsMilli ${info.fpsMilli}")
+    assert(info.sampleBytes == 4650 && info.maxSampleBytes == 300)
+    assert(info.chunks == 5, s"chunks ${info.chunks}")
+    assert(info.frames == 30)
+    // constant-size stsz: totals multiply instead of walking a table
+    val cstsz = box("stsz", cat(be32(0), be32(777), be32(30)))
+    val cinfo = MediaProbe.probe(fix(stts, stsc, cstsz)).get
+    assert(cinfo.sampleBytes == 30L * 777 && cinfo.maxSampleBytes == 777)
+    // truncation fuzz: stts DECLARES 100 entries but carries one — the
+    // sums must cover only the real entry, never sibling bytes; an
+    // stsz whose declared count overruns its box stays box-bounded
+    val liarStts = box("stts", cat(be32(0), be32(100),
+      be32(29), be32(100)))
+    val tinfo = MediaProbe.probe(fix(liarStts, stsc, stsz)).get
+    assert(tinfo.trackDurMs == 29L * 100 * 1000 / 600,
+      s"truncated stts leaked: ${tinfo.trackDurMs}")
+    val liarStsz = box("stsz", cat(be32(0), be32(0), be32(1000000),
+      cat(Array.tabulate(3)(i => be32((i + 1) * 10L)): _*)))
+    val zinfo = MediaProbe.probe(fix(stts, stsc, liarStsz)).get
+    assert(zinfo.sampleBytes == 60 && zinfo.maxSampleBytes == 30,
+      s"overrunning stsz leaked: ${zinfo.sampleBytes}")
+  }
+
   test("m4a: audio sample entry carries channels + 16.16 sample rate") {
     val info = MediaProbe.probe(m4aFixture()).get
     assert(info.container == "M4A" && info.codec == "mp4a")
@@ -716,6 +770,18 @@ class MediaProbeSpec extends SparkSpec {
     val r9 = out.find(_.getLong(0) == 9).get  // mp4, (1 + 9%6) = 4 s
     assert(r9.getString(2) == "avc1" && r9.getLong(6) == 4000 &&
       r9.getLong(9) == 96 && r9.getInt(7) == 320)
+    // r10 sample-table fields (synth stts/stsc/stsz, id 9 → 96 samples):
+    // track duration sums the stts runs exactly (95·41 + 105 = 4000);
+    // fps = 96·1000·1000/4000 = 24000 millihertz; sizes cycle
+    // 100+((9+i)%50) → Σ = 12024, max = 149; chunks = 2 runs of 10 +
+    // ceil(76/7) = 13
+    assert(r9.getLong(10) == 4000, s"track_dur_ms ${r9.getLong(10)}")
+    assert(r9.getLong(11) == 24000, s"fps_milli ${r9.getLong(11)}")
+    assert(r9.getLong(12) == 12024, s"sample_bytes ${r9.getLong(12)}")
+    assert(r9.getLong(13) == 149, s"max_sample_bytes ${r9.getLong(13)}")
+    assert(r9.getLong(14) == 13, s"chunks ${r9.getLong(14)}")
+    // non-ISO-BMFF families report 0 sample-table fields, not garbage
+    assert(r0.getLong(12) == 0 && r8.getLong(14) == 0)
     val r10 = out.find(_.getLong(0) == 10).get // ogg, 24000*(1+10%4)/48k
     assert(r10.getString(2) == "opus" && r10.getLong(6) == 1500)
     val r11 = out.find(_.getLong(0) == 11).get // webm, (1+11%3)*1000 ticks
