@@ -39,7 +39,14 @@ def canon(v):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, tuple):
         return "[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, dict):  # DuckDB STRUCT → canon as Spark Row (field order)
+    if isinstance(v, dict):
+        # DuckDB STRUCT → canon as Spark Row (field order). A Spark
+        # MapType would also arrive as a dict and mismatch the sidecar's
+        # sorted '<k=v,...>' form — unreachable today because ContractSpec
+        # pins every ORACLED output column to scalar types (maps appear
+        # only in rows-only dumps, which never reach this compare); if a
+        # map-typed oracled column ever lands, split this branch on the
+        # dump schema rather than guessing from the value.
         return "{" + ",".join(canon(x) for x in v.values()) + "}"
     import datetime
     if isinstance(v, datetime.datetime):

@@ -73,6 +73,20 @@ object MediaProbe {
     (be32(b, o) << 32) | be32(b, o + 4)
   private def le64(b: Array[Byte], o: Int): Long =
     le32(b, o) | (le32(b, o + 4) << 32)
+  /** Saturating arithmetic for the sample-table sums: a lying table
+    * can declare u32 counts/sizes whose products exceed Long, and a
+    * wrapped negative would masquerade as data. Overflow maps to -1,
+    * which the trak commit turns into 0 ("unknown") — bounded output
+    * on any input, like every other probe field. */
+  private def mulCap(a: Long, b: Long): Long =
+    if (a < 0 || b < 0) -1L
+    else try Math.multiplyExact(a, b)
+    catch { case _: ArithmeticException => -1L }
+  private def addCap(a: Long, b: Long): Long =
+    if (a < 0 || b < 0) -1L
+    else try Math.addExact(a, b)
+    catch { case _: ArithmeticException => -1L }
+
   private def fourcc(b: Array[Byte], o: Int): String =
     new String(Array(b(o), b(o + 1), b(o + 2), b(o + 3)),
       java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -272,26 +286,36 @@ object MediaProbe {
             // count (the last run extends to the remaining samples,
             // ISO 14496-12 §8.7.4)
             locally {
+              // every product below goes through the saturating
+              // helpers: a lying table yields 0, never a wrapped
+              // negative (math.max maps the -1 overflow sentinel)
               val tdur = if (pendTs > 0 && pendSttsDur > 0)
-                pendSttsDur * 1000L / pendTs else 0L
+                math.max(mulCap(pendSttsDur, 1000L), 0L) / pendTs else 0L
               val fps = if (pendSttsDur > 0 && pendTs > 0 && pendSttsN > 0)
-                pendSttsN * pendTs * 1000L / pendSttsDur else 0L
+                math.max(mulCap(mulCap(pendSttsN, pendTs), 1000L), 0L) /
+                  pendSttsDur
+              else 0L
               var chunks = 0L
               if (pendStsc.nonEmpty && pendSzN > 0) {
                 var covered = 0L
                 var i = 0
-                while (i < pendStsc.length) {
+                while (i < pendStsc.length && covered >= 0 && chunks >= 0) {
                   val (fc, spc) = pendStsc(i)
                   if (spc > 0) {
                     if (i + 1 < pendStsc.length) {
                       val nch = pendStsc(i + 1)._1 - fc
-                      if (nch > 0) { chunks += nch; covered += nch * spc }
+                      if (nch > 0) {
+                        chunks = addCap(chunks, nch)
+                        covered = addCap(covered, mulCap(nch, spc))
+                      }
                     } else if (pendSzN > covered) {
-                      chunks += (pendSzN - covered + spc - 1) / spc
+                      chunks = addCap(chunks,
+                        (pendSzN - covered + spc - 1) / spc)
                     }
                   }
                   i += 1
                 }
+                chunks = math.max(chunks, 0L)
               }
               val grp = (tdur, fps, pendSzTotal, pendSzMax, chunks)
               val hasSignal = tdur > 0 || fps > 0 || pendSzTotal > 0 ||
@@ -352,10 +376,13 @@ object MediaProbe {
               while (i < n && off + 8 <= bend) {
                 val sc = be32(b, off.toInt)
                 val sd = be32(b, off.toInt + 4)
-                cnt += sc; dur += sc * sd
+                cnt = addCap(cnt, sc)
+                dur = addCap(dur, mulCap(sc, sd))
                 i += 1; off += 8
               }
-              pendSttsN = cnt; pendSttsDur = dur
+              // saturated sums (u32·u32 can exceed Long) commit as 0
+              pendSttsN = math.max(cnt, 0L)
+              pendSttsDur = math.max(dur, 0L)
             }
           case "stsc" if body + 8 <= bend =>
             // sample-to-chunk runs (first_chunk, samples_per_chunk,
@@ -386,15 +413,19 @@ object MediaProbe {
               if (pendSzN == 0 && n > 0) {
                 pendSzN = n
                 if (fixed > 0) {
-                  pendSzTotal = fixed * n; pendSzMax = fixed
+                  // u32·u32 can exceed Long: saturate → 0, never wrap
+                  pendSzTotal = math.max(mulCap(fixed, n), 0L)
+                  pendSzMax = if (pendSzTotal > 0) fixed else 0L
                 } else {
                   var i = 0L; var off = body + 12
+                  var tot = 0L
                   while (i < n && off + 4 <= bend) {
                     val sz = be32(b, off.toInt)
-                    pendSzTotal += sz
+                    tot = addCap(tot, sz)
                     if (sz > pendSzMax) pendSzMax = sz
                     i += 1; off += 4
                   }
+                  pendSzTotal = math.max(tot, 0L)
                 }
               }
             }

@@ -555,6 +555,14 @@ object Similarity {
              v -> cast(cast(floor(cast(v as double) * 1000000 + 0.5)
                        as bigint) as string)), ',')), 1, 1)
            NOT IN ('c', 'd', 'e', 'f')""")
+      // elS is a SECOND scan+explode of the filtered corpus rather
+      // than a semi-join of the materialized `el` below (the oracle's
+      // `els AS el JOIN samp` form): the rescan is map-only and
+      // shuffle-free, while the join form must either broadcast the
+      // sampled id set (impossible at corpus scale — it is 75% of all
+      // ids) or shuffle `el` against it. Scan twice, shuffle never;
+      // quantization cannot drift between the two passes because both
+      // are the same deterministic microEl expression.
       val elS = graft.operators.Materialize.truncate(
         microEl(e.filter(keep)))
       val cent = lloydCentroids(elS, 3)
@@ -903,10 +911,13 @@ object Similarity {
             (SELECT count(*) FROM samp) AS n_train
           FROM h""",
 
-    // full-corpus training (c0 = first 16 vectors, as q50), one
-    // assignment pass against the FINAL codebook c3 for the inverted
-    // lists, probe ranked against all centroids, 2 nearest lists
-    // scanned
+    // full-corpus training seeded from the 16 LOWEST vec_ids — the
+    // ORDER BY/LIMIT form, not `vec_id < 16`, because lloydCentroids
+    // seeds by rank: the two are equal only while the fixture's ids
+    // are contiguous from 0, and the oracle must not lean on that
+    // invariant (q50 pins `< 16` on BOTH sides, so it stays exempt).
+    // One assignment pass against the FINAL codebook c3 builds the
+    // inverted lists; the probe ranks all centroids, scans 2 lists.
     "q140_multiprobe_learned" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                      FROM embeddings),
@@ -916,7 +927,8 @@ object Similarity {
                      + 0.5) AS BIGINT) AS vi
                  FROM embeddings),
           c0 AS (SELECT vec_id AS c_id, pos, vi AS si FROM el
-                 WHERE vec_id < 16),
+                 WHERE vec_id IN (SELECT DISTINCT vec_id FROM el
+                                  ORDER BY vec_id LIMIT 16)),
           ${lloydRoundsSql(3)},
           ${assignVsFinalSql(3)},
           pr AS (SELECT c_id FROM (

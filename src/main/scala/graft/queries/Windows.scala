@@ -94,11 +94,19 @@ object Windows {
     //     semantics left for a DuckDB version to disagree about.
     "q136_range_frames" -> ((s, d) =>
       Tables.load(s, d, "events")
-        // both domains pinned explicitly (mirrored in the oracle's
-        // WHERE): NULL value would diverge on window null ordering,
-        // NULL ts would land at opposite ends of the partition AND the
-        // output sort (Spark asc NULLS FIRST vs DuckDB NULLS LAST)
-        .filter(col("value").isNotNull && col("ts").isNotNull)
+        // ALL FOUR key domains pinned explicitly (mirrored in the
+        // oracle's WHERE): NULL value would diverge on window null
+        // ordering, NULL ts would land at opposite ends of the
+        // partition AND the output sort (Spark asc NULLS FIRST vs
+        // DuckDB NULLS LAST) — and since r10's self-join oracle, a
+        // NULL user_id/event_id would be its own hazard: Spark's
+        // PARTITION BY groups NULL keys while an inner-join NULL=NULL
+        // drops them, and GROUP BY event_id would merge NULL-id peers
+        // the window emits separately. Filtering here keeps the
+        // "inner join can never drop a row" argument true on the full
+        // nullable schema, not just on today's fixture.
+        .filter(col("value").isNotNull && col("ts").isNotNull
+          && col("user_id").isNotNull && col("event_id").isNotNull)
         .withColumn("cents",
           expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
         .selectExpr(
@@ -187,7 +195,8 @@ object Windows {
     "q136_range_frames" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+              AND user_id IS NOT NULL AND event_id IS NOT NULL),
          fr AS (SELECT e.event_id, e.user_id, e.ts_us,
               CAST(sum(e2.cents) AS BIGINT) AS sum_7d_c,
               count(CASE WHEN e2.ts_us >= e.ts_us - 1800000000

@@ -104,7 +104,8 @@ object StatefulFrames {
     * parity is by construction: exact integer cents from the
     * DECIMAL(18,2) cast, null values excluded. */
   private[graft] def quantized(events: DataFrame): DataFrame =
-    events.filter(col("value").isNotNull && col("ts").isNotNull)
+    events.filter(col("value").isNotNull && col("ts").isNotNull
+        && col("user_id").isNotNull && col("event_id").isNotNull)
       .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id",
         "cast(cast(value as decimal(18,2)) * 100 as bigint) AS cents")
 

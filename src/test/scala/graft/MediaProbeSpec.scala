@@ -370,6 +370,22 @@ class MediaProbeSpec extends SparkSpec {
     val zinfo = MediaProbe.probe(fix(stts, stsc, liarStsz)).get
     assert(zinfo.sampleBytes == 60 && zinfo.maxSampleBytes == 30,
       s"overrunning stsz leaked: ${zinfo.sampleBytes}")
+    // overflow fuzz: u32·u32 products past Long.MaxValue must saturate
+    // to 0 ("unknown"), never surface as wrapped negatives — a
+    // constant-size stsz of 0xFFFFFFFF × 0xFFFFFFFF and an stts run of
+    // the same magnitudes are both structurally legal byte layouts
+    val hugeStsz = box("stsz", cat(be32(0),
+      be32(0xffffffffL), be32(0xffffffffL)))
+    val oinfo = MediaProbe.probe(fix(stts, stsc, hugeStsz)).get
+    assert(oinfo.sampleBytes == 0 && oinfo.maxSampleBytes == 0,
+      s"stsz overflow leaked: ${oinfo.sampleBytes}")
+    val hugeStts = box("stts", cat(be32(0), be32(2),
+      be32(0xffffffffL), be32(0xffffffffL),
+      be32(0xffffffffL), be32(0xffffffffL)))
+    val tinfo2 = MediaProbe.probe(fix(hugeStts, stsc, stsz)).get
+    assert(tinfo2.trackDurMs == 0 && tinfo2.fpsMilli == 0,
+      s"stts overflow leaked: ${tinfo2.trackDurMs}/${tinfo2.fpsMilli}")
+    assert(tinfo2.sampleBytes >= 0 && tinfo2.chunks >= 0)
   }
 
   test("m4a: audio sample entry carries channels + 16.16 sample rate") {
