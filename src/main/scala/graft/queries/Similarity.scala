@@ -189,6 +189,24 @@ object Similarity {
     * q140 routes probes against the final codebook): unlike
     * lloydAssignments, the post-final-assignment centroids DO have
     * consumers here, so the extra recompute is paid deliberately. */
+  /** q139's keep rule: a deterministic 75% content-hash sample — md5
+    * of the exact micro-unit CSV (BIGINT formatting only, never float
+    * repr), first hex char outside {c,d,e,f}. */
+  private[graft] val sampleKeep = expr(
+    """substr(md5(array_join(transform(embedding,
+         v -> cast(cast(floor(cast(v as double) * 1000000 + 0.5)
+                   as bigint) as string)), ',')), 1, 1)
+       NOT IN ('c', 'd', 'e', 'f')""")
+
+  /** q139's TRAINING input before materialization — the sampled
+    * micro-unit long format. Exposed so PlanSpec can assert the
+    * sample filter sits on the training scan (the materialized query
+    * hides training behind its checkpoints). */
+  private[graft] def sampledTrainingInput(s: SparkSession,
+      d: String): DataFrame =
+    microEl(emb(s, d).select(col("vec_id"), col("embedding"))
+      .filter(sampleKeep))
+
   private[graft] def lloydCentroids(el: DataFrame, iters: Int): DataFrame = {
     val seeds = el.select("vec_id").distinct()
       .orderBy("vec_id").limit(16)
@@ -550,11 +568,6 @@ object Similarity {
     // (probe cost) and n_train (training cost).
     "q139_ivf_sampled" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val keep = expr(
-        """substr(md5(array_join(transform(embedding,
-             v -> cast(cast(floor(cast(v as double) * 1000000 + 0.5)
-                       as bigint) as string)), ',')), 1, 1)
-           NOT IN ('c', 'd', 'e', 'f')""")
       // elS is a SECOND scan+explode of the filtered corpus rather
       // than a semi-join of the materialized `el` below (the oracle's
       // `els AS el JOIN samp` form): the rescan is map-only and
@@ -564,7 +577,7 @@ object Similarity {
       // quantization cannot drift between the two passes because both
       // are the same deterministic microEl expression.
       val elS = graft.operators.Materialize.truncate(
-        microEl(e.filter(keep)))
+        sampledTrainingInput(s, d))
       val cent = lloydCentroids(elS, 3)
       val el = graft.operators.Materialize.truncate(microEl(e))
       val lists = graft.operators.Materialize.truncate(assignTo(el, cent))

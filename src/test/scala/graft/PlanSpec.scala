@@ -82,6 +82,26 @@ class PlanSpec extends SparkSpec {
     assert(nCounts == 1, s"expected 1 count, got $nCounts: $aggs")
   }
 
+  test("q139 training subtree reads only the content-hash sample") {
+    // the oracled query hides training behind Materialize checkpoints
+    // (the digest pin sees only Scan ExistingRDD), so the sampled-
+    // training claim is asserted on the training input itself: the
+    // md5 keep-rule Filter must sit on the embeddings scan, and the
+    // sampled long format must be a strict subset of the corpus
+    val train = graft.queries.Similarity.sampledTrainingInput(spark, sf)
+    train.collect()
+    val p = (train.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }).toString
+    assert(p.contains("Filter") && p.contains("md5"),
+      s"sample keep-rule filter missing from the training scan:\n$p")
+    val total = Tables.load(spark, sf, "embeddings").count()
+    val sampled = train.select("vec_id").distinct().count()
+    assert(sampled < total && sampled > total / 2,
+      s"75% keep rule: $sampled of $total")
+  }
+
   test("q17 argmax contains no Window operator") {
     val p = finalPlan("q17_argmax")
     assert(!p.contains("Window"), "argmax must stay aggregation-based")
