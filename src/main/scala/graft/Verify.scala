@@ -41,6 +41,10 @@ object Verify {
       (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
     case i: java.time.Instant =>
       (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case t: java.time.LocalDateTime =>
+      // TimestampNTZ surfaces as LocalDateTime; the Python mirror sees
+      // a naive datetime and treats it as UTC — match that here
+      canon(t.toInstant(java.time.ZoneOffset.UTC))
     case b: Array[Byte] => b.map(x => f"$x%02x").mkString
     case a: scala.collection.Seq[_] =>
       a.map(canon).mkString("[", ",", "]")
