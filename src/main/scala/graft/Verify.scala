@@ -25,7 +25,7 @@ object Verify {
     * plain strings — every rule chosen because Python can reproduce it
     * exactly from DuckDB's fetchall values.
     */
-  private def canon(v: Any): String = v match {
+  private[graft] def canon(v: Any): String = v match {
     case null => "∅"
     case b: Boolean => if (b) "true" else "false"
     case f: Float => canon(f.toDouble) // float→double widening is exact

@@ -111,4 +111,33 @@ class UtilOpsSpec extends SparkSpec {
       assert(math.abs(q - dq) < 1e-6)  // double sum order differs by salt
     }
   }
+  test("sidecar canon pins the cross-language value contract") {
+    // these strings are the CONTRACT with scripts/check.py's canon():
+    // a change on either side makes every sidecar read as drift, so
+    // the Scala side is pinned here value-for-value (the Python side
+    // is pinned by the zero-drift assertion every check.py run makes)
+    import graft.Verify.canon
+    assert(canon(null) == "\u2205")
+    assert(canon(true) == "true" && canon(false) == "false")
+    assert(canon(42L) == "42" && canon(7) == "7")
+    assert(canon(-0.0d) == "8000000000000000")
+    assert(canon(0.0d) == "0000000000000000")
+    assert(canon(1.5d) == "3ff8000000000000")
+    assert(canon(Double.NaN) == "NaN")
+    assert(canon(Double.PositiveInfinity) == "7ff0000000000000")
+    assert(canon(1.5f) == canon(1.5d), "float widens exactly")
+    assert(canon(new java.math.BigDecimal("1.50")) == "1.50")
+    assert(canon(new java.math.BigDecimal("1E-20"))
+      == "0.00000000000000000001", "plain string, never exponent")
+    assert(canon(java.sql.Date.valueOf("2026-08-15")) == "2026-08-15")
+    assert(canon(java.time.Instant.ofEpochSecond(1, 2000)) == "1000002")
+    assert(canon(java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1, 2000))) == "1000002")
+    assert(canon(java.time.LocalDateTime.ofEpochSecond(1, 2000,
+      java.time.ZoneOffset.UTC)) == "1000002", "NTZ treated as UTC")
+    assert(canon(Array[Byte](0, -1, 16)) == "00ff10")
+    assert(canon(Seq(1L, null, 2.5d)) == "[1,\u2205,4004000000000000]")
+    assert(canon(Map("b" -> 2, "a" -> 1)) == "<a=1,b=2>", "maps sort")
+  }
+
 }
