@@ -304,18 +304,24 @@ object Dedup {
     (1 to 10).map(r =>
       (r, math.floor(1e12 / (math.log(r + 1.0) / math.log(2.0))).toLong))
 
-  /** The incremental-dedup corpus state: (distinct exact content hashes
-    * `h`, distinct minhash band fingerprints (band, mh)) of a corpus
-    * frame with a `text` column. The SINGLE source for both the batch
-    * q73 anti-joins and the streaming twin
-    * (streaming.StreamingDedup.corpusState) — the streaming-batch
-    * survivor-parity guarantee depends on the two sides deriving this
-    * state identically, so neither inlines its own copy. In production
-    * these are incrementally-maintained tables bucketed on their join
-    * keys (operators/Bucketing). */
-  def dedupState(corpus: DataFrame): (DataFrame, DataFrame) = (
-    corpus.select(md5(col("text")).as("h")).distinct(),
-    signaturesOf(withTok(corpus)).select("band", "mh").distinct())
+  /** The incremental-dedup corpus state as two frames: (distinct exact
+    * content hashes `h`, distinct minhash band fingerprints
+    * (band, mh)), the shape the streaming twin
+    * (streaming.StreamingDedup.corpusState) consumes. DERIVED from
+    * [[unifiedDedupState]] — batch q73 reads the unified frame
+    * directly, so splitting it here (rather than keeping a second
+    * hand-written builder) makes the streaming-batch survivor-parity
+    * guarantee structural: any future change to the state definition
+    * flows to both sides from the one builder. The post-distinct
+    * filters are cheap (the distinct has already shrunk the frame) and
+    * cannot change the sets: a NULL equi-join key matched nothing
+    * anyway. In production these are incrementally-maintained tables
+    * bucketed on their join keys (operators/Bucketing). */
+  def dedupState(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val u = unifiedDedupState(corpus)
+    (u.filter(col("h").isNotNull).select("h"),
+      u.filter(col("mh").isNotNull).select("band", "mh"))
+  }
 
   /** The SAME corpus state as [[dedupState]] but as ONE frame from ONE
     * corpus scan: per document, one pass computes the exact content
@@ -349,9 +355,13 @@ object Dedup {
     * MD5-derived token hash DuckDB reproduces exactly (full oracle). */
   def simhashOf(docsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
-    docsDf.select(col("doc_id"),
-      expr("simhash_md5(tok)").as("simhash"),
-      size(col("tok")).cast("long").as("ntok"))
+    // widen like the minhash/jaccard/docsets kernels: the per-document
+    // digest+vote loop is the expensive map here, and a single-row-group
+    // input would otherwise plan it as ONE task regardless of cores
+    graft.operators.Parallelism.widen(docsDf, col("doc_id"))
+      .select(col("doc_id"),
+        expr("simhash_md5(tok)").as("simhash"),
+        size(col("tok")).cast("long").as("ntok"))
   }
 
   /** Manku-style block-permutation probe over the 60-bit simhash
@@ -665,12 +675,18 @@ object Dedup {
       val sh = shingledOf(docs(s, d))
       val evalSet = sh.filter(col("doc_id") < 50).select("sh").distinct()
       val train = sh.filter(col("doc_id") >= 50)
-      val hits = train.join(broadcast(evalSet), Seq("sh"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("hit_shingles"))
-      shingleCounts(train)
-        .join(hits, Seq("doc_id"), "left")
-        .withColumn("hit_shingles",
-          coalesce(col("hit_shingles"), lit(0L)))
+      // ONE pass over the train shingles: a broadcast LEFT join against
+      // the flagged eval set lets a single aggregate produce both the
+      // total (ns) and the overlap (count of non-null flags). The
+      // previous semi-join + separate shingleCounts(train) formulation
+      // shingled the 100 TB train side twice — the semi join sat
+      // between the shingle stream and one aggregate but not the
+      // other, so neither exchange reuse nor AQE stage reuse applied.
+      // evalSet is distinct, so the left join cannot multiply rows.
+      train.join(broadcast(evalSet.withColumn("hit", lit(1))),
+          Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("ns"), count(col("hit")).as("hit_shingles"))
         .withColumn("contam_bp",
           expr("(hit_shingles * 10000) div ns"))
         .filter(col("contam_bp") >= 2500)
