@@ -28,6 +28,16 @@ object TextOps {
   private val PunctKeepClass = "[\\w \\t\\n\\x0B\\f\\r]"
   private val BpeTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
 
+  /** (doc_id, w1, w2): the document's consecutive token bigrams —
+    * shared by the LM scorer, q85's dice ranking and q127's
+    * importance weighting. */
+  private def bigramsOf(dd: DataFrame): DataFrame =
+    dd.filter(size(col("tok")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(tok) - 2),
+             i -> struct(tok[i] AS w1, tok[i+1] AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
   /** (doc_id, n_bigrams, avg_logp): the q97 KenLM-style bigram LM score
     * — add-one-smoothed token-bigram probabilities trained ON the
     * corpus, each doc scored by its mean log-prob. The bigram-count
@@ -37,15 +47,6 @@ object TextOps {
     * sums go through DECIMAL(28,12) — exact, order-independent — and
     * ln() ulp drift is invisible at round(·,4). Shared by q97 and
     * q126's perplexity bucketing. */
-  /** (doc_id, w1, w2): the document's consecutive token bigrams —
-    * shared by the LM scorer and q127's importance weighting. */
-  private def bigramsOf(dd: DataFrame): DataFrame =
-    dd.filter(size(col("tok")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(tok) - 2),
-             i -> struct(tok[i] AS w1, tok[i+1] AS w2))""")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-
   private def bigramLogProb(s: SparkSession, d: String): DataFrame = {
     val bg = bigramsOf(docs(s, d))
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
@@ -71,8 +72,11 @@ object TextOps {
     val withHits = profiles.foldLeft(docs(s, d)) { case (df, (l, ws)) =>
       df.withColumn(s"hits_$l", expr(hitsExpr(ws)))
     }
-    withHits.select(col("doc_id"), col("hits_en"), col("hits_es"),
-      col("hits_de"), col("hits_fr"),
+    // `lang` (the labeled truth) rides along so q134's confusion
+    // matrix needs no second corpus scan + doc-keyed join to recover
+    // it; q40 projects it away
+    withHits.select(col("doc_id"), col("lang"), col("hits_en"),
+      col("hits_es"), col("hits_de"), col("hits_fr"),
       expr("""CASE
         WHEN hits_en >= hits_es AND hits_en >= hits_de
           AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
@@ -94,17 +98,19 @@ object TextOps {
     s"cast(size(filter(tok, x -> array_contains(array($arr), x))) as bigint)"
   }
 
-  /** Non-overlapping 3-token chunk instances of a tokenized documents
-    * frame — one row per (doc_id, p, chunk) plus the (xxhash64, length)
-    * probe key (q77's hash convention). Pure map-side explode, so it
-    * runs unchanged on an unbounded stream; SHARED by batch q114 and
-    * its streaming twin so dictionary and rewrite agree on one
-    * chunking. */
-  def chunkedOf(docsDf: DataFrame): DataFrame =
+  /** Non-overlapping `width`-token chunk instances of a tokenized
+    * documents frame — one row per (doc_id, p, chunk) plus the
+    * (xxhash64, length) probe key (q77's hash convention). Pure
+    * map-side explode, so it runs unchanged on an unbounded stream;
+    * the ONE chunking definition SHARED by batch q114 and its
+    * streaming twin (width 3 — dictionary and rewrite must agree) and
+    * q77's chunk dedup (width 10), so a change to the explode shape
+    * cannot fork the chunk universes. */
+  def chunkedOf(docsDf: DataFrame, width: Int = 3): DataFrame =
     docsDf
       .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, cast(ceil(size(tok) / 3.0) as int) - 1),
-             i -> concat_ws(' ', slice(tok, i * 3 + 1, 3)))"""))
+        s"""transform(sequence(0, cast(ceil(size(tok) / $width.0) as int) - 1),
+             i -> concat_ws(' ', slice(tok, i * $width + 1, $width)))"""))
         .as(Seq("p", "chunk")))
       .withColumn("ck", xxhash64(col("chunk")))
       .withColumn("clen", length(col("chunk")))
@@ -150,17 +156,18 @@ object TextOps {
 
     // q40: language-ID via stopword-profile hit counts (deterministic
     // n-gram-style heuristic; ties broken in profile order)
-    "q40_langid" -> ((s, d) => langidOf(s, d).orderBy("doc_id")),
+    "q40_langid" -> ((s, d) =>
+      langidOf(s, d).drop("lang").orderBy("doc_id")),
 
     // q134: langid confusion matrix — the EVAL op for q40's heuristic
     // (every classifier in a curation pipeline needs its quality
     // measured on labeled data): predicted-vs-actual cell counts with
-    // per-actual recall share in integer bp. One doc-keyed join + a
-    // language-bounded aggregate; the per-actual totals table is tiny
-    // and broadcasts.
+    // per-actual recall share in integer bp. langidOf carries the
+    // labeled lang through, so this is ONE corpus scan feeding a
+    // language-bounded aggregate — no second scan, no doc-keyed join;
+    // the per-actual totals table is tiny and broadcasts.
     "q134_langid_confusion" -> ((s, d) => {
-      val m = Tables.load(s, d, "documents").select("doc_id", "lang")
-        .join(langidOf(s, d).select("doc_id", "pred"), Seq("doc_id"))
+      val m = langidOf(s, d)
         .groupBy(col("lang").as("actual"), col("pred"))
         .agg(count(lit(1)).as("n"))
       val tot = m.groupBy("actual").agg(sum("n").as("tot"))
@@ -361,13 +368,8 @@ object TextOps {
     // boilerplate-only pages. sequence(0, ceil(size/10) - 1) is safe:
     // size(tok) >= 1.
     "q77_chunk_dedup" -> ((s, d) =>
-      docs(s, d)
-        .select(col("doc_id"), posexplode(expr(
-          """transform(sequence(0, cast(ceil(size(tok) / 10.0) as int) - 1),
-               i -> concat_ws(' ', slice(tok, i * 10 + 1, 10)))"""))
-          .as(Seq("p", "chunk")))
-        .groupBy(xxhash64(col("chunk")).as("ck"),
-          length(col("chunk")).as("clen"))
+      chunkedOf(docs(s, d), width = 10)
+        .groupBy(col("ck"), col("clen"))
         .agg(min(struct(col("doc_id"), col("p"), col("chunk"))).as("f"))
         .select(col("f.doc_id").as("doc_id"), col("f.p").as("p"),
           col("f.chunk").as("chunk"))
@@ -418,12 +420,10 @@ object TextOps {
     // unigram table is VOCABULARY-bounded — a few million rows for any
     // real corpus — so it broadcasts to the bigram side at 100 TB too.
     "q85_bigram_dice" -> ((s, d) => {
-      val dd = docs(s, d).filter(size(col("tok")) >= 2)
-      val big = dd
-        .select(explode(expr(
-          """transform(sequence(0, size(tok) - 2),
-               i -> struct(tok[i] AS w1, tok[i+1] AS w2))""")).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // the ONE bigram definition (bigramsOf) shared with the q97 LM
+      // and q127's DSIR weights — a window/indexing fix there cannot
+      // silently diverge from this ranking
+      val big = bigramsOf(docs(s, d))
         .groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
       val uni = docs(s, d).select(explode(col("tok")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("nw"))
@@ -719,8 +719,12 @@ object TextOps {
     // Builders are shared with the STATELESS streaming twin
     // (streaming/StreamingDedup.boilerplateStripNew).
     "q114_boilerplate_strip" -> ((s, d) => {
-      val ch = chunkedOf(docs(s, d))
-      ch.join(broadcast(boilerDict(docs(s, d))), Seq("ck", "clen"), "left")
+      // one docs() binding for both sides: probe and dictionary must
+      // tokenize/chunk identically, and a one-sided edit would fork
+      // the chunk universes silently
+      val dd = docs(s, d)
+      val ch = chunkedOf(dd)
+      ch.join(broadcast(boilerDict(dd)), Seq("ck", "clen"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           count(col("boiler")).as("n_removed"),
@@ -1069,14 +1073,18 @@ object TextOps {
           FROM wc GROUP BY lang ORDER BY lang""",
 
     // the same Efraimidis–Spirakis key, identical IEEE expression tree
+    // outer ORDER BY re-pins the row order on the raw key: the driver
+    // compare is row-order-sensitive and an inner-only ORDER BY leans
+    // on DuckDB's non-contractual insertion-order preservation
     "q121_weighted_sample" ->
-      """SELECT doc_id, lang, n_chars, round(skey, 8) AS skey
+      """SELECT doc_id, lang, n_chars, round(skey_raw, 8) AS skey
          FROM (SELECT doc_id, lang, n_chars,
                  ln((CAST(CAST('0x' || substr(md5(text), 1, 13) AS UBIGINT)
                       AS DOUBLE) + 1e0) / 4503599627370496e0)
-                   / greatest(n_chars, 1) AS skey
+                   / greatest(n_chars, 1) AS skey_raw
                FROM documents
-               ORDER BY skey DESC, doc_id LIMIT 25) t""",
+               ORDER BY skey_raw DESC, doc_id LIMIT 25) t
+         ORDER BY skey_raw DESC, doc_id""",
 
     // fixed-width lowercase hex: string order == numeric order of the
     // 52-bit prefix the Spark side ranks on
@@ -1161,7 +1169,8 @@ object TextOps {
                  CROSS JOIN v1 CROSS JOIN v2
                  GROUP BY b.doc_id)
           SELECT doc_id, n_bigrams, logw
-          FROM (SELECT * FROM sc ORDER BY logw DESC, doc_id LIMIT 50) f""",
+          FROM (SELECT * FROM sc ORDER BY logw DESC, doc_id LIMIT 50) f
+          ORDER BY logw DESC, doc_id""",
 
     // the identical sum-of-logs tree; totals cast from HUGEINT sums
     "q128_pmi_collocations" ->
@@ -1185,7 +1194,8 @@ object TextOps {
                 CROSS JOIN nbt CROSS JOIN ntt
                 WHERE nb >= 5)
           SELECT w1, w2, nb, pmi
-          FROM (SELECT * FROM p ORDER BY pmi DESC, w1, w2 LIMIT 20) f""",
+          FROM (SELECT * FROM p ORDER BY pmi DESC, w1, w2 LIMIT 20) f
+          ORDER BY pmi DESC, w1, w2""",
 
     "q98_normalized_dedup" ->
       """WITH n AS (SELECT doc_id,

@@ -182,6 +182,26 @@ class TextSimilaritySpec extends SparkSpec {
       s"static-1 ${sp.getLong(0)}/5")
   }
 
+  test("q74's exact-top-10 precondition holds on the fixture " +
+      "(Misra-Gries covers every term with freq > n/(k+1))") {
+    // q74's hash-oracle parity silently depends on the true top-10
+    // living inside the MG candidate set, guaranteed only for terms
+    // with frequency > n/(k+1) at k = 50. A fixture regeneration with
+    // a flatter tail would fail the driver gate with no hint why —
+    // pin the precondition loudly here instead (the Det.davg
+    // fail-at-construction philosophy, test-side).
+    val terms = graft.queries.Dedup.withTok(
+        Tables.load(spark, sf, "documents"))
+      .select(explode($"tok").as("term"))
+    val top10 = terms.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"term").limit(10).collect()
+    val n = terms.count()
+    val tenth = top10.last.getLong(1)
+    assert(tenth > n / 51,
+      s"10th term freq $tenth <= n/(k+1) = ${n / 51}: the MG candidate " +
+        "set no longer provably covers q74's top-10 — raise k in q74")
+  }
+
   test("token counts: bpe tokenization never undercounts ws tokens") {
     val q = SparkEntry.queries("q42_token_count")(spark, sf)
     assert(q.filter($"bpe_tokens" < $"ws_tokens").count() == 0)
