@@ -17,6 +17,62 @@ object Analytics {
 
   private val fmtU = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** (doc_id, term, tf, w): the ONE smoothed tf-idf weight definition
+    * — w = tf · ln((n_docs + 1)/(df_t + 1)) — shared by q61
+    * (reporting) and q131 (sparse retrieval), with [[tfidfCtes]] as
+    * its oracle twin, so the smoothing formula exists exactly once per
+    * engine. df derives from tf (one row per (doc, term) ⇒ row count
+    * per term IS the document frequency): the corpus is scanned,
+    * exploded and shuffled ONCE, and the df pass shuffles only the
+    * already-tiny tf aggregate on term — a second full
+    * scan+explode+shuffle of every token would be the dominant cost at
+    * corpus scale. AQE reuses the tf stage for both consumers. */
+  private def tfidfWeights(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(expr(Dedup.TokExpr)).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val nDocs = Tables.load(s, d, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * log((col("n_docs") + 1).cast("double")
+          / (col("df_t") + 1))).as("w"))
+  }
+
+  /** The one as-of oracle shared verbatim by q63 (composed window
+    * formulation) and q90 (native AsOfJoin operator): both Spark
+    * formulations must match THIS, which is what pins them
+    * result-identical to each other. */
+  private val asofOracle: String =
+    """WITH p AS (SELECT user_id, ts AS p_ts FROM events
+                  WHERE event_type = 'purchase'),
+        s AS (SELECT user_id, ts AS s_ts, count(*) AS s_cnt
+              FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        SELECT p.user_id,
+          strftime(p.p_ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+          strftime(s.s_ts, '%Y-%m-%d %H:%M:%S.%f') AS s_ts,
+          s.s_cnt
+        FROM p ASOF LEFT JOIN s
+          ON p.user_id = s.user_id AND p.p_ts >= s.s_ts
+        ORDER BY 1, 2, 3"""
+
+  /** The oracle twin of [[tfidfWeights]]: CTEs tf/dfreq/nd/w with the
+    * identical smoothing formula, interpolated into the q61 AND q131
+    * oracles. */
+  private val tfidfCtes: String =
+    s"""toks AS (SELECT doc_id,
+              unnest(${Dedup.DuckTokExpr}) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                 GROUP BY doc_id, term),
+          dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+          nd AS (SELECT count(*) AS n_docs FROM documents),
+          w AS (SELECT doc_id, term, tf,
+                  tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df_t + 1)) AS w
+                FROM tf JOIN dfreq USING (term) CROSS JOIN nd)"""
+
   val queries: Map[String, Q] = Map(
     // q129: event-type transition matrix — the first-order Markov view
     // of user behavior (what follows what, and how often): per-user
@@ -124,9 +180,12 @@ object Analytics {
         // a NULL ELEMENT inside the array diverges the engines: Spark's
         // aggregate() folds a + NULL² to a NULL norm (doc drops from the
         // sum but not the count), DuckDB's list_sum skips NULL elements
-        // (finite partial norm). Pin the domain: only fully-non-null
-        // vectors rank, mirrored in the oracle's list_filter WHERE.
-        .filter(expr("NOT exists(embedding, x -> x IS NULL)"))
+        // (finite partial norm). The EMPTY array diverges them too:
+        // Spark's fold yields norm 0.0 while DuckDB's list_sum([]) is
+        // NULL. Pin the domain: only non-empty fully-non-null vectors
+        // rank, mirrored in the oracle's WHERE.
+        .filter(expr("size(embedding) > 0") &&
+          expr("NOT exists(embedding, x -> x IS NULL)"))
         .select(col("vec_id").as("doc_id"),
           expr("""sqrt(aggregate(embedding, cast(0.0 as double),
                     (a, x) -> a + cast(x as double) * cast(x as double)))""")
@@ -281,28 +340,14 @@ object Analytics {
     }),
 
     // q61: corpus TF-IDF (smoothed idf), reported for the first 5 docs
-    "q61_tfidf" -> ((s, d) => {
-      val toks = Tables.load(s, d, "documents")
-        .select(col("doc_id"), explode(expr(Dedup.TokExpr)).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // df derives from tf (one row per (doc, term) => row count per term
-      // IS the document frequency): the corpus is scanned, exploded and
-      // shuffled ONCE, and the df pass shuffles only the already-tiny tf
-      // aggregate on term — a second full scan+explode+shuffle of every
-      // token (the previous toks.distinct() formulation) would be the
-      // dominant cost at corpus scale. AQE reuses the tf stage for both
-      // consumers.
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
-      val nDocs = Tables.load(s, d, "documents")
-        .agg(count(lit(1)).as("n_docs"))
-      tf.filter(col("doc_id") < 5)
-        .join(broadcast(dfreq), Seq("term"))
-        .crossJoin(broadcast(nDocs))
+    // — the doc_id filter pushes through the dfreq/nDocs joins to the
+    // tf side, so only 5 docs' weights materialize
+    "q61_tfidf" -> ((s, d) =>
+      tfidfWeights(s, d)
+        .filter(col("doc_id") < 5)
         .select(col("doc_id"), col("term"), col("tf"),
-          round(col("tf") * log((col("n_docs") + 1).cast("double")
-            / (col("df_t") + 1)), 4).as("tfidf"))
-        .orderBy("doc_id", "term")
-    }),
+          round(col("w"), 4).as("tfidf"))
+        .orderBy("doc_id", "term")),
 
     // q131: sparse-vector retrieval — query-by-document cosine over
     // the q61 tf-idf weights, the inverted-index dot product every
@@ -316,18 +361,8 @@ object Analytics {
     // order-independent), sqrt/division in identically-shaped double
     // trees, ranking on the rounded value with doc_id tie-break.
     "q131_sparse_cosine" -> ((s, d) => {
-      val toks = Tables.load(s, d, "documents")
-        .select(col("doc_id"), explode(expr(Dedup.TokExpr)).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
-      val nDocs = Tables.load(s, d, "documents")
-        .agg(count(lit(1)).as("n_docs"))
       val wm = graft.operators.Materialize.truncate(
-        tf.join(broadcast(dfreq), Seq("term"))
-          .crossJoin(broadcast(nDocs))
-          .select(col("doc_id"), col("term"),
-            (col("tf") * log((col("n_docs") + 1).cast("double")
-              / (col("df_t") + 1))).as("w")))
+        tfidfWeights(s, d).select("doc_id", "term", "w"))
       val norms = wm.groupBy("doc_id")
         .agg(expr("sum(cast(w * w as decimal(28,12)))").as("n2"))
       val probe = wm.filter(col("doc_id") === 0)
@@ -340,10 +375,16 @@ object Analytics {
         .agg(expr("sum(cast(w * pw as decimal(28,12)))").as("dot"))
         .join(norms, Seq("doc_id"))
         .crossJoin(broadcast(pn))
+        // zero-norm guard (the q34 dense-path pin, sparse twin): a doc
+        // whose every weight is 0 — or a zero-weight probe — would
+        // divide 0/0 to NaN here, and NaN outranks every genuine
+        // neighbor in the DESC sort (DuckDB yields NULL for the same
+        // division). Pin degenerate cosines to 0.0 on both sides.
         .select(col("doc_id"),
-          round(expr("""cast(dot as double)
-              / (sqrt(cast(n2 as double)) * sqrt(cast(pn2 as double)))"""),
-            4).as("cos"))
+          when(col("n2") > 0 && col("pn2") > 0,
+            round(expr("""cast(dot as double)
+                / (sqrt(cast(n2 as double)) * sqrt(cast(pn2 as double)))"""),
+              4)).otherwise(lit(0.0)).as("cos"))
         .orderBy(col("cos").desc, col("doc_id")).limit(10)
     }),
 
@@ -616,13 +657,6 @@ object Analytics {
     })
   )
 
-  /** The q110 snapshot fixtures — v1 = doc_id < 400, v2 = doc_id >= 100
-    * with a simulated edit on doc_id % 7 == 0 — as (doc_id, digest,
-    * presence) frames. ONE definition shared by the query and the
-    * bucketed-diff test so the simulated-edit rule cannot drift between
-    * them. Explicit presence flags, NOT hash nullness: a NULL-text doc
-    * has a NULL digest, and keying added/removed on h1/h2 would misread
-    * side membership (the oracle keys on row presence). */
   /** The v2 side's simulated edit (doc_id % 7 == 0 upper-cased) — ONE
     * definition shared by the digest frames (snapshotSides) and the
     * body projection (q137's merge apply) so the edit rule cannot
@@ -630,6 +664,13 @@ object Analytics {
   private def v2Text: org.apache.spark.sql.Column =
     when(col("doc_id") % 7 === 0, upper(col("text"))).otherwise(col("text"))
 
+  /** The q110 snapshot fixtures — v1 = doc_id < 400, v2 = doc_id >= 100
+    * with a simulated edit on doc_id % 7 == 0 — as (doc_id, digest,
+    * presence) frames. ONE definition shared by the query and the
+    * bucketed-diff test so the simulated-edit rule cannot drift between
+    * them. Explicit presence flags, NOT hash nullness: a NULL-text doc
+    * has a NULL digest, and keying added/removed on h1/h2 would misread
+    * side membership (the oracle keys on row presence). */
   def snapshotSides(docsT: DataFrame): (DataFrame, DataFrame) = (
     docsT.filter(col("doc_id") < 400)
       .select(col("doc_id"), md5(col("text")).as("h1"),
@@ -688,16 +729,13 @@ object Analytics {
           FROM dev JOIN mad USING (event_type)
           GROUP BY dev.event_type ORDER BY event_type""",
 
+    // tf-idf weights single-sourced with q61 (tfidfCtes); degenerate
+    // zero-norm cosines pinned to 0.0 (the Spark side's guard twin —
+    // DuckDB's 0/0 is NULL, Spark's is NaN, and NaN outranks every
+    // real neighbor); outer ORDER BY re-pins row order for the
+    // order-sensitive driver compare
     "q131_sparse_cosine" ->
-      s"""WITH t AS (SELECT doc_id,
-              unnest(${Dedup.DuckTokExpr}) AS term
-            FROM documents),
-          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
-          dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
-          nd AS (SELECT count(*) AS n_docs FROM documents),
-          w AS (SELECT doc_id, term,
-                  tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df_t + 1)) AS w
-                FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+      s"""WITH $tfidfCtes,
           norms AS (SELECT doc_id, sum(CAST(w * w AS DECIMAL(28,12)))
                       AS n2 FROM w GROUP BY doc_id),
           probe AS (SELECT term, w AS pw FROM w WHERE doc_id = 0),
@@ -707,12 +745,15 @@ object Analytics {
                    FROM w JOIN probe USING (term)
                    WHERE w.doc_id <> 0 GROUP BY w.doc_id),
           sc AS (SELECT dots.doc_id,
-                   round(CAST(dot AS DOUBLE)
-                     / (sqrt(CAST(n2 AS DOUBLE))
-                        * sqrt(CAST(pn2 AS DOUBLE))), 4) AS cos
+                   CASE WHEN n2 > 0 AND pn2 > 0 THEN
+                     round(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(n2 AS DOUBLE))
+                          * sqrt(CAST(pn2 AS DOUBLE))), 4)
+                   ELSE 0.0 END AS cos
                  FROM dots JOIN norms USING (doc_id) CROSS JOIN pn)
           SELECT doc_id, cos
-          FROM (SELECT * FROM sc ORDER BY cos DESC, doc_id LIMIT 10) f""",
+          FROM (SELECT * FROM sc ORDER BY cos DESC, doc_id LIMIT 10) f
+          ORDER BY cos DESC, doc_id""",
 
     "q129_event_transitions" ->
       """WITH tr AS (SELECT user_id, event_type AS cur,
@@ -783,7 +824,8 @@ object Analytics {
               sqrt(list_sum(list_transform(embedding,
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
             FROM embeddings
-            WHERE len(list_filter(embedding, x -> x IS NULL)) = 0)
+            WHERE len(embedding) > 0
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0)
          SELECT lang, count(*) AS n,
                 round(CAST(sum(CAST(norm AS DECIMAL(38,12))) AS DOUBLE)
                   / count(*), 4) AS avg_norm
@@ -854,47 +896,20 @@ object Analytics {
                  ((SELECT count(*) FROM s3) * 10000)
                    // (SELECT count(*) FROM s1) AS step3_bp""",
 
-    "q63_asof_join" ->
-      """WITH p AS (SELECT user_id, ts AS p_ts FROM events
-                    WHERE event_type = 'purchase'),
-          s AS (SELECT user_id, ts AS s_ts, count(*) AS s_cnt
-                FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
-          SELECT p.user_id,
-            strftime(p.p_ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
-            strftime(s.s_ts, '%Y-%m-%d %H:%M:%S.%f') AS s_ts,
-            s.s_cnt
-          FROM p ASOF LEFT JOIN s
-            ON p.user_id = s.user_id AND p.p_ts >= s.s_ts
-          ORDER BY 1, 2, 3""",
+    // ONE shared oracle string for both as-of formulations: q90's
+    // "same DuckDB oracle, so the two are pinned result-identical"
+    // contract is structural, not a hand-synchronized paste
+    "q63_asof_join" -> asofOracle,
 
-    "q90_asof_native" ->
-      """WITH p AS (SELECT user_id, ts AS p_ts FROM events
-                    WHERE event_type = 'purchase'),
-          s AS (SELECT user_id, ts AS s_ts, count(*) AS s_cnt
-                FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
-          SELECT p.user_id,
-            strftime(p.p_ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
-            strftime(s.s_ts, '%Y-%m-%d %H:%M:%S.%f') AS s_ts,
-            s.s_cnt
-          FROM p ASOF LEFT JOIN s
-            ON p.user_id = s.user_id AND p.p_ts >= s.s_ts
-          ORDER BY 1, 2, 3""",
+    "q90_asof_native" -> asofOracle,
 
+    // single-sourced with q131 via tfidfCtes; dfreq derives from tf
+    // (one row per (doc, term) in tf ⇒ the row count per term IS the
+    // document frequency the original DISTINCT formulation computed)
     "q61_tfidf" ->
-      s"""WITH toks AS (SELECT doc_id,
-              unnest(${Dedup.DuckTokExpr}) AS term
-            FROM documents),
-          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-                 GROUP BY doc_id, term),
-          dfreq AS (SELECT term, count(*) AS df_t
-                    FROM (SELECT DISTINCT doc_id, term FROM toks) x
-                    GROUP BY term),
-          n AS (SELECT count(*) AS n_docs FROM documents)
-          SELECT tf.doc_id, tf.term, tf.tf,
-                 round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE)
-                   / (dfreq.df_t + 1)), 4) AS tfidf
-          FROM tf JOIN dfreq USING (term) CROSS JOIN n
-          WHERE tf.doc_id < 5
+      s"""WITH $tfidfCtes
+          SELECT doc_id, term, tf, round(w, 4) AS tfidf
+          FROM w WHERE doc_id < 5
           ORDER BY doc_id, term""",
 
     "q96_psi_drift" ->
