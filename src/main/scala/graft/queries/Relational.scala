@@ -30,6 +30,23 @@ object Relational {
              END""")
   }
 
+  /** Value-domain cumulative counts of a non-null measure per flag:
+    * (flag, x, cnt, run, tot). The ONE builder behind q46's
+    * percentile_cont replay and q87's winsorize cutpoints (q88 spells
+    * the same shape in SQL): groupBy(value) bounds the table by the
+    * 2-decimal money domain, so the running-count window runs over
+    * that domain table, never the corpus. */
+  private def valueCume(df: DataFrame, flag: String,
+      value: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    df.filter(col(value).isNotNull)
+      .groupBy(col(flag), col(value).as("x"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("run", sum("cnt").over(W.partitionBy(flag)
+        .orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("tot", sum("cnt").over(W.partitionBy(flag)))
+  }
+
   val queries: Map[String, Q] = Map(
     // q01: scan + count
     "q01_scan_count" -> ((s, d) =>
@@ -169,11 +186,14 @@ object Relational {
       val o = t(s, d, "orders").filter(
         col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-02-01").cast("timestamp"))
+        // the [date, date+7d] window spans EXACTLY two weekly buckets
+        // (floor((d+7)/7) = floor(d/7) + 1 for every integer d), so the
+        // explode is a fixed 2-row fan-out — no distinct needed
         .withColumn("bks", expr(
-          """array_distinct(array(
+          """array(
                floor(datediff(o_orderdate, date'1970-01-01') / 7),
                floor(datediff(o_orderdate + interval 7 days,
-                              date'1970-01-01') / 7)))"""))
+                              date'1970-01-01') / 7))"""))
         .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
           explode(col("bks")).as("bk"))
       l.join(o, Seq("bk"))
@@ -293,14 +313,25 @@ object Relational {
         sum(col("dz").cast(dec38)).as("sd"),
         sum((col("dz") * col("dz")).cast(dec38)).as("sdd"))
       def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+      // engine-EXACT d-decimal rounding: floor(x·10^d + 0.5)/10^d is
+      // identical IEEE ops on the bit-identical doubles both engines
+      // derive from the exact integer moments, where round(x, d)
+      // HALF_UPs the shortest DECIMAL repr — a half-tie at the
+      // (d+1)-th decimal (the Det.davg 73.91375 case) would diverge
+      // cross-engine. The q71 floor(x+0.5) quantization, applied to
+      // the output surface.
+      def r(c: org.apache.spark.sql.Column, d: Int) = {
+        val p = math.pow(10, d)
+        floor(c * p + 0.5) / p
+      }
       m.select(col("l_returnflag"),
-        round(dbl(col("n") * col("sxy") - col("sx") * col("sy"))
+        r(dbl(col("n") * col("sxy") - col("sx") * col("sy"))
           / sqrt(dbl(col("n") * col("sxx") - col("sx") * col("sx"))
             * dbl(col("n") * col("syy") - col("sy") * col("sy"))), 4)
           .as("qty_price_corr"),
-        round(sqrt(dbl(col("n") * col("sxx") - col("sx") * col("sx"))
+        r(sqrt(dbl(col("n") * col("sxx") - col("sx") * col("sx"))
           / dbl(col("n") * (col("n") - 1))) / 100, 4).as("qty_sd"),
-        round(dbl(col("n") * col("sdd") - col("sd") * col("sd"))
+        r(dbl(col("n") * col("sdd") - col("sd") * col("sd"))
           / dbl(col("n") * (col("n") - 1)) / 10000, 6).as("disc_var"))
         .orderBy("l_returnflag")
     }),
@@ -316,7 +347,9 @@ object Relational {
           .as("bin"))
         .agg(count(lit(1)).as("n"),
           graft.Det.dsum(col("l_extendedprice")).as("sum_price"))
-        .orderBy("bin")),
+        // a NULL price yields a NULL bin group: pin its sort placement
+        // (suite convention NULLS LAST; Spark asc default is FIRST)
+        .orderBy(col("bin").asc_nulls_last)),
 
     // q81: top-3 orders per customer via the bounded TopKAgg aggregator
     // — NOT the row_number window (q17/q18 cover that shape): the
@@ -422,27 +455,20 @@ object Relational {
     // the result (and the DuckDB quantile_cont oracle match) is
     // bit-identical to the aggregate it replaces.
     "q46_percentiles" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val vc = t(s, d, "lineitem")
-        // percentile_cont skips NULL inputs; mirror the domain
-        .filter(col("l_extendedprice").isNotNull)
-        .groupBy(col("l_returnflag"), col("l_extendedprice").as("x"))
-        .agg(count(lit(1)).as("cnt"))
-      val cume = vc
-        .withColumn("run", sum("cnt").over(W.partitionBy("l_returnflag")
-          .orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)))
-        .withColumn("tot", sum("cnt").over(W.partitionBy("l_returnflag")))
-      def pick(p: String, name: String) = {
+      // percentile_cont skips NULL inputs; valueCume mirrors the domain
+      val cume = valueCume(t(s, d, "lineitem"),
+        "l_returnflag", "l_extendedprice")
+      def pick(p: String) = {
         // 0-based fractional rank, identical to Percentile's position
         val pos = expr(s"$p * cast(tot - 1 as double)")
         val lo = min(when(col("run") >= floor(pos) + 1, col("x")))
         val hi = min(when(col("run") >= ceil(pos) + 1, col("x")))
         // ceil(pos)+1 can exceed tot only when frac = 0 (pos integral),
         // where hi is unused: coalesce keeps the arithmetic total
-        (lo, coalesce(hi, lo), name)
+        (lo, coalesce(hi, lo))
       }
-      val (lo50, hi50, _) = pick("0.5", "p50")
-      val (lo90, hi90, _) = pick("0.9", "p90")
+      val (lo50, hi50) = pick("0.5")
+      val (lo90, hi90) = pick("0.9")
       cume.groupBy("l_returnflag")
         .agg(max("tot").as("n"),
           lo50.as("lo50"), hi50.as("hi50"),
@@ -508,15 +534,27 @@ object Relational {
       ua.union(un).union(in).union(ex).orderBy("op", "nk")
     }),
 
-    // q22: correlated scalar subquery (Catalyst decorrelates); exercises
-    // the SQL parser surface via spark.sql
+    // q22: correlated scalar subqueries (Catalyst decorrelates);
+    // exercises the SQL parser surface via spark.sql. The threshold is
+    // EXACT arithmetic: price · count > sum in DECIMAL — a raw
+    // avg(double) subquery merges partial double sums in
+    // task-completion order, so the per-nation threshold's last bits
+    // were nondeterministic across runs AND engines, and a price
+    // landing inside that ulp band would flip set membership (the Det
+    // policy applied to a correlated predicate: multiply through by
+    // the count instead of dividing). count >= 1 always — the outer
+    // row's own order is in its nation's group.
     "q22_subquery" -> ((s, d) => {
       Tables.register(s, d, "orders", "customer")
       s.sql("""
         SELECT o.o_orderkey, c.c_nationkey, o.o_totalprice
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        WHERE o.o_totalprice > (
-          SELECT avg(o2.o_totalprice)
+        WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * (
+          SELECT count(*)
+          FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+          WHERE c2.c_nationkey = c.c_nationkey)
+        > (
+          SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
           FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
           WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY o.o_orderkey""")
@@ -539,15 +577,9 @@ object Relational {
     // scale rules. The clamp+sum pass is map-side partial aggregation
     // after a 3-row broadcast join.
     "q87_winsorize" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val cut = t(s, d, "lineitem")
-        // percentile_disc skips NULL inputs; mirror the domain
-        .filter(col("l_extendedprice").isNotNull)
-        .groupBy(col("l_returnflag"), col("l_extendedprice").as("x"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("run", sum("cnt").over(W.partitionBy("l_returnflag")
-          .orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)))
-        .withColumn("tot", sum("cnt").over(W.partitionBy("l_returnflag")))
+      // percentile_disc skips NULL inputs; valueCume mirrors the domain
+      val cut = valueCume(t(s, d, "lineitem"),
+          "l_returnflag", "l_extendedprice")
         .groupBy("l_returnflag")
         .agg(min(when(col("run") * 20 >= col("tot"), col("x"))).as("p05"),
           min(when(col("run") * 20 >= col("tot") * 19, col("x"))).as("p95"))
@@ -557,8 +589,15 @@ object Relational {
           expr("""cast(cast(least(greatest(l_extendedprice, p05), p95)
                    as decimal(18,2)) * 100 as bigint)""").as("wc"))
         .groupBy("l_returnflag")
+        // the cents sum rides DECIMAL(38,0), not Long: at the 10^12-row
+        // groups this shape targets, sum(bigint) exceeds Long and ANSI
+        // throws (the DuckDB twin widens to HUGEINT); `div` is exact on
+        // decimal/long operands alike and still lands a LongType mean
         .agg(count(lit(1)).as("n"), min("p05").as("p05"),
-          min("p95").as("p95"), sum("wc").as("sw"))
+          min("p95").as("p95"),
+          sum(col("wc").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))
+            .as("sw"))
         .select(col("l_returnflag"), col("n"), col("p05"), col("p95"),
           expr("sw div n").as("wmean_cents"))
         .orderBy("l_returnflag")
@@ -584,9 +623,14 @@ object Relational {
       val cuts = (1 to 9).map(i =>
         s"min(CASE WHEN cast(run as double) / cast(tot as double) >= 0.$i " +
           s"THEN x END)").mkString(",\n            ")
+      // null domain pinned on BOTH the cume table and the binned scan
+      // (q46/q87 do the same): NULL prices would inflate Spark's
+      // running count (ASC puts NULLS FIRST) but not the oracle's
+      // cume_dist, shifting every decile cutpoint
       s.sql(s"""
         WITH vc AS (SELECT o_totalprice AS x, count(*) AS cnt
-                    FROM orders GROUP BY o_totalprice),
+                    FROM orders WHERE o_totalprice IS NOT NULL
+                    GROUP BY o_totalprice),
         cume AS (SELECT x,
                    sum(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
                      AS run,
@@ -601,6 +645,7 @@ object Relational {
                cast(sum(cast(o.o_totalprice as decimal(18,2))) as double)
                  AS sum_price
         FROM orders o CROSS JOIN cut c
+        WHERE o.o_totalprice IS NOT NULL
         GROUP BY 1 ORDER BY bin""")
     }),
 
@@ -873,13 +918,16 @@ object Relational {
                sum(CAST(dz AS HUGEINT) * dz) AS sdd
              FROM b GROUP BY l_returnflag)
          SELECT l_returnflag,
-           round(CAST(n*sxy - sx*sy AS DOUBLE)
+           floor(CAST(n*sxy - sx*sy AS DOUBLE)
              / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
-                 * CAST(n*syy - sy*sy AS DOUBLE)), 4) AS qty_price_corr,
-           round(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
-             / CAST(n*(n-1) AS DOUBLE)) / 100, 4) AS qty_sd,
-           round(CAST(n*sdd - sd*sd AS DOUBLE)
-             / CAST(n*(n-1) AS DOUBLE) / 10000, 6) AS disc_var
+                 * CAST(n*syy - sy*sy AS DOUBLE)) * 10000 + 0.5) / 10000
+             AS qty_price_corr,
+           floor(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+             / CAST(n*(n-1) AS DOUBLE)) / 100 * 10000 + 0.5) / 10000
+             AS qty_sd,
+           floor(CAST(n*sdd - sd*sd AS DOUBLE)
+             / CAST(n*(n-1) AS DOUBLE) / 10000 * 1000000 + 0.5) / 1000000
+             AS disc_var
          FROM m ORDER BY l_returnflag""",
 
     "q81_group_topk" ->
@@ -893,7 +941,7 @@ object Relational {
     "q78_histogram" ->
       s"""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
             count(*) AS n, ${sqlDsum("l_extendedprice")} AS sum_price
-          FROM lineitem GROUP BY 1 ORDER BY bin""",
+          FROM lineitem GROUP BY 1 ORDER BY bin NULLS LAST""",
 
     "q13_hash_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -988,14 +1036,21 @@ object Relational {
             EXCEPT SELECT s_nationkey FROM supplier) x
          ORDER BY op, nk""",
 
+    // the identical exact-decimal predicate (DuckDB's sum(DECIMAL) is
+    // exact too, so both engines decide membership on the same
+    // integers-in-decimal — no double avg on either side)
     "q22_subquery" ->
       """SELECT o.o_orderkey, c.c_nationkey, o.o_totalprice
-         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-         WHERE o.o_totalprice > (
-           SELECT avg(o2.o_totalprice)
-           FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
-           WHERE c2.c_nationkey = c.c_nationkey)
-         ORDER BY o.o_orderkey""",
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * (
+          SELECT count(*)
+          FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+          WHERE c2.c_nationkey = c.c_nationkey)
+        > (
+          SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+          WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY o.o_orderkey""",
 
     "q87_winsorize" ->
       """WITH r AS (SELECT l_returnflag AS rf, l_extendedprice AS x,
@@ -1021,10 +1076,12 @@ object Relational {
       val cuts = (1 to 9).map(i =>
         s"min(x) FILTER (WHERE cd >= 0.$i) AS c$i").mkString(", ")
       s"""WITH r AS (SELECT o_totalprice AS x,
-               cume_dist() OVER (ORDER BY o_totalprice) AS cd FROM orders),
+               cume_dist() OVER (ORDER BY o_totalprice) AS cd
+             FROM orders WHERE o_totalprice IS NOT NULL),
           cut AS (SELECT $cuts FROM r),
           b AS (SELECT o.o_totalprice, CAST($bins AS BIGINT) AS bin
-                FROM orders o CROSS JOIN cut c)
+                FROM orders o CROSS JOIN cut c
+                WHERE o.o_totalprice IS NOT NULL)
           SELECT bin, count(*) AS n,
             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
               AS sum_price

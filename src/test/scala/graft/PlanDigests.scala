@@ -24,9 +24,16 @@ object PlanDigests {
   val pinned: Map[String, String] = Map(
     // r9: pinned after the driver-bench drift investigation (VERDICT r8
     // item 1) — the decorrelated scalar-subquery plan, so any optimizer
-    // or registration change that alters its shape surfaces here
+    // or registration change that alters its shape surfaces here.
+    // r10: TWO decorrelated aggregates (sum + count) instead of one
+    // avg — the exact-decimal threshold rewrite (price·count > sum;
+    // a double avg's last bits were partial-merge-order dependent).
+    // Catalyst does not merge correlated scalar subqueries, so the
+    // subquery side aggregates twice (HashAggregate x4, Scan x4, with
+    // ReusedExchange x2 recovering part); measured 0.96 s isolated at
+    // sf0.1 — determinism bought for ~0.4 s on a sub-second query.
     "q22_subquery" ->
-      "AQEShuffleRead x3 | BroadcastExchange x2 | BroadcastHashJoin x3 | ColumnarToRow x3 | Exchange x3 | Filter x4 | HashAggregate x2 | Project x3 | ReusedExchange x1 | Scan parquet x3 | Sort x1",
+      "AQEShuffleRead x4 | BroadcastExchange x3 | BroadcastHashJoin x5 | ColumnarToRow x4 | Exchange x4 | Filter x5 | HashAggregate x4 | Project x5 | ReusedExchange x2 | Scan parquet x4 | Sort x1",
     // r9: one Window operator = one shuffle for all three interval
     // RANGE frames (they share a window ordering)
     "q136_range_frames" ->
@@ -91,8 +98,11 @@ object PlanDigests {
       "AQEShuffleRead x1 | Exchange x1 | Project x1 | Scan ExistingRDD x1 | Sort x1",
     "q73_incremental_dedup" ->
       "AQEShuffleRead x3 | BroadcastExchange x3 | BroadcastHashJoin x3 | ColumnarToRow x3 | Exchange x4 | Filter x5 | Generate x2 | HashAggregate x3 | Project x9 | ReusedExchange x1 | Scan parquet x3 | Sort x1",
+    // r10: + Filter x2 — the null-domain pin on both the cume table
+    // and the binned scan (NULL prices would inflate Spark's running
+    // count but not the oracle's cume_dist)
     "q88_equidepth_hist" ->
-      "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Exchange x4 | HashAggregate x6 | Project x2 | Scan parquet x2 | Sort x2 | Window x2",
+      "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Exchange x4 | Filter x2 | HashAggregate x6 | Project x2 | Scan parquet x2 | Sort x2 | Window x2",
     // r8: the two pair pipelines hide behind Materialize; the visible
     // tail is the count/semi-join summary
     "q115_dedup_recall" ->
