@@ -55,19 +55,26 @@ object EventTime {
         col("n"),
         expr("(cast(sdec * 100 as bigint) * 100) div n").as("avg_e4"))
 
-  /** q31 aggregation; input must already be deduped on (user_id, ts) so
-    * session semantics match the gaps-and-islands oracle. */
-  /** Session boundary semantics (pinned empirically by OperatorSpec's
-    * "exactly-30-min gap stays in the same session" case): Spark's
-    * session merge runs on window OVERLAP-OR-TOUCH, so an event at
-    * exactly `prev + gap` MERGES into the running session; only a
-    * STRICTLY larger gap opens a new one. The q31/q130 gaps-and-islands
-    * oracles mirror this with `ts - lag(ts) > INTERVAL 30 MINUTE`
-    * (strict `>`, not `>=`). */
-  def sessionAgg(events: DataFrame): DataFrame =
+  /** The ONE 30-minute sessionizer grouping — null-ts pinned, gap
+    * 30 min — shared by q31/sessionAgg (and through it the streaming
+    * twin) and q130's gauge, so a gap or null-pin change cannot
+    * sessionize the two queries differently while their oracles stay
+    * mirrored. Boundary semantics (pinned empirically by
+    * OperatorSpec's "exactly-30-min gap stays in the same session"
+    * case): Spark's session merge runs on window OVERLAP-OR-TOUCH, so
+    * an event at exactly `prev + gap` MERGES into the running session;
+    * only a STRICTLY larger gap opens a new one. The q31/q130
+    * gaps-and-islands oracles mirror this with
+    * `ts - lag(ts) > INTERVAL 30 MINUTE` (strict `>`, not `>=`). */
+  private def sessionGroups(events: DataFrame) =
     events
       .filter(col("ts").isNotNull)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+
+  /** q31 aggregation; input must already be deduped on (user_id, ts) so
+    * session semantics match the gaps-and-islands oracle. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    sessionGroups(events)
       .agg(count(lit(1)).as("n_events"),
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
           .as("dur_us"))
@@ -107,14 +114,18 @@ object EventTime {
     // over sessions. Everything else is the per-user session aggregate
     // plus one tiny shuffle on the minute key; all integers, tie-free.
     "q130_concurrency_gauge" -> ((s, d) => {
-      val sess = Tables.load(s, d, "events")
-        .select("user_id", "ts").distinct()
-        .filter(col("ts").isNotNull) // the tumblingAgg null-domain pin
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      val sess = sessionGroups(Tables.load(s, d, "events")
+          .select("user_id", "ts").distinct())
         .agg(expr("unix_micros(min(ts)) div 60000000").as("m0"),
           expr("unix_micros(max(ts)) div 60000000").as("m1"))
-      val deltas = sess.select(col("m0").as("m"), lit(1L).as("d"))
-        .unionAll(sess.select((col("m1") + 1).as("m"), lit(-1L).as("d")))
+      // both boundary deltas explode out of ONE pass over a single
+      // sessionization — the union-with-itself form planned the
+      // session aggregate twice (ReuseExchange dedupes the shuffle but
+      // the sort/merge session aggregation itself still ran per branch)
+      val deltas = sess.select(explode(array(
+          struct(col("m0").as("m"), lit(1L).as("d")),
+          struct((col("m1") + 1).as("m"), lit(-1L).as("d")))).as("b"))
+        .select(col("b.m").as("m"), col("b.d").as("d"))
         .groupBy("m").agg(sum("d").as("delta"))
       deltas.withColumn("concurrent",
           sum(col("delta")).over(org.apache.spark.sql.expressions.Window

@@ -74,9 +74,15 @@ object Scalars {
     // Spark-side domain and reading as an engine bug.
     "q26_json_fns" -> ((s, d) => {
       val ev = t(s, d, "events")
+      // k domain pinned to INTEGER-literal JSON strings before the
+      // cast (mirrored in the oracle): a float-formatted k ('69.0',
+      // '12.5') would throw under ANSI here while DuckDB's CAST
+      // silently ROUNDS it ('12.5' -> 13, measured) — the regex is the
+      // one construct both regex engines agree on byte-for-byte
       val parsed = ev.select(
         col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        when(get_json_object(col("props"), "$.k").rlike("^[0-9]+$"),
+          get_json_object(col("props"), "$.k").cast("long")).as("k"),
         from_json(col("props"), StructType(Seq(StructField("k", LongType))))
           .getField("k").as("k2"))
       parsed.filter(col("k") > 50)
@@ -94,9 +100,15 @@ object Scalars {
         .orderBy(col("event_type").asc_nulls_last)
     }),
 
-    // q27: array higher-order functions over embeddings
+    // q27: array higher-order functions over embeddings. Empty-array
+    // domain pinned (q66's class): Spark folds [] to 0.0 where DuckDB's
+    // list_sum([]) is NULL, and element_at([], 1) throws under ANSI
+    // where embedding[1] is NULL — only non-empty vectors participate,
+    // mirrored in the oracle's WHERE.
     "q27_array_fns" -> ((s, d) =>
-      t(s, d, "embeddings").select(
+      t(s, d, "embeddings")
+        .filter(size(col("embedding")) > 0)
+        .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
@@ -163,7 +175,10 @@ object Scalars {
            min(k) AS min_k, max(k) AS max_k,
            ${graft.Det.sqlDavg("k", 0)} AS avg_k
          FROM (SELECT event_type,
-                 CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+                 CASE WHEN regexp_matches(
+                        json_extract_string(props, '$$.k'), '^[0-9]+$$')
+                   THEN CAST(json_extract_string(props, '$$.k') AS BIGINT)
+                 END AS k
                FROM events) t
          WHERE k > 50 GROUP BY event_type ORDER BY event_type""",
 
@@ -177,7 +192,7 @@ object Scalars {
            CAST(list_position(embedding, list_aggregate(embedding, 'max'))
              AS BIGINT) AS argmax_pos,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
-         FROM embeddings ORDER BY vec_id""",
+         FROM embeddings WHERE len(embedding) > 0 ORDER BY vec_id""",
 
     "q28_map_fns" ->
       """SELECT c_custkey,
