@@ -89,6 +89,11 @@ def rows_of(rel):
 
 
 def main(sf_dir, out_dir, only=None):
+    # sidecars/error markers live in a SIBLING of the dump dir (the
+    # driver reads every dump-dir entry as a parquet dataset — round 10)
+    import os
+    meta_dir = os.path.join(
+        os.path.dirname(os.path.abspath(out_dir)), "graft_meta")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -103,7 +108,7 @@ def main(sf_dir, out_dir, only=None):
     # A query that crashed in Verify leaves no dump dir — surface those as
     # FAIL (round 3's q35 crash silently vanished from the report).
     for name in sorted(set(oracle) - set(have)):
-        err = f"{out_dir}/_errors/{name}.txt"
+        err = f"{meta_dir}/_errors/{name}.txt"
         msg = open(err).read() if os.path.exists(err) else "no dump written"
         print(f"FAIL {name}: MISSING from dump dir: {msg[:200]}")
         n_fail += 1
@@ -134,8 +139,11 @@ def main(sf_dir, out_dir, only=None):
         # sidecar so a canonicalization drift between Verify.canon and
         # canon() above surfaces here instead of muddying a diagnosis
         gh, eh = col_hashes(gcols, got), col_hashes(ecols, exp)
-        badcols = [c for c in gcols if gh[c] != eh[c]]
-        side = f"{out_dir}/_colhash/{name}.json"
+        # .get: unreachable-today guard (gcols==ecols is checked above),
+        # but a future reorder or duplicate column name must degrade to a
+        # plain mismatch, not a KeyError traceback that kills the run
+        badcols = [c for c in gcols if gh[c] != eh.get(c)]
+        side = f"{meta_dir}/_colhash/{name}.json"
         if os.path.exists(side):
             sc = json.load(open(side))
             drift = [c for c in gcols

@@ -8,11 +8,19 @@ import java.security.MessageDigest
   * skips queries without a dump — so a crash would silently drop the key
   * from the correctness report instead of failing it (this masked a
   * round-3 regression). Every failure therefore also writes an
-  * `_errors/<name>.txt` marker plus a `_verify_errors.json` summary
-  * (underscore-prefixed so no `q*` glob over the dump dir can mistake
-  * them for result dirs), and the process says so loudly on stderr; a
-  * clean round has neither. scripts/check.py cross-checks the registry
-  * against the dump dir, so a missing key reads as FAIL, not pass.
+  * `_errors/<name>.txt` marker plus a `_verify_errors.json` summary,
+  * and the process says so loudly on stderr; a clean round has neither.
+  * scripts/check.py cross-checks the registry against the dump dir, so a
+  * missing key reads as FAIL, not pass.
+  *
+  * Sidecars and error markers live in a SIBLING of the dump dir
+  * (`<outDir>/../graft_meta/`), never inside it: round 10 proved the
+  * driver enumerates EVERY entry under the dump dir as a parquet query
+  * dump (the underscore prefix did not exempt `_colhash/` — it produced
+  * a stray pyarrow-traceback key in CORRECTNESS_r10.json, and on a
+  * failing round `_errors/` would have turned one real failure into N
+  * confusing ones). The dump dir now contains exclusively `q*` parquet
+  * dirs plus the contract-mandated oracle_sql.json.
   */
 object Verify {
   /** Canonical string form of one output value, shared (by contract,
@@ -93,6 +101,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // sibling of the dump dir — NEVER inside it (see the header comment;
+    // the driver reads every dump-dir entry as a parquet dataset)
+    val metaDir = Paths.get(outDir).toAbsolutePath.normalize
+      .resolveSibling("graft_meta").toString
+    new java.io.File(metaDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -122,12 +135,12 @@ object Verify {
           // dump's own; a driver-vs-local divergence next round reads
           // as "column X differs", not "some hash differs"
           try {
-            new java.io.File(s"$outDir/_colhash").mkdirs()
+            new java.io.File(s"$metaDir/_colhash").mkdirs()
             val hashes = columnHashes(spark.read.parquet(s"$outDir/$name"))
             val body = hashes
               .map { case (c, h, _) => s"${q(c)}: ${q(h)}" }
             val rows = hashes.headOption.map(_._3).getOrElse(0L)
-            Files.writeString(Paths.get(s"$outDir/_colhash/$name.json"),
+            Files.writeString(Paths.get(s"$metaDir/_colhash/$name.json"),
               (body :+ s"${q("_rows")}: $rows").mkString("{", ",", "}"))
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name sidecar failed: $e")
@@ -137,8 +150,8 @@ object Verify {
           val msg = s"${e.getClass.getName}: ${e.getMessage}"
           System.err.println(s"[verify] $name FAILED: $msg")
           try {
-            new java.io.File(s"$outDir/_errors").mkdirs()
-            Files.writeString(Paths.get(s"$outDir/_errors/$name.txt"), msg)
+            new java.io.File(s"$metaDir/_errors").mkdirs()
+            Files.writeString(Paths.get(s"$metaDir/_errors/$name.txt"), msg)
           } catch { case _: Throwable => () }
           Some(name -> msg)
         }
@@ -146,7 +159,7 @@ object Verify {
     if (failures.nonEmpty) {
       val errJson = failures
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)
+      Files.writeString(Paths.get(s"$metaDir/_verify_errors.json"), errJson)
       System.err.println(
         s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: " +
           failures.map(_._1).mkString(", "))

@@ -147,10 +147,13 @@ object MediaProbe {
     * Sync acceptance needs TWO consecutive headers agreeing on
     * version/layer/samplerate — a single 0xFFEx match in arbitrary
     * binary is far too common to declare "this is an mp3". An ID3v2
-    * prefix is skipped by its synchsafe length. Duration is exact from
-    * the walked frame count (each frame = spf/sr seconds); the average
-    * bitrate is recomputed from walked bytes, so VBR streams report
-    * their true mean, not the first frame's nominal rate. */
+    * prefix is skipped by its synchsafe length. Duration (r11): a
+    * Xing/Info/VBRI header frame's declared frame/byte totals win —
+    * exact for VBR and for prefix-window probes; otherwise exact from
+    * the walked frame count (each frame = spf/sr seconds). The average
+    * bitrate comes from declared bytes when present, else from walked
+    * bytes, so VBR streams report their true mean, not the first
+    * frame's nominal rate. */
   private def probeMp3(b: Array[Byte]): Option[MediaInfo] = {
     var start = 0
     if (matches(b, 0, "ID3") && b.length >= 10) {
@@ -177,6 +180,42 @@ object MediaProbe {
       } else o += 1
     }
     if (h == null) return None
+    // VBR header frame (Xing/Info after the Layer-III side info, or
+    // Fraunhofer VBRI at its fixed +32 offset): the encoder-declared
+    // frame/byte TOTALS give the exact duration of the WHOLE stream
+    // even when this probe sees only a prefix window of the clip (the
+    // crawl case — mdat-style tails never fetched), and they are the
+    // only correct duration for VBR, where no single frame's nominal
+    // bitrate describes the file. The frame-walk below stays as the
+    // un-tagged (plain CBR) path and as the byte counter. The header
+    // frame is metadata, not audio: it is excluded from the walked
+    // count, matching the declared-total convention.
+    var xFrames = -1L; var xBytes = -1L; var headerFrame = false
+    if (h(5) == 3) { // Xing/VBRI are Layer III structures
+      val sideInfo =
+        if (h(6) == V1) { if (h(4) == 1) 17 else 32 }
+        else { if (h(4) == 1) 9 else 17 }
+      val xo = o + 4 + sideInfo
+      if (matches(b, xo, "Xing") || matches(b, xo, "Info")) {
+        headerFrame = true
+        if (xo + 8 <= b.length) {
+          val flags = be32(b, xo + 4)
+          var p = xo + 8
+          if ((flags & 1) != 0 && p + 4 <= b.length) {
+            xFrames = be32(b, p); p += 4
+          }
+          if ((flags & 2) != 0 && p + 4 <= b.length) xBytes = be32(b, p)
+        }
+      } else if (matches(b, o + 36, "VBRI")) {
+        // "VBRI" sits 32 bytes after the 4-byte header regardless of
+        // channel mode; bytes at +10, frames at +14 (both be32)
+        headerFrame = true
+        if (o + 36 + 18 <= b.length) {
+          xBytes = be32(b, o + 36 + 10)
+          xFrames = be32(b, o + 36 + 14)
+        }
+      }
+    }
     var frames = 0L; var bytes = 0L; var pos = o
     var cur = h
     while (cur != null && pos + cur(0) <= b.length) {
@@ -184,9 +223,14 @@ object MediaProbe {
       cur = mp3Header(b, pos)
       if (cur != null && (cur(2) != h(2) || cur(5) != h(5))) cur = null
     }
+    if (headerFrame && frames > 0) { frames -= 1; bytes -= h(0) }
+    // declared totals win over the walked prefix; a tag missing its
+    // frames field (flags bit unset / truncated) falls back to the walk
+    if (xFrames >= 0) frames = xFrames
     val durMs = frames * h(1).toLong * 1000L / h(2)
     val avgKbps =
-      if (durMs > 0) (bytes * 8 / durMs).toInt else h(3)
+      if (durMs > 0) ((if (xBytes >= 0) xBytes else bytes) * 8 / durMs).toInt
+      else h(3)
     val name = h(5) match {
       case 3 => "mp3"
       case 2 => "mp2"

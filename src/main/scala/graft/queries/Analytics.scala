@@ -15,7 +15,6 @@ object Analytics {
   type Q = (SparkSession, String) => DataFrame
   private val fmtS = "yyyy-MM-dd HH:mm:ss"
 
-  private val fmtU = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   /** (doc_id, term, tf, w): the ONE smoothed tf-idf weight definition
     * — w = tf · ln((n_docs + 1)/(df_t + 1)) — shared by q61
@@ -44,15 +43,24 @@ object Analytics {
   /** The one as-of oracle shared verbatim by q63 (composed window
     * formulation) and q90 (native AsOfJoin operator): both Spark
     * formulations must match THIS, which is what pins them
-    * result-identical to each other. */
+    * result-identical to each other.
+    *
+    * Round-11 version-proofing (VERDICT r10 task 2): q63/q90 (with
+    * q31's session starts) were the last HASHED outputs carrying
+    * `strftime('%f')` — the exact construct class behind q136's
+    * round-9 driver-version hash miss.
+    * Timestamps now leave as epoch-microsecond BIGINTs
+    * (unix_micros/epoch_us), so no fractional-seconds formatter of
+    * either engine is on the hashed surface; micros order exactly as
+    * the zero-padded strings did, so the pinned sort is unchanged. */
   private val asofOracle: String =
     """WITH p AS (SELECT user_id, ts AS p_ts FROM events
                   WHERE event_type = 'purchase'),
         s AS (SELECT user_id, ts AS s_ts, count(*) AS s_cnt
               FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
         SELECT p.user_id,
-          strftime(p.p_ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
-          strftime(s.s_ts, '%Y-%m-%d %H:%M:%S.%f') AS s_ts,
+          epoch_us(p.p_ts) AS p_ts_us,
+          epoch_us(s.s_ts) AS s_ts_us,
           s.s_cnt
         FROM p ASOF LEFT JOIN s
           ON p.user_id = s.user_id AND p.p_ts >= s.s_ts
@@ -309,11 +317,13 @@ object Analytics {
         .agg(count(lit(1)).as("s_cnt"))
       graft.operators.AsOfJoin
         .asofJoin(purchases, signups, "user_id", "p_ts", "s_ts")
+        // epoch micros, not a '%f' presentation string (r11 hardening —
+        // see the asofOracle doc comment)
         .select(col("user_id"),
-          date_format(col("p_ts"), fmtU).as("p_ts"),
-          date_format(col("s_ts"), fmtU).as("s_ts"),
+          unix_micros(col("p_ts")).as("p_ts_us"),
+          unix_micros(col("s_ts")).as("s_ts_us"),
           col("s_cnt"))
-        .orderBy("user_id", "p_ts", "s_ts")
+        .orderBy("user_id", "p_ts_us", "s_ts_us")
     }),
 
     // q90: the SAME as-of semantics as q63, through the native
@@ -332,11 +342,13 @@ object Analytics {
         .agg(count(lit(1)).as("s_cnt"))
       graft.plans.AsOfJoinPlan
         .asof(purchases, signups, "user_id", "su_id", "p_ts", "s_ts")
+        // epoch micros, not a '%f' presentation string (r11 hardening —
+        // see the asofOracle doc comment)
         .select(col("user_id"),
-          date_format(col("p_ts"), fmtU).as("p_ts"),
-          date_format(col("s_ts"), fmtU).as("s_ts"),
+          unix_micros(col("p_ts")).as("p_ts_us"),
+          unix_micros(col("s_ts")).as("s_ts_us"),
           col("s_cnt"))
-        .orderBy("user_id", "p_ts", "s_ts")
+        .orderBy("user_id", "p_ts_us", "s_ts_us")
     }),
 
     // q61: corpus TF-IDF (smoothed idf), reported for the first 5 docs

@@ -14,13 +14,15 @@ import graft.{Det, Tables}
   * exactly prev + gap into the running session (verified in
   * OperatorSpec), so the islands oracle opens a new session only when
   * the gap is STRICTLY greater than 30 minutes.
-  * Timestamps are projected as formatted strings so parquet/DuckDB
-  * timestamp encodings never skew the compare.
+  * Timestamps leave either as SECOND-grain formatted strings (hour
+  * windows — no sub-second formatter involved) or as epoch-microsecond
+  * BIGINTs (session starts), so neither parquet/DuckDB timestamp
+  * encodings nor engine-version '%f' fractional formatting (the q136
+  * round-9 hazard class) can skew the compare.
   */
 object EventTime {
   type Q = (SparkSession, String) => DataFrame
   private val fmtS = "yyyy-MM-dd HH:mm:ss"
-  private val fmtU = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   /** q29 aggregation over any events frame (batch or streaming).
     *
@@ -72,14 +74,20 @@ object EventTime {
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
 
   /** q31 aggregation; input must already be deduped on (user_id, ts) so
-    * session semantics match the gaps-and-islands oracle. */
+    * session semantics match the gaps-and-islands oracle. The session
+    * start leaves as epoch-microsecond BIGINT (r11 hardening, same
+    * treatment as q136/q63/q90: '%f' fractional formatting was the
+    * construct class behind the round-9 driver hash miss, so no
+    * sub-second presentation string may sit on a hashed surface).
+    * session_window.start IS the session's min(ts), which is what the
+    * gaps-and-islands oracle emits. */
   def sessionAgg(events: DataFrame): DataFrame =
     sessionGroups(events)
       .agg(count(lit(1)).as("n_events"),
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
           .as("dur_us"))
       .select(col("user_id"),
-        date_format(col("session_window.start"), fmtU).as("sstart"),
+        unix_micros(col("session_window.start")).as("sstart_us"),
         col("n_events"), col("dur_us"))
 
   val queries: Map[String, Q] = Map(
@@ -100,7 +108,7 @@ object EventTime {
         .select("user_id", "ts").distinct())
         // nulls-last pin on the nullable sort key (suite convention:
         // Spark asc = NULLS FIRST, DuckDB = NULLS LAST)
-        .orderBy(col("user_id").asc_nulls_last, col("sstart"))),
+        .orderBy(col("user_id").asc_nulls_last, col("sstart_us"))),
 
     // q130: concurrency gauge — the interval -> step-function operator
     // none of the fixed windows cover (sessions SPAN hour boundaries):
@@ -171,10 +179,10 @@ object EventTime {
                    ROWS UNBOUNDED PRECEDING) AS sid
                FROM f)
          SELECT user_id,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sstart,
+           epoch_us(min(ts)) AS sstart_us,
            count(*) AS n_events,
            date_diff('microseconds', min(ts), max(ts)) AS dur_us
-         FROM g GROUP BY user_id, sid ORDER BY user_id, sstart""",
+         FROM g GROUP BY user_id, sid ORDER BY user_id, sstart_us""",
 
     // the same gaps-and-islands sessions, folded to minute-grain
     // boundary deltas and a running sum — all integer arithmetic

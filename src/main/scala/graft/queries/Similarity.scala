@@ -181,14 +181,6 @@ object Similarity {
     graft.operators.Materialize.truncate(asg)
   }
 
-  /** iters full Lloyd rounds (assign + recompute, INCLUDING the final
-    * recompute) over an already-materialized micro-unit `el`, seeded
-    * from its 16 lowest vec_ids; returns the final centroid SUM-vector
-    * table (k·dims rows, materialized). This is the TRAINING half used
-    * when training input ≠ assignment input (q139 trains on a sample,
-    * q140 routes probes against the final codebook): unlike
-    * lloydAssignments, the post-final-assignment centroids DO have
-    * consumers here, so the extra recompute is paid deliberately. */
   /** q139's keep rule: a deterministic 75% content-hash sample — md5
     * of the exact micro-unit CSV (BIGINT formatting only, never float
     * repr), first hex char outside {c,d,e,f}. */
@@ -207,6 +199,14 @@ object Similarity {
     microEl(emb(s, d).select(col("vec_id"), col("embedding"))
       .filter(sampleKeep))
 
+  /** iters full Lloyd rounds (assign + recompute, INCLUDING the final
+    * recompute) over an already-materialized micro-unit `el`, seeded
+    * from its 16 lowest vec_ids; returns the final centroid SUM-vector
+    * table (k·dims rows, materialized). This is the TRAINING half used
+    * when training input ≠ assignment input (q139 trains on a sample,
+    * q140 routes probes against the final codebook): unlike
+    * lloydAssignments, the post-final-assignment centroids DO have
+    * consumers here, so the extra recompute is paid deliberately. */
   private[graft] def lloydCentroids(el: DataFrame, iters: Int): DataFrame = {
     val seeds = el.select("vec_id").distinct()
       .orderBy("vec_id").limit(16)
@@ -899,8 +899,15 @@ object Similarity {
                  FROM embeddings) t
                WHERE hk NOT IN ('c', 'd', 'e', 'f')),
           els AS (SELECT el.* FROM el JOIN samp USING (vec_id)),
+          -- seeds and n_train read from els' DISTINCT vec_ids, not from
+          -- samp: the Scala side derives both from the EXPLODED sample
+          -- (lloydCentroids seeds / the elS distinct count), where an
+          -- empty-embedding doc contributes zero rows. Deriving from
+          -- samp agreed only by md5-accident (md5('') starts with 'd',
+          -- so an empty doc can never pass the keep rule today) —
+          -- structural equality must not lean on that (ADVICE r10).
           c0 AS (SELECT vec_id AS c_id, pos, vi AS si FROM els
-                 WHERE vec_id IN (SELECT vec_id FROM samp
+                 WHERE vec_id IN (SELECT DISTINCT vec_id FROM els
                                   ORDER BY vec_id LIMIT 16)),
           ${lloydRoundsSql(3, "els")},
           ${assignVsFinalSql(3)},
@@ -921,7 +928,7 @@ object Similarity {
                 WHERE vec_id IN (SELECT vec_id FROM top5))
           SELECT hits, hits * 2000 AS recall_bp,
             (SELECT count(*) FROM cand) AS n_scanned,
-            (SELECT count(*) FROM samp) AS n_train
+            (SELECT count(DISTINCT vec_id) FROM els) AS n_train
           FROM h""",
 
     // full-corpus training seeded from the 16 LOWEST vec_ids — the

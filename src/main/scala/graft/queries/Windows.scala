@@ -192,6 +192,14 @@ object Windows {
     // HUGEINT). The inner join can never drop a row: e2 = e always
     // satisfies the 7-day band, and the 30m/1d frames are carved out of
     // it with CASE filters, so each count is ≥ 1 and each sum non-NULL.
+    // Stated invariant (ADVICE r10): the GROUP BY (event_id, user_id,
+    // ts_us) relies on event_id being a UNIQUE row key in events — two
+    // fully-duplicate rows sharing all three keys would collapse to one
+    // oracle row with doubled sums while the Spark window emits two.
+    // event_id is the table's primary key by construction (TESTDATA.md),
+    // the same uniqueness every `ORDER BY ..., event_id` determinism pin
+    // in the suite (q69, q129) already leans on; if the fixture ever
+    // loses it, group on a synthetic row_number over the pinned sort.
     "q136_range_frames" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

@@ -39,10 +39,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   * state is therefore O(keys ever seen), not O(live keys). At 100 TB a
   * deployment bounds that with the store's TTL knob sized to the
   * feed's maximum disorder horizon (tombstones older than the horizon
-  * can never lose to a late write); the fixture keeps TTL off so
-  * parity tests are exact over any staging.
+  * can never lose to a late write); the parity fixtures keep TTL off
+  * so they are exact over any staging, and a dedicated StreamingSpec
+  * case (r11) runs a SHORT TTL to pin what eviction actually costs: a
+  * straggler landing after its tombstone evicted is resurrected — see
+  * [[CdcApply.applyChanges]].
   */
-class CdcApplyProcessor extends StatefulProcessor[
+class CdcApplyProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[
     Long, (Long, Long, String, String), (Long, String, Boolean, String)] {
   // in: (doc_id, seq, op, text) — op ∈ insert|update|delete
   // out: (doc_id, winning_op, live, body)
@@ -50,7 +54,7 @@ class CdcApplyProcessor extends StatefulProcessor[
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     body = getHandle.getValueState[CdcApply.Doc]("body",
-      Encoders.product[CdcApply.Doc], TTLConfig.NONE)
+      Encoders.product[CdcApply.Doc], ttl)
 
   override def handleInputRows(key: Long,
       rows: Iterator[(Long, Long, String, String)],
@@ -109,15 +113,29 @@ object CdcApply {
 
   /** Apply a streaming change feed with columns (doc_id, seq, op,
     * text); update mode — the latest row per key is the view, rows
-    * with live = false are tombstones. */
-  def applyChanges(spark: SparkSession,
-      changes: DataFrame): Dataset[(Long, String, Boolean, String)] = {
+    * with live = false are tombstones.
+    *
+    * `ttl` is the state-eviction knob the scaladoc's 100 TB story
+    * names: sized to the feed's maximum disorder horizon, it bounds
+    * state at O(keys written inside the horizon) instead of O(keys
+    * ever seen). The trade is explicit and EXERCISED by StreamingSpec
+    * (r11): a straggler arriving AFTER its key's tombstone was evicted
+    * finds no seq watermark to lose against and RESURRECTS the key —
+    * which is precisely why the TTL must outlive the transport's
+    * worst-case disorder, and why the default stays NONE (exact LWW
+    * over any staging). TTL is wall-clock-based, so a non-NONE config
+    * runs the query in processing-time mode. */
+  def applyChanges(spark: SparkSession, changes: DataFrame,
+      ttl: TTLConfig = TTLConfig.NONE)
+      : Dataset[(Long, String, Boolean, String)] = {
     import spark.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     changes.select(col("doc_id").cast("long"), col("seq").cast("long"),
         col("op"), col("text"))
       .as[(Long, Long, String, String)]
       .groupByKey(_._1)
-      .transformWithState(new CdcApplyProcessor,
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new CdcApplyProcessor(ttl),
+        timeMode, OutputMode.Update())
   }
 }

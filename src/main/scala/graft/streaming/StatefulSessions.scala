@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.time.format.DateTimeFormatter
-import java.time.ZoneOffset
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -37,11 +34,11 @@ object StatefulSessions {
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(startUs: Long, lastUs: Long, n: Long)
-  case class SessionOut(user_id: Long, sstart: String, n_events: Long,
+  // sstart_us: epoch micros BIGINT, matching the batch q31 output (r11
+  // hardening — sub-second presentation strings left every hashed and
+  // parity-compared surface together; see EventTime.sessionAgg)
+  case class SessionOut(user_id: Long, sstart_us: Long, n_events: Long,
       dur_us: Long)
-
-  private val fmt = DateTimeFormatter
-    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(ZoneOffset.UTC)
 
   private def micros(ts: java.sql.Timestamp): Long = {
     val i = ts.toInstant
@@ -49,10 +46,7 @@ object StatefulSessions {
   }
 
   private def close(userId: Long, s: OpenSession): SessionOut =
-    SessionOut(userId,
-      fmt.format(java.time.Instant.ofEpochSecond(
-        s.startUs / 1000000L, (s.startUs % 1000000L) * 1000L)),
-      s.n, s.lastUs - s.startUs)
+    SessionOut(userId, s.startUs, s.n, s.lastUs - s.startUs)
 
   def sessionFn(gapUs: Long)(userId: Long, events: Iterator[Ev],
       state: GroupState[OpenSession]): Iterator[SessionOut] = {

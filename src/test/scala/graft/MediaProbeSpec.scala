@@ -231,6 +231,58 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.bitrateKbps == 4170L * 8 / info.durationMs)
   }
 
+  /** First frame carrying a VBR header tag at the MPEG-1-stereo
+    * offset (4-byte header + 32-byte side info = 36): Xing/Info with
+    * the given flags/fields, or VBRI at the same fixed +36. */
+  private def tagFrame(tag: String, fields: Array[Byte]): Array[Byte] = {
+    val f = mp3Frame(0x00)
+    val t = cat(cc(tag), fields)
+    System.arraycopy(t, 0, f, 36, t.length)
+    f
+  }
+
+  test("mp3: Xing totals give the exact VBR duration from a prefix") {
+    // declared 100 frames / 41700 bytes, but only 2 audio frames are
+    // in the probe window — the declared totals must win (the crawl
+    // prefix-fetch case; VERDICT r10 task 6)
+    val s = cat(tagFrame("Xing", cat(be32(3), be32(100), be32(41700))),
+      mp3Stream(2))
+    val info = MediaProbe.probe(s).get
+    assert(info.codec == "mp3" && info.frames == 100)
+    assert(info.durationMs == 100L * 1152 * 1000 / 44100)
+    assert(info.bitrateKbps == 41700L * 8 / info.durationMs)
+  }
+
+  test("mp3: Info (CBR) header frame is metadata, not audio") {
+    // frames-only flags; declared count equals the walked audio count,
+    // and the tag frame itself must not inflate either the frame count
+    // or the walked-bytes bitrate
+    val s = cat(tagFrame("Info", cat(be32(1), be32(3))), mp3Stream(3))
+    val info = MediaProbe.probe(s).get
+    assert(info.frames == 3)
+    assert(info.durationMs == 3L * 1152 * 1000 / 44100)
+    // no bytes field -> walked bytes of the 3 AUDIO frames only
+    assert(info.bitrateKbps == 3L * 417 * 8 / info.durationMs)
+  }
+
+  test("mp3: VBRI totals at the fixed +36 offset") {
+    // "VBRI" ver(2) delay(2) quality(2) bytes(4) frames(4)
+    val s = cat(tagFrame("VBRI",
+        cat(be16(1), be16(0), be16(0), be32(20850), be32(50))),
+      mp3Stream(2))
+    val info = MediaProbe.probe(s).get
+    assert(info.frames == 50)
+    assert(info.durationMs == 50L * 1152 * 1000 / 44100)
+    assert(info.bitrateKbps == 20850L * 8 / info.durationMs)
+  }
+
+  test("mp3: a Xing tag with no frames field falls back to the walk") {
+    val s = cat(tagFrame("Xing", be32(0)), mp3Stream(2))
+    val info = MediaProbe.probe(s).get
+    assert(info.frames == 2, "header frame excluded, 2 audio frames walked")
+    assert(info.durationMs == 2L * 1152 * 1000 / 44100)
+  }
+
   test("mp3: ID3v2 prefix is skipped by synchsafe length") {
     val tag = cat(cc("ID3"), Array[Byte](4, 0, 0),
       Array[Byte](0, 0, 1, 5), Array.fill[Byte](133)(0x41)) // size 0b1_0000101=133

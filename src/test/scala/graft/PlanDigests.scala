@@ -103,10 +103,15 @@ object PlanDigests {
     // count but not the oracle's cume_dist)
     "q88_equidepth_hist" ->
       "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Exchange x4 | Filter x2 | HashAggregate x6 | Project x2 | Scan parquet x2 | Sort x2 | Window x2",
-    // r8: the two pair pipelines hide behind Materialize; the visible
-    // tail is the count/semi-join summary
+    // r8: the pair pipelines hide behind Materialize; the visible
+    // tail is the count/semi-join summary. r11: +1 materialized arm
+    // (the stratum exact recompute — VERDICT r10 task 4), so two more
+    // ExistingRDD scans (exS feeds its count + the hitS semi-join),
+    // two more aggregates and two more summary crosses; the LSH table
+    // now has two semi-join consumers and AQE broadcast-reuses it
+    // (ReusedExchange x1)
     "q115_dedup_recall" ->
-      "AQEShuffleRead x2 | BroadcastExchange x3 | BroadcastHashJoin x1 | BroadcastNestedLoopJoin x2 | Exchange x5 | HashAggregate x6 | Project x4 | Scan ExistingRDD x4",
+      "AQEShuffleRead x4 | BroadcastExchange x6 | BroadcastHashJoin x2 | BroadcastNestedLoopJoin x4 | Exchange x8 | HashAggregate x10 | Project x6 | ReusedExchange x1 | Scan ExistingRDD x6",
     // r8: CC interior is behind checkpoints (q67 pattern); tail only
     "q117_semantic_dedup" ->
       "AQEShuffleRead x1 | Exchange x1 | Filter x1 | Project x1 | Scan ExistingRDD x1 | Sort x1",

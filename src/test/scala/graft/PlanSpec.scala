@@ -102,6 +102,27 @@ class PlanSpec extends SparkSpec {
       s"75% keep rule: $sampled of $total")
   }
 
+  test("q115 stratified exact arm reads only the content-hash stratum") {
+    // same claim-shape as the q139 training assertion: the oracled
+    // query's exact-stratum arm hides behind Materialize checkpoints,
+    // so "the exact audit arm's cost is stratum-proportional" is
+    // asserted on the arm's input — the q54-family keep-rule Filter
+    // must sit on the documents scan, and the stratum must be a strict
+    // subset of the corpus
+    val strat = graft.queries.Dedup.stratumDocs(spark, sf)
+    strat.collect()
+    val p = (strat.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }).toString
+    assert(p.contains("Filter") && p.contains("md5"),
+      s"stratum keep-rule filter missing from the audit-arm scan:\n$p")
+    val total = Tables.load(spark, sf, "documents").count()
+    val kept = strat.count()
+    assert(kept < total && kept > total / 3,
+      s"60% keep rule: $kept of $total")
+  }
+
   test("q17 argmax contains no Window operator") {
     val p = finalPlan("q17_argmax")
     assert(!p.contains("Window"), "argmax must stay aggregation-based")
