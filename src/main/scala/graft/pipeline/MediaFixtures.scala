@@ -28,14 +28,32 @@ object MediaFixtures {
   }
 
   /** MPEG-1 Layer III CBR stream: 44.1 kHz / 128 kbps / stereo frames
-    * (417 bytes each, no padding), `2 + id % 9` frames. */
+    * (417 bytes each, no padding), `2 + id % 9` frames. Every third mp3
+    * id prepends a Xing header frame, the next third a VBRI one (r11),
+    * each declaring exactly the shipped frame/byte totals — so the
+    * probed duration equals the tagless walk (no pinned q138 field
+    * moves) while the driver-visible corpus exercises the declared-
+    * totals code path, not just the fixture-only spec tests. */
   private def mp3(id: Long): Array[Byte] = {
     val n = 2 + (id % 9).toInt
-    cat((0 until n).map { i =>
+    val audio = cat((0 until n).map { i =>
       val f = Array.fill[Byte](417)(((id * 31 + i) & 0x7f).toByte)
       f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x90.toByte; f(3) = 0
       f
     }: _*)
+    def tagFrame(body: Array[Byte]): Array[Byte] = {
+      val f = Array.fill[Byte](417)(0)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x90.toByte; f(3) = 0
+      System.arraycopy(body, 0, f, 36, body.length) // MPEG1-stereo offset
+      f
+    }
+    (id / 6) % 3 match {
+      case 1 => cat(tagFrame(cat(cc("Xing"), be32(3),
+        be32(n), be32(n * 417L))), audio)
+      case 2 => cat(tagFrame(cat(cc("VBRI"), be16(1), be16(0), be16(0),
+        be32(n * 417L), be32(n))), audio)
+      case _ => audio
+    }
   }
 
   /** 16-bit stereo PCM WAV, 16 kHz, `(1 + id % 5) / 4` seconds. */

@@ -228,8 +228,12 @@ object MediaProbe {
     // frames field (flags bit unset / truncated) falls back to the walk
     if (xFrames >= 0) frames = xFrames
     val durMs = frames * h(1).toLong * 1000L / h(2)
+    // clamp: a lying tag (huge declared bytes over one frame's worth of
+    // declared duration) must yield a bounded field, not an Int wrap
     val avgKbps =
-      if (durMs > 0) ((if (xBytes >= 0) xBytes else bytes) * 8 / durMs).toInt
+      if (durMs > 0) math.min(
+        (if (xBytes >= 0) xBytes else bytes) * 8 / durMs,
+        Int.MaxValue.toLong).toInt
       else h(3)
     val name = h(5) match {
       case 3 => "mp3"

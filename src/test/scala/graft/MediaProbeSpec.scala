@@ -793,7 +793,14 @@ class MediaProbeSpec extends SparkSpec {
       rnd.nextBytes(b)
       MediaProbe.probe(b) // must not throw
     }
-    val fixtures = Seq(mp3Stream(3), mp4Fixture(), m4aFixture(),
+    val fixtures = Seq(mp3Stream(3),
+      // tagged variants put the Xing/VBRI parse paths (r11) under the
+      // same truncation / bit-flip / lying-size fuzz as everything else
+      cat(tagFrame("Xing", cat(be32(3), be32(100), be32(41700))),
+        mp3Stream(2)),
+      cat(tagFrame("VBRI", cat(be16(1), be16(0), be16(0),
+        be32(20850), be32(50))), mp3Stream(2)),
+      mp4Fixture(), m4aFixture(),
       oggOpusFixture(96000), oggVorbisFixture(88200),
       oggFlacFixture(44100), mp4TwoTrakFixture(),
       wavFixture(), aviFixture(), flacFixture(),
@@ -828,9 +835,18 @@ class MediaProbeSpec extends SparkSpec {
       byContainer("gif") == 17 && byContainer("isom") == 17 &&
       byContainer("ogg") == 16 && byContainer("webm") == 16)
     // spot-exact fields per family (id → synth parameters)
-    val r0 = out.find(_.getLong(0) == 0).get  // mp3, 2 frames
+    val r0 = out.find(_.getLong(0) == 0).get  // mp3, 2 frames, tagless
     assert(r0.getString(2) == "mp3" &&
       r0.getLong(6) == 2 * 1152L * 1000 / 44100 && r0.getLong(9) == 2)
+    // r11: ids 6 (Xing) and 12 (VBRI) carry header frames declaring the
+    // shipped totals — declared fields must equal the tagless formula
+    // and the header frame must not count as audio
+    val r6 = out.find(_.getLong(0) == 6).get  // Xing, 8 audio frames
+    assert(r6.getString(2) == "mp3" && r6.getLong(9) == 8 &&
+      r6.getLong(6) == 8 * 1152L * 1000 / 44100)
+    val r12 = out.find(_.getLong(0) == 12).get // VBRI, 5 audio frames
+    assert(r12.getString(2) == "mp3" && r12.getLong(9) == 5 &&
+      r12.getLong(6) == 5 * 1152L * 1000 / 44100)
     val r7 = out.find(_.getLong(0) == 7).get  // wav, (1 + 7%5)*0.25 s
     assert(r7.getString(2) == "pcm" && r7.getLong(6) == 750)
     val r8 = out.find(_.getLong(0) == 8).get  // gif, 1 + 8%4 = 1 frame
