@@ -14,6 +14,22 @@ class ContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("no oracle SQL formats fractional seconds (the q136 hazard class)") {
+    // strftime('%f') / '%n' semantics have CHANGED across DuckDB
+    // versions — q136 failed an unknown driver engine in round 9 on
+    // exactly this, and r11 purged the last carriers (q63/q90/q31:
+    // epoch-micros BIGINT instead). This tripwire keeps the class out:
+    // sub-second timestamps must leave as epoch_us/unix_micros, never
+    // as a presentation string. Second-grain patterns ('%H:%M:%S') are
+    // version-stable and stay allowed.
+    val bad = SparkEntry.oracleSql.collect {
+      case (k, sql) if sql.contains("%f") || sql.contains("%n")
+        || sql.contains("%g") => k
+    }
+    assert(bad.isEmpty,
+      s"fractional-seconds formatting in hashed oracle SQL: ${bad.toList}")
+  }
+
   test("every query returns rows on sf0.001") {
     val empty = SparkEntry.queries.keys.filter(rows(_) == 0)
     assert(empty.isEmpty, s"empty results: ${empty.toList.sorted}")
