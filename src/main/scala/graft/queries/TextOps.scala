@@ -124,6 +124,69 @@ object TextOps {
       .filter(col("n") >= k)
       .select(col("ck"), col("clen"), lit(true).as("boiler"))
 
+  /** q141's trainer, factored so the greedy-merge semantics (the a=a
+    * run parity rule in particular) can be pinned on hand-computable
+    * corpora: `rounds` exact BPE merge rounds over the word-frequency
+    * table of `documentsDf`, one output row per applied merge
+    * (round, a, b, cnt, n_syms_after). A round whose vocabulary has no
+    * pairs left emits no row. */
+  private[graft] def bpeMerges(documentsDf: DataFrame,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documentsDf
+      .select(explode(expr(Dedup.TokExpr)).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    var syms = graft.operators.Materialize.truncate(
+      words.select(col("w"), col("wf"),
+        posexplode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as(Seq("p", "sym"))))
+    val byP = Window.partitionBy("w").orderBy("p")
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      // wn feeds the pair count AND the merge application — one
+      // narrow job instead of recomputing the lead() window twice
+      val wn = graft.operators.Materialize.truncate(
+        syms.withColumn("nxt", lead("sym", 1).over(byP)))
+      val best = graft.operators.Materialize.truncate(
+        wn.filter(col("nxt").isNotNull)
+          .groupBy("sym", "nxt").agg(sum("wf").as("cnt"))
+          .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(1)
+          .select(col("sym").as("ba"), col("nxt").as("bb"), col("cnt")))
+      val flagged = wn.crossJoin(broadcast(best))
+        .withColumn("matched", coalesce(
+          col("sym") === col("ba") && col("nxt") === col("bb"),
+          lit(false)))
+        // islands of consecutive `ba` symbols: p minus the running
+        // ba-count is constant inside a run, breaks outside it
+        .withColumn("g", col("p") -
+          sum(when(col("sym") === col("ba"), 1).otherwise(0))
+            .over(byP.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("off", row_number().over(
+          Window.partitionBy(col("w"), col("g"),
+            col("sym") === col("ba")).orderBy("p")) - 1)
+        .withColumn("take", col("matched") &&
+          (col("ba") =!= col("bb") || col("off") % 2 === 0))
+      syms = graft.operators.Materialize.truncate(flagged
+        .withColumn("prevtake",
+          coalesce(lag(col("take"), 1).over(byP), lit(false)))
+        .filter(!col("prevtake"))
+        .select(col("w"), col("wf"),
+          (row_number().over(byP) - 1).as("p"),
+          when(col("take"), concat(col("ba"), col("bb")))
+            .otherwise(col("sym")).as("sym")))
+      val nAfter = syms.agg(sum(col("wf")).cast("long")
+        .as("n_syms_after"))
+      val row = best.select(lit(r).cast("long").as("round"),
+          col("ba").as("a"), col("bb").as("b"),
+          col("cnt").cast("long").as("cnt"))
+        .crossJoin(broadcast(nAfter))
+      out = if (out == null) row else out.union(row)
+    }
+    out.orderBy("round")
+  }
+
   val queries: Map[String, Q] = Map(
     // q32: exact dedup by content hash, keep min doc_id
     "q32_exact_dedup" -> ((s, d) =>
@@ -209,6 +272,29 @@ object TextOps {
           .cast("long").as("bpe_tokens"),
         col("n_chars"))
         .orderBy("doc_id")),
+
+    // q141: distributed BPE MERGE TRAINING — the tokenizer-training
+    // inner loop no other entry covers: 3 exact merge rounds over the
+    // WORD-FREQUENCY table (the classic trainer's working set — pair
+    // statistics are identical on the frequency table and on the raw
+    // token stream, so the only corpus-scale pass is the one token
+    // count; everything after is vocab-bounded, the q50 Lloyd-rounds
+    // pattern applied to text). Each round: (1) adjacent-symbol pair
+    // counts weighted by word frequency — one window + one shuffle on
+    // the pair key; (2) the argmax pair by (count desc, pair asc), a
+    // deterministic TakeOrdered; (3) GREEDY left-to-right merge
+    // application, relationally: for a≠b pairs adjacent matches cannot
+    // overlap, and for a=a runs a gaps-and-islands parity rule keeps
+    // matches at even offsets — exactly the sequential greedy result,
+    // with no recursion and no UDF. Per-round tables are materialized
+    // (two consumers each: the next round + the merge report).
+    // Words are pinned to ^[a-z]+$ so character indexing can never
+    // diverge across engines on multi-byte input. Output: one row per
+    // round — the merge pair, its weighted count, and the post-merge
+    // corpus symbol total (the compression trajectory a trainer
+    // reports).
+    "q141_bpe_merges" -> ((s, d) =>
+      bpeMerges(Tables.load(s, d, "documents"), 3)),
 
     // q62: exact dedup, window formulation (the alternative shape from
     // SURVEY §2-B q32: keep rank-1 per content hash instead of group-min)
@@ -839,10 +925,70 @@ object TextOps {
     s"CAST(len(list_filter(tok, x -> list_contains([$arr], x))) AS BIGINT)"
   }
 
+  /** One unrolled BPE merge round for the q141 oracle: pair counts via
+    * lead(), the argmax merge, and the SAME relational greedy
+    * application as the Spark side (gaps-and-islands parity for a=a
+    * runs, lag-based consume of the merged position) — so the replay is
+    * structural, CTE for DataFrame op. */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"s${r - 1}"
+    s"""n$r AS (SELECT w, wf, p, sym,
+           lead(sym) OVER (PARTITION BY w ORDER BY p) AS nxt
+         FROM $prev),
+       b$r AS (SELECT sym AS ba, nxt AS bb, CAST(sum(wf) AS BIGINT) AS cnt
+         FROM n$r WHERE nxt IS NOT NULL GROUP BY sym, nxt
+         ORDER BY cnt DESC, ba, bb LIMIT 1),
+       t$r AS (SELECT n.w, n.wf, n.p, n.sym, b.ba, b.bb,
+           COALESCE(n.sym = b.ba AND n.nxt = b.bb, FALSE) AS matched,
+           n.p - sum(CASE WHEN n.sym = b.ba THEN 1 ELSE 0 END)
+             OVER (PARTITION BY n.w ORDER BY n.p
+                   ROWS UNBOUNDED PRECEDING) AS g
+         FROM n$r n CROSS JOIN b$r b),
+       u$r AS (SELECT *, row_number()
+             OVER (PARTITION BY w, g, sym = ba ORDER BY p) - 1 AS off
+         FROM t$r),
+       v$r AS (SELECT *, matched AND (ba <> bb OR off % 2 = 0) AS take
+         FROM u$r),
+       s$r AS (SELECT w, wf,
+           row_number() OVER (PARTITION BY w ORDER BY p) - 1 AS p,
+           CASE WHEN take THEN ba || bb ELSE sym END AS sym
+         FROM (SELECT *, COALESCE(lag(take)
+                 OVER (PARTITION BY w ORDER BY p), FALSE) AS prevtake
+               FROM v$r)
+         WHERE NOT prevtake)"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q32_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
          FROM documents GROUP BY 1 ORDER BY h""",
+
+    // word-frequency table -> char symbols -> 3 unrolled merge rounds;
+    // the greedy application is pairwise-relational on both engines,
+    // so the replay proves merge CHOICE and merge APPLICATION together
+    "q141_bpe_merges" ->
+      s"""WITH w0 AS (SELECT unnest($duckTok) AS w FROM documents),
+          wv AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM w0
+                 WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+          s0 AS (SELECT w, wf, generate_subscripts(cs, 1) - 1 AS p,
+                   unnest(cs) AS sym
+                 FROM (SELECT w, wf, list_transform(
+                         range(1, length(w) + 1), i -> w[i]) AS cs
+                       FROM wv)),
+          ${bpeRoundSql(1)},
+          ${bpeRoundSql(2)},
+          ${bpeRoundSql(3)}
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS round, ba AS a, bb AS b, cnt,
+              (SELECT CAST(sum(wf) AS BIGINT) FROM s1) AS n_syms_after
+            FROM b1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), ba, bb, cnt,
+              (SELECT CAST(sum(wf) AS BIGINT) FROM s2) FROM b2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), ba, bb, cnt,
+              (SELECT CAST(sum(wf) AS BIGINT) FROM s3) FROM b3)
+          ORDER BY round""",
 
     "q33_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs,

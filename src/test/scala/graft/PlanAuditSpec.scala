@@ -42,7 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     "q128_pmi_collocations", // q128: the two totals are 1-row crosses
     "q131_sparse_cosine", // q131: n_docs + probe norm are 1-row crosses
     "q139_ivf_sampled", // q139: brute arm + 1-row n_scanned/n_train
-    "q140_multiprobe_learned") // q140: brute arm + 1-row n_scanned
+    "q140_multiprobe_learned", // q140: brute arm + 1-row n_scanned
+    "q141_bpe_merges") // q141: per-round 1-row best-pair + symbol-total
 
   test("no CartesianProduct anywhere; BNLJ only where declared") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -69,6 +69,12 @@ object PlanDigests {
     // TakeOrdered) and the 2-list candidate join
     "q140_multiprobe_learned" ->
       "AQEShuffleRead x2 | BroadcastExchange x8 | BroadcastHashJoin x7 | BroadcastNestedLoopJoin x3 | ColumnarToRow x4 | Exchange x3 | Filter x10 | HashAggregate x8 | Project x13 | ReusedExchange x2 | Scan ExistingRDD x5 | Scan parquet x4 | TakeOrderedAndProject x3",
+    // r11: BPE merge training — the 3 merge rounds hide behind the
+    // per-round Materialize checkpoints (q50 pattern); the visible
+    // tail is the 3-row merge report: each round's 1-row best-pair
+    // and 1-row symbol-total tables cross-joined and unioned
+    "q141_bpe_merges" ->
+      "AQEShuffleRead x1 | BroadcastExchange x3 | BroadcastNestedLoopJoin x3 | Exchange x4 | HashAggregate x6 | Project x6 | Scan ExistingRDD x6 | Sort x1 | Union x1",
     "q102_cluster_canon" ->
       "AQEShuffleRead x4 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x1 | Exchange x4 | Project x3 | Scan ExistingRDD x1 | Scan parquet x1 | Sort x3 | SortAggregate x2",
     "q103_prefix_jaccard" ->

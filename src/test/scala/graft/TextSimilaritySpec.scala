@@ -29,6 +29,39 @@ class TextSimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("BPE merges: weighted argmax choice and greedy application " +
+      "on a hand-computed corpus") {
+    // banana×3 + bana×1. Round 1: an=7, na=7, ba=4 — the (count desc,
+    // pair asc) tie-break must pick (a,n). Round 2: b|an=4, an|a=4,
+    // an|an=3 — tie again, (an,a) wins. Round 3: b|an=3, an|ana=3,
+    // b|ana=1 — (an,ana) wins. Symbol totals shrink 22→15→11→8.
+    val docs = Seq((0L, "banana banana banana bana"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.TextOps.bpeMerges(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "n", 7L, 15L),
+      (2L, "an", "a", 4L, 11L),
+      (3L, "an", "ana", 3L, 8L)), s"got ${got.toSeq}")
+  }
+
+  test("BPE merges: a=a runs pair greedily left-to-right (parity), " +
+      "and a pairless round emits no row") {
+    // aaaa×1 + aa×2. Round 1 merges (a,a) with count 3+2=5; GREEDY
+    // application must give aaaa -> (aa)(aa) — offsets 0 and 2 of the
+    // run, never the overlapping middle match — and aa -> (aa), so
+    // totals are 8→4. Round 2 merges (aa,aa) once (1), 4→3. Round 3
+    // has no adjacent pairs anywhere: no third row.
+    val docs = Seq((0L, "aaaa aa"), (1L, "aa")).toDF("doc_id", "text")
+    val got = graft.queries.TextOps.bpeMerges(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", 5L, 4L),
+      (2L, "aa", "aa", 1L, 3L)), s"got ${got.toSeq}")
+  }
+
   test("cosine top-k: sims within [-1, 1] and non-increasing") {
     val sims = SparkEntry.queries("q34_cosine_topk")(spark, sf)
       .select("sim").as[Double].collect().toSeq
