@@ -106,6 +106,15 @@ object Verify {
     val metaDir = Paths.get(outDir).toAbsolutePath.normalize
       .resolveSibling("graft_meta").toString
     new java.io.File(metaDir).mkdirs()
+    // the meta dir persists across runs (it is deliberately outside
+    // whatever cleanup the driver does to the dump dir), so clear the
+    // FAILURE markers up front: a stale _errors/<q>.txt from an old run
+    // must never be read as this run's crash diagnosis. Per-query
+    // _colhash sidecars need no sweep — each run overwrites its own,
+    // and the checker only reads sidecars for queries it has dumps for.
+    Option(new java.io.File(s"$metaDir/_errors").listFiles())
+      .foreach(_.foreach(_.delete()))
+    Files.deleteIfExists(Paths.get(s"$metaDir/_verify_errors.json"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -55,9 +55,12 @@ object Analytics {
     * the zero-padded strings did, so the pinned sort is unchanged. */
   private val asofOracle: String =
     """WITH p AS (SELECT user_id, ts AS p_ts FROM events
-                  WHERE event_type = 'purchase'),
+                  WHERE event_type = 'purchase'
+                    AND user_id IS NOT NULL AND ts IS NOT NULL),
         s AS (SELECT user_id, ts AS s_ts, count(*) AS s_cnt
-              FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+              FROM events WHERE event_type = 'signup'
+                AND user_id IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2)
         SELECT p.user_id,
           epoch_us(p.p_ts) AS p_ts_us,
           epoch_us(s.s_ts) AS s_ts_us,
@@ -309,7 +312,13 @@ object Analytics {
     // turns into a BNLJ. The right side is pre-aggregated to one row
     // per (user, ts), so the as-of match is total-order deterministic.
     "q63_asof_join" -> ((s, d) => {
+      // key-domain pin on the full nullable schema (the q136 argument,
+      // applied here in r11): a NULL user_id purchase row would sort
+      // NULLS FIRST in Spark and NULLS LAST in DuckDB's ORDER BY, and
+      // a NULL ts has no place in an as-of total order. Mirrored in
+      // the oracle's p/s CTEs; today's fixture carries neither.
       val ev = Tables.load(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"))
       val signups = ev.filter(col("event_type") === "signup")
@@ -334,7 +343,9 @@ object Analytics {
     // memory. Same DuckDB ASOF JOIN oracle, so the two formulations are
     // pinned result-identical through the driver gate.
     "q90_asof_native" -> ((s, d) => {
+      // same key-domain pin as q63 (shared oracle)
       val ev = Tables.load(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"))
       val signups = ev.filter(col("event_type") === "signup")
