@@ -131,7 +131,17 @@ object TextOps {
     * (round, a, b, cnt, n_syms_after). A round whose vocabulary has no
     * pairs left emits no row. */
   private[graft] def bpeMerges(documentsDf: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    bpeTrain(documentsDf, rounds)._1
+
+  /** The trainer core: returns (merge report, final symbol table).
+    * The symbol table — (w, wf, p, sym) after all merges, materialized
+    * — is q142's input: per-word symbol counts under the learned
+    * merges ARE the corpus tokenization (encoding distributes by the
+    * same vocab trick as training: count symbols once per DISTINCT
+    * word, join the corpus token stream against that). */
+  private[graft] def bpeTrain(documentsDf: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val words = documentsDf
       .select(explode(expr(Dedup.TokExpr)).as("w"))
@@ -184,7 +194,21 @@ object TextOps {
         .crossJoin(broadcast(nAfter))
       out = if (out == null) row else out.union(row)
     }
-    out.orderBy("round")
+    (out.orderBy("round"), syms)
+  }
+
+  /** q142's encoder: per-document (n_tokens, bpe_syms) under the
+    * merges [[bpeTrain]] learns from the same corpus. */
+  private[graft] def bpeEncode(documentsDf: DataFrame,
+      rounds: Int): DataFrame = {
+    val wlen = bpeTrain(documentsDf, rounds)._2
+      .groupBy("w").agg(count(lit(1)).as("nsym"))
+    documentsDf.select(col("doc_id"), explode(expr(Dedup.TokExpr)).as("w"))
+      .join(broadcast(wlen), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("nsym"), lit(1L))).as("bpe_syms"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -295,6 +319,22 @@ object TextOps {
     // reports).
     "q141_bpe_merges" -> ((s, d) =>
       bpeMerges(Tables.load(s, d, "documents"), 3)),
+
+    // q142: BPE ENCODE under the learned merges — the other half of the
+    // tokenizer story (q141 trains, this tokenizes): per-document token
+    // counts under the 3-merge vocabulary, which is what a pipeline
+    // actually bills against (q42's bpe_tokens is a regex PROXY; this
+    // is the exact count under the real learned tokenizer). Encoding
+    // distributes by the same vocab trick as training: symbols are
+    // counted once per DISTINCT word (the trained symbol table is
+    // already exactly that), and the corpus token stream joins against
+    // the per-word counts — broadcast here (vocab-bounded); at a
+    // vocabulary too large to broadcast it becomes a shuffle join on
+    // the word, still never a per-token re-merge. Tokens outside the
+    // trained ^[a-z]+$ domain count as 1 symbol each (the documented
+    // fallback, mirrored in the oracle's COALESCE).
+    "q142_bpe_encode" -> ((s, d) =>
+      bpeEncode(Tables.load(s, d, "documents"), 3)),
 
     // q62: exact dedup, window formulation (the alternative shape from
     // SURVEY §2-B q32: keep rank-1 per content hash instead of group-min)
@@ -958,6 +998,21 @@ object TextOps {
          WHERE NOT prevtake)"""
   }
 
+  /** The q141/q142 training prefix: word-frequency table, char symbol
+    * table, and the 3 unrolled merge rounds (ending at CTE `s3`). */
+  private lazy val bpeTrainCtes: String =
+    s"""w0 AS (SELECT unnest($duckTok) AS w FROM documents),
+        wv AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM w0
+               WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+        s0 AS (SELECT w, wf, generate_subscripts(cs, 1) - 1 AS p,
+                 unnest(cs) AS sym
+               FROM (SELECT w, wf, list_transform(
+                       range(1, length(w) + 1), i -> w[i]) AS cs
+                     FROM wv)),
+        ${bpeRoundSql(1)},
+        ${bpeRoundSql(2)},
+        ${bpeRoundSql(3)}"""
+
   val oracle: Map[String, String] = Map(
     "q32_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
@@ -967,17 +1022,7 @@ object TextOps {
     // the greedy application is pairwise-relational on both engines,
     // so the replay proves merge CHOICE and merge APPLICATION together
     "q141_bpe_merges" ->
-      s"""WITH w0 AS (SELECT unnest($duckTok) AS w FROM documents),
-          wv AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM w0
-                 WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
-          s0 AS (SELECT w, wf, generate_subscripts(cs, 1) - 1 AS p,
-                   unnest(cs) AS sym
-                 FROM (SELECT w, wf, list_transform(
-                         range(1, length(w) + 1), i -> w[i]) AS cs
-                       FROM wv)),
-          ${bpeRoundSql(1)},
-          ${bpeRoundSql(2)},
-          ${bpeRoundSql(3)}
+      s"""WITH $bpeTrainCtes
           SELECT * FROM (
             SELECT CAST(1 AS BIGINT) AS round, ba AS a, bb AS b, cnt,
               (SELECT CAST(sum(wf) AS BIGINT) FROM s1) AS n_syms_after
@@ -989,6 +1034,19 @@ object TextOps {
             SELECT CAST(3 AS BIGINT), ba, bb, cnt,
               (SELECT CAST(sum(wf) AS BIGINT) FROM s3) FROM b3)
           ORDER BY round""",
+
+    // encode = per-word symbol counts from the trained table s3 joined
+    // against the corpus token stream; out-of-domain tokens COALESCE
+    // to 1 symbol (the Spark side's documented fallback)
+    "q142_bpe_encode" ->
+      s"""WITH $bpeTrainCtes,
+          wl AS (SELECT w, CAST(count(*) AS BIGINT) AS nsym
+                 FROM s3 GROUP BY w),
+          toks AS (SELECT doc_id, unnest($duckTok) AS w FROM documents)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(COALESCE(nsym, 1)) AS BIGINT) AS bpe_syms
+          FROM toks LEFT JOIN wl USING (w)
+          GROUP BY doc_id ORDER BY doc_id""",
 
     "q33_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs,

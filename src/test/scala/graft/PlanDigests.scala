@@ -75,6 +75,12 @@ object PlanDigests {
     // and 1-row symbol-total tables cross-joined and unioned
     "q141_bpe_merges" ->
       "AQEShuffleRead x1 | BroadcastExchange x3 | BroadcastNestedLoopJoin x3 | Exchange x4 | HashAggregate x6 | Project x6 | Scan ExistingRDD x6 | Sort x1 | Union x1",
+    // r11: encode = training behind the same checkpoints + ONE
+    // broadcast left join of the corpus token stream against the
+    // per-word symbol counts; the merge-report side of bpeTrain is
+    // discarded unevaluated, so no BNLJ summary crosses appear here
+    "q142_bpe_encode" ->
+      "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x1 | Exchange x3 | Generate x1 | HashAggregate x4 | Project x2 | Scan ExistingRDD x1 | Scan parquet x1 | Sort x1",
     "q102_cluster_canon" ->
       "AQEShuffleRead x4 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x1 | Exchange x4 | Project x3 | Scan ExistingRDD x1 | Scan parquet x1 | Sort x3 | SortAggregate x2",
     "q103_prefix_jaccard" ->

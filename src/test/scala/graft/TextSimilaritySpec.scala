@@ -62,6 +62,20 @@ class TextSimilaritySpec extends SparkSpec {
       (2L, "aa", "aa", 1L, 3L)), s"got ${got.toSeq}")
   }
 
+  test("BPE encode: per-doc counts under the learned merges, with the " +
+      "1-symbol fallback for out-of-domain tokens") {
+    // same banana corpus: after 3 merges banana = b+anana (2 symbols)
+    // and bana = b+ana (2). Doc 0's four tokens encode to 3·2+2 = 8.
+    // Doc 1's "Banana" and "123" are outside the trained ^[a-z]+$
+    // domain (1 symbol each); the single-char in-domain word "b"
+    // trains to 1 symbol and must not perturb the merges.
+    val docs = Seq((0L, "banana banana banana bana"),
+      (1L, "Banana 123 b")).toDF("doc_id", "text")
+    val got = graft.queries.TextOps.bpeEncode(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 4L, 8L), (1L, 3L, 3L)), s"got ${got.toSeq}")
+  }
+
   test("cosine top-k: sims within [-1, 1] and non-increasing") {
     val sims = SparkEntry.queries("q34_cosine_topk")(spark, sf)
       .select("sim").as[Double].collect().toSeq
