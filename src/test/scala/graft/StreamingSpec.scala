@@ -1180,8 +1180,9 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set(key, graft.streaming.StatefulCounters.RocksDbProvider)
     try {
       // generous TTL: the refusal arm needs its straggler batch to run
-      // BEFORE the tombstone expires, even on a loaded host
-      val ttlMs = 5000L
+      // BEFORE the tombstone expires, even on a loaded host (batches
+      // take ~1 s here; 8 s absorbs a full GC-pause class of stall)
+      val ttlMs = 8000L
       val in = MemoryStream[(Long, Long, String, String)]
       val q = StreamingWindows.runToMemory(
         graft.streaming.CdcApply.applyChanges(spark,
