@@ -32,6 +32,36 @@ class PropertySpec extends SparkSpec {
   private val textGen: Gen[String] =
     Gen.listOfN(12, vocab).map(_.mkString(" "))
 
+  test("BPE invariants on generated small-alphabet corpora: symbols " +
+      "respell every word; weighted totals never grow") {
+    // a 4-letter alphabet forces a=a runs and multi-char merged
+    // symbols — the stress case for the relational greedy application.
+    // Two algebraic invariants hold for ANY corpus: (1) each word's
+    // symbols, concatenated in position order, must respell the word
+    // exactly (merges rewrite segmentation, never content); (2) every
+    // applied merge strictly consumes pairs, so the wf-weighted symbol
+    // total is non-increasing round over round.
+    val wordGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val corpusGen = Gen.listOfN(40, wordGen).map(_.mkString(" "))
+    forSamples(corpusGen, 3) { text =>
+      val docs = Seq((0L, text)).toDF("doc_id", "text")
+      val (merges, syms) = graft.queries.TextOps.bpeTrain(docs, 3)
+      val respellBad = syms.groupBy("w")
+        .agg(concat_ws("", expr(
+          "transform(sort_array(collect_list(struct(p, sym))), x -> x.sym)"))
+          .as("re"))
+        .filter(col("re") =!= col("w")).count()
+      assert(respellBad == 0, s"merged symbols must respell the word")
+      val t0 = docs.select(explode(split(trim(col("text")), " ")).as("w"))
+        .agg(sum(length(col("w")))).head().getLong(0)
+      val totals = t0 +: merges.orderBy("round")
+        .collect().map(_.getLong(4)).toSeq
+      assert(totals.sliding(2).forall(p => p(1) <= p(0)),
+        s"weighted symbol totals must be non-increasing: $totals")
+    }
+  }
+
   test("weighted sample: biased toward heavy docs, fully deterministic") {
     val rows = SparkEntry.queries("q121_weighted_sample")(spark, sf)
       .collect()
