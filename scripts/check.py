@@ -90,10 +90,14 @@ def rows_of(rel):
 
 def main(sf_dir, out_dir, only=None):
     # sidecars/error markers live in a SIBLING of the dump dir (the
-    # driver reads every dump-dir entry as a parquet dataset — round 10)
+    # driver reads every dump-dir entry as a parquet dataset — round 10),
+    # keyed by the dump dir's basename so sibling dump dirs never share
+    # (or sweep) each other's meta (round 12, mirrors Verify.scala)
     import os
+    dump_abs = os.path.abspath(out_dir)
     meta_dir = os.path.join(
-        os.path.dirname(os.path.abspath(out_dir)), "graft_meta")
+        os.path.dirname(dump_abs),
+        "graft_meta_" + os.path.basename(dump_abs))
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -14,13 +14,16 @@ import java.security.MessageDigest
   * missing key reads as FAIL, not pass.
   *
   * Sidecars and error markers live in a SIBLING of the dump dir
-  * (`<outDir>/../graft_meta/`), never inside it: round 10 proved the
-  * driver enumerates EVERY entry under the dump dir as a parquet query
-  * dump (the underscore prefix did not exempt `_colhash/` — it produced
-  * a stray pyarrow-traceback key in CORRECTNESS_r10.json, and on a
-  * failing round `_errors/` would have turned one real failure into N
-  * confusing ones). The dump dir now contains exclusively `q*` parquet
-  * dirs plus the contract-mandated oracle_sql.json.
+  * (`<outDir>/../graft_meta_<basename>/`), never inside it: round 10
+  * proved the driver enumerates EVERY entry under the dump dir as a
+  * parquet query dump (the underscore prefix did not exempt
+  * `_colhash/` — it produced a stray pyarrow-traceback key in
+  * CORRECTNESS_r10.json, and on a failing round `_errors/` would have
+  * turned one real failure into N confusing ones). The basename key
+  * (round 12) stops sibling dump dirs under one parent from sharing —
+  * and cross-sweeping — one meta dir. The dump dir itself contains
+  * exclusively `q*` parquet dirs plus the contract-mandated
+  * oracle_sql.json.
   */
 object Verify {
   /** Canonical string form of one output value, shared (by contract,
@@ -102,9 +105,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // sibling of the dump dir — NEVER inside it (see the header comment;
-    // the driver reads every dump-dir entry as a parquet dataset)
-    val metaDir = Paths.get(outDir).toAbsolutePath.normalize
-      .resolveSibling("graft_meta").toString
+    // the driver reads every dump-dir entry as a parquet dataset) —
+    // and KEYED by the dump dir's basename: two dump dirs sharing a
+    // parent (a driver run next to a dev run) would otherwise share one
+    // meta dir, so run A's up-front marker sweep could erase run B's
+    // live failure diagnosis and check.py could read the other run's
+    // sidecars (ADVICE r11).
+    val dumpPath = Paths.get(outDir).toAbsolutePath.normalize
+    val metaDir = dumpPath
+      .resolveSibling(s"graft_meta_${dumpPath.getFileName}").toString
     new java.io.File(metaDir).mkdirs()
     // the meta dir persists across runs (it is deliberately outside
     // whatever cleanup the driver does to the dump dir), so clear the
@@ -145,6 +154,10 @@ object Verify {
           // as "column X differs", not "some hash differs"
           try {
             new java.io.File(s"$metaDir/_colhash").mkdirs()
+            // drop the previous run's sidecar BEFORE hashing: if this
+            // rewrite throws below, a stale hash must read as "no
+            // sidecar", never as this run's column diagnosis
+            Files.deleteIfExists(Paths.get(s"$metaDir/_colhash/$name.json"))
             val hashes = columnHashes(spark.read.parquet(s"$outDir/$name"))
             val body = hashes
               .map { case (c, h, _) => s"${q(c)}: ${q(h)}" }

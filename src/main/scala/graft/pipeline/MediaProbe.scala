@@ -225,9 +225,19 @@ object MediaProbe {
     }
     if (headerFrame && frames > 0) { frames -= 1; bytes -= h(0) }
     // declared totals win over the walked prefix; a tag missing its
-    // frames field (flags bit unset / truncated) falls back to the walk
-    if (xFrames >= 0) frames = xFrames
-    val durMs = frames * h(1).toLong * 1000L / h(2)
+    // frames field (flags bit unset / truncated) falls back to the walk.
+    // Sanity bounds (ADVICE r11 — a tag is untrusted input): declared
+    // frames are used only when physically consistent with the declared
+    // byte total (every MPEG frame occupies >= 24 bytes, the format's
+    // smallest padded frame), and the duration is clamped to the
+    // longest stream the tag's own 32-bit byte counter could describe
+    // (4 GiB at the 8 kbps floor — numerically 0xFFFFFFFF ms, ~50
+    // days). A hostile frames=0xFFFFFFFF now yields a bounded field or
+    // falls back to the walk, never a 3.5-year durationMs.
+    if (xFrames >= 0 && !(xBytes >= 0 && xFrames > xBytes / 24 + 1))
+      frames = xFrames
+    val durMs =
+      math.min(frames * h(1).toLong * 1000L / h(2), 0xFFFFFFFFL)
     // clamp: a lying tag (huge declared bytes over one frame's worth of
     // declared duration) must yield a bounded field, not an Int wrap
     val avgKbps =

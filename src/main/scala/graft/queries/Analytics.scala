@@ -25,7 +25,13 @@ object Analytics {
     * exploded and shuffled ONCE, and the df pass shuffles only the
     * already-tiny tf aggregate on term — a second full
     * scan+explode+shuffle of every token would be the dominant cost at
-    * corpus scale. AQE reuses the tf stage for both consumers. */
+    * corpus scale. AQE reuses the tf stage for both consumers. The
+    * df table itself is Heaps-law corpus-derived (one row per distinct
+    * term — several GB at 100 TB web text), so its join carries NO
+    * broadcast hint: AQE broadcasts while it measures small and falls
+    * back to a shuffle join on the term once it doesn't, where a hint
+    * would force the broadcast at any size (driver OOM, not graceful
+    * degradation). */
   private def tfidfWeights(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.load(s, d, "documents")
       .select(col("doc_id"), explode(expr(Dedup.TokExpr)).as("term"))
@@ -33,7 +39,7 @@ object Analytics {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val nDocs = Tables.load(s, d, "documents")
       .agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("tf"),
         (col("tf") * log((col("n_docs") + 1).cast("double")

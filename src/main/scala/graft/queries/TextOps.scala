@@ -42,11 +42,16 @@ object TextOps {
     * — add-one-smoothed token-bigram probabilities trained ON the
     * corpus, each doc scored by its mean log-prob. The bigram-count
     * model joins on the bigram key and STAYS on the shuffle (at 100 TB
-    * it is corpus-sized — never broadcast); the unigram table is
-    * vocabulary-bounded and broadcasts; V is one row. Per-doc log-prob
-    * sums go through DECIMAL(28,12) — exact, order-independent — and
-    * ln() ulp drift is invisible at round(·,4). Shared by q97 and
-    * q126's perplexity bucketing. */
+    * it is corpus-sized — never broadcast); the unigram table carries
+    * NO broadcast hint — it grows by Heaps' law with the corpus
+    * (~1e8–1e9 rows at 100 TB web text), so the join strategy must be
+    * AQE's runtime-stats call: broadcast while it measures small, a
+    * shuffle join on `w1` once it doesn't, never a forced-broadcast
+    * driver OOM (a hint would force it at ANY size). V is one row and
+    * broadcasts by right. Per-doc log-prob sums go through
+    * DECIMAL(28,12) — exact, order-independent — and ln() ulp drift is
+    * invisible at round(·,4). Shared by q97 and q126's perplexity
+    * bucketing. */
   private def bigramLogProb(s: SparkSession, d: String): DataFrame = {
     val bg = bigramsOf(docs(s, d))
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
@@ -54,7 +59,7 @@ object TextOps {
       .groupBy("w").agg(count(lit(1)).as("nw"))
     val v = uni.agg(count(lit(1)).as("vsz"))
     bg.join(bc, Seq("w1", "w2"))
-      .join(broadcast(uni.select(col("w").as("w1"), col("nw").as("n1"))),
+      .join(uni.select(col("w").as("w1"), col("nw").as("n1")),
         Seq("w1"))
       .crossJoin(broadcast(v))
       .groupBy("doc_id")
@@ -154,7 +159,9 @@ object TextOps {
           .as(Seq("p", "sym"))))
     val byP = Window.partitionBy("w").orderBy("p")
     var out: DataFrame = null
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       // wn feeds the pair count AND the merge application — one
       // narrow job instead of recomputing the lead() window twice
       val wn = graft.operators.Materialize.truncate(
@@ -164,52 +171,114 @@ object TextOps {
           .groupBy("sym", "nxt").agg(sum("wf").as("cnt"))
           .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(1)
           .select(col("sym").as("ba"), col("nxt").as("bb"), col("cnt")))
-      val flagged = wn.crossJoin(broadcast(best))
-        .withColumn("matched", coalesce(
-          col("sym") === col("ba") && col("nxt") === col("bb"),
-          lit(false)))
-        // islands of consecutive `ba` symbols: p minus the running
-        // ba-count is constant inside a run, breaks outside it
-        .withColumn("g", col("p") -
-          sum(when(col("sym") === col("ba"), 1).otherwise(0))
-            .over(byP.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("off", row_number().over(
-          Window.partitionBy(col("w"), col("g"),
-            col("sym") === col("ba")).orderBy("p")) - 1)
-        .withColumn("take", col("matched") &&
-          (col("ba") =!= col("bb") || col("off") % 2 === 0))
-      syms = graft.operators.Materialize.truncate(flagged
-        .withColumn("prevtake",
-          coalesce(lag(col("take"), 1).over(byP), lit(false)))
-        .filter(!col("prevtake"))
-        .select(col("w"), col("wf"),
-          (row_number().over(byP) - 1).as("p"),
-          when(col("take"), concat(col("ba"), col("bb")))
-            .otherwise(col("sym")).as("sym")))
-      val nAfter = syms.agg(sum(col("wf")).cast("long")
-        .as("n_syms_after"))
-      val row = best.select(lit(r).cast("long").as("round"),
-          col("ba").as("a"), col("bb").as("b"),
-          col("cnt").cast("long").as("cnt"))
-        .crossJoin(broadcast(nAfter))
-      out = if (out == null) row else out.union(row)
+      if (best.isEmpty) {
+        // a pairless round (every word already a single symbol): STOP
+        // with syms unchanged. The old fall-through happened to stay
+        // correct only via an unstated invariant — wn.crossJoin(empty
+        // best) EMPTIES the symbol table, and bpeEncode's COALESCE
+        // fallback then priced every word as OOV, exact only because
+        // pairless ⟹ all words are single-symbol ⟹ … ⟹ fragile.
+        // The explicit break makes the invariant structural: merge
+        // rounds beyond vocabulary exhaustion are no-ops, the report
+        // simply has fewer rows (its documented contract). isEmpty on
+        // the materialized 1-row-max table is a limit-1 read, not a
+        // corpus pass.
+        exhausted = true
+      } else {
+        val flagged = wn.crossJoin(broadcast(best))
+          .withColumn("matched", coalesce(
+            col("sym") === col("ba") && col("nxt") === col("bb"),
+            lit(false)))
+          // islands of consecutive `ba` symbols: p minus the running
+          // ba-count is constant inside a run, breaks outside it
+          .withColumn("g", col("p") -
+            sum(when(col("sym") === col("ba"), 1).otherwise(0))
+              .over(byP.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("off", row_number().over(
+            Window.partitionBy(col("w"), col("g"),
+              col("sym") === col("ba")).orderBy("p")) - 1)
+          .withColumn("take", col("matched") &&
+            (col("ba") =!= col("bb") || col("off") % 2 === 0))
+        syms = graft.operators.Materialize.truncate(flagged
+          .withColumn("prevtake",
+            coalesce(lag(col("take"), 1).over(byP), lit(false)))
+          .filter(!col("prevtake"))
+          .select(col("w"), col("wf"),
+            (row_number().over(byP) - 1).as("p"),
+            when(col("take"), concat(col("ba"), col("bb")))
+              .otherwise(col("sym")).as("sym")))
+        val nAfter = syms.agg(sum(col("wf")).cast("long")
+          .as("n_syms_after"))
+        val row = best.select(lit(r).cast("long").as("round"),
+            col("ba").as("a"), col("bb").as("b"),
+            col("cnt").cast("long").as("cnt"))
+          .crossJoin(broadcast(nAfter))
+        out = if (out == null) row else out.union(row)
+      }
+      r += 1
     }
-    (out.orderBy("round"), syms)
+    if (out == null) {
+      // round 1 itself was pairless — an all-single-letter corpus.
+      // Report schema must still hold (empty, not null).
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("round", LongType), StructField("a", StringType),
+        StructField("b", StringType), StructField("cnt", LongType),
+        StructField("n_syms_after", LongType)))
+      val s = documentsDf.sparkSession
+      (s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), syms)
+    } else (out.orderBy("round"), syms)
   }
 
-  /** q142's encoder: per-document (n_tokens, bpe_syms) under the
-    * merges [[bpeTrain]] learns from the same corpus. */
-  private[graft] def bpeEncode(documentsDf: DataFrame,
-      rounds: Int): DataFrame = {
-    val wlen = bpeTrain(documentsDf, rounds)._2
+  /** Per-DISTINCT-word symbol counts under `rounds` learned merges —
+    * q142's join side and the streaming twin's frozen serve state
+    * (graft.streaming.StreamingDedup.bpeState). Grows by Heaps' law
+    * with the training corpus, so it carries NO broadcast hint (see
+    * [[bpeSymCost]]). */
+  private[graft] def bpeVocab(documentsDf: DataFrame,
+      rounds: Int): DataFrame =
+    bpeTrain(documentsDf, rounds)._2
       .groupBy("w").agg(count(lit(1)).as("nsym"))
-    documentsDf.select(col("doc_id"), explode(expr(Dedup.TokExpr)).as("w"))
-      .join(broadcast(wlen), Seq("w"), "left")
+
+  /** Symbol cost of one token after the LEFT join against [[bpeVocab]]:
+    * in-vocabulary words spend their learned symbol count; tokens
+    * outside the trained ^[a-z]+$ domain fall back to a CHARACTER
+    * split — length(w) symbols, the real tokenizer's OOV behavior (a
+    * flat 1 would undercount exactly the long/noisy tokens a billing
+    * or packing pipeline cares most about). The ONE cost definition
+    * shared by batch q142, the q143 packing composition, and the
+    * streaming twin; the oracle mirrors it as
+    * COALESCE(nsym, length(w)). */
+  private[graft] def bpeSymCost: org.apache.spark.sql.Column =
+    coalesce(col("nsym"), length(col("w")).cast("long"))
+
+  /** q142's encoder: per-document (n_tokens, bpe_syms) under the
+    * merges [[bpeTrain]] learns from the same corpus. The vocab join
+    * is deliberately UN-hinted: the per-word symbol table is
+    * corpus-derived (Heaps' law — several GB of distinct words at
+    * 100 TB web text), so AQE must pick the strategy from measured
+    * size — broadcast at fixture scale, a shuffle join on the word at
+    * a scale where forcing the broadcast would OOM the driver. Still
+    * never a per-token re-merge either way. */
+  private[graft] def bpeEncode(documentsDf: DataFrame,
+      rounds: Int): DataFrame =
+    bpeTokenCosts(documentsDf, bpeVocab(documentsDf, rounds))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("nsym"), lit(1L))).as("bpe_syms"))
+        sum(col("syms")).as("bpe_syms"))
       .orderBy("doc_id")
-  }
+
+  /** (doc_id, syms): the token-level symbol-cost stream of `docsDf`
+    * under a trained [[bpeVocab]] table — map-side explode + one
+    * LEFT join, no state, so it runs unchanged on an unbounded stream
+    * (the streaming twin's whole body; per-doc aggregation is the
+    * sink's job there, q114-boilerplate precedent). */
+  private[graft] def bpeTokenCosts(docsDf: DataFrame,
+      vocab: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), explode(expr(Dedup.TokExpr)).as("w"))
+      .join(vocab, Seq("w"), "left")
+      .select(col("doc_id"), bpeSymCost.as("syms"))
 
   val queries: Map[String, Q] = Map(
     // q32: exact dedup by content hash, keep min doc_id
@@ -328,13 +397,43 @@ object TextOps {
     // distributes by the same vocab trick as training: symbols are
     // counted once per DISTINCT word (the trained symbol table is
     // already exactly that), and the corpus token stream joins against
-    // the per-word counts — broadcast here (vocab-bounded); at a
-    // vocabulary too large to broadcast it becomes a shuffle join on
-    // the word, still never a per-token re-merge. Tokens outside the
-    // trained ^[a-z]+$ domain count as 1 symbol each (the documented
-    // fallback, mirrored in the oracle's COALESCE).
+    // the per-word counts with NO broadcast hint — the table is
+    // Heaps-law corpus-derived, so AQE picks broadcast at fixture
+    // scale and a shuffle join on the word at a scale where the
+    // forced broadcast would OOM; either way never a per-token
+    // re-merge. Tokens outside the trained ^[a-z]+$ domain fall back
+    // to a CHARACTER split — length(w) symbols, the real tokenizer's
+    // OOV behavior (bpeSymCost; mirrored in the oracle's COALESCE).
     "q142_bpe_encode" -> ((s, d) =>
       bpeEncode(Tables.load(s, d, "documents"), 3)),
+
+    // q143: the chunk→tokenize→pack COMPOSITION a pretraining pipeline
+    // actually runs — q75's GPT-style pack-then-chunk shape driven by
+    // q142's EXACT learned-tokenizer counts instead of q42's regex
+    // proxy (the counts a packer must bill against are the ones the
+    // trained tokenizer will produce). bpeEncode's per-doc totals feed
+    // operators/PrefixAgg's two-phase blocked prefix sum (exclusive:
+    // symbols BEFORE the doc), each doc lands in the 1024-symbol
+    // context window where it STARTS. The totals table is MATERIALIZED
+    // first: PrefixAgg reads it twice (block aggregate + row join) and
+    // as lazy lineage each consumer would replay the whole
+    // train-and-encode pipeline — a second corpus-scale pass, the
+    // exact q50/q126 class of leak (the pre-fix digest showed Scan
+    // parquet x2 / Generate x2). Checkpointed, the packing side costs
+    // one prefix-sum over the doc-count-sized totals.
+    "q143_bpe_packing" -> ((s, d) =>
+      graft.operators.PrefixAgg
+        .runningSum(
+          graft.operators.Materialize.truncate(
+            bpeEncode(Tables.load(s, d, "documents"), 3)
+              .select(col("doc_id"), col("bpe_syms").as("n_sym"))),
+          "doc_id", "n_sym", "before", blockSize = 1024,
+          inclusive = false)
+        .withColumn("bin", expr("before div 1024L"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_sym").as("syms"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin")),
 
     // q62: exact dedup, window formulation (the alternative shape from
     // SURVEY §2-B q32: keep rank-1 per content hash instead of group-min)
@@ -543,8 +642,11 @@ object TextOps {
     // PMI would surface without any cross-engine log()/double drift.
     // Bigram and unigram counts are both two-phase hash aggregates
     // (map-side combine collapses repeats before the exchange), and the
-    // unigram table is VOCABULARY-bounded — a few million rows for any
-    // real corpus — so it broadcasts to the bigram side at 100 TB too.
+    // unigram table grows by Heaps' law with the corpus, so its joins
+    // carry NO broadcast hint — AQE broadcasts while it measures small
+    // and falls back to a shuffle join on the word once it doesn't (a
+    // hint would force the broadcast at ANY size; several GB of
+    // distinct words at 100 TB web text = a driver OOM).
     "q85_bigram_dice" -> ((s, d) => {
       // the ONE bigram definition (bigramsOf) shared with the q97 LM
       // and q127's DSIR weights — a window/indexing fix there cannot
@@ -554,9 +656,9 @@ object TextOps {
       val uni = docs(s, d).select(explode(col("tok")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("nw"))
       big
-        .join(broadcast(uni.select(col("w").as("w1"), col("nw").as("n1"))),
+        .join(uni.select(col("w").as("w1"), col("nw").as("n1")),
           Seq("w1"))
-        .join(broadcast(uni.select(col("w").as("w2"), col("nw").as("n2"))),
+        .join(uni.select(col("w").as("w2"), col("nw").as("n2")),
           Seq("w2"))
         .filter(col("nb") >= 5)
         .select(col("w1"), col("w2"), col("nb"),
@@ -706,8 +808,9 @@ object TextOps {
     // log p_t − p_raw, and keep the top-50 most target-like docs (the
     // resampling candidate pool q121-style samplers draw from). The
     // raw model joins stay on the shuffle (corpus-sized at 100 TB);
-    // unigram tables and both V scalars broadcast (vocab-bounded /
-    // 1-row). Target-model misses smooth to the add-one floor via LEFT
+    // the unigram tables are Heaps-law corpus-derived and carry NO
+    // broadcast hint (AQE's call — see q85); both V scalars broadcast
+    // (1-row). Target-model misses smooth to the add-one floor via LEFT
     // join + coalesce(·, 0) — the same ln((0+1)/(0+V)) both engines.
     // Per-doc sums in DECIMAL(28,12); ranking on the rounded mean with
     // doc_id tie-break (the q34 convention).
@@ -725,10 +828,10 @@ object TextOps {
         .groupBy("w").agg(count(lit(1)).as("nwt"))
       val vT = uniT.agg(count(lit(1)).as("vt"))
       bg.join(bcR, Seq("w1", "w2"))
-        .join(broadcast(uniR.select(col("w").as("w1"), col("nwr"))),
+        .join(uniR.select(col("w").as("w1"), col("nwr")),
           Seq("w1"))
         .join(bcT, Seq("w1", "w2"), "left")
-        .join(broadcast(uniT.select(col("w").as("w1"), col("nwt"))),
+        .join(uniT.select(col("w").as("w1"), col("nwt")),
           Seq("w1"), "left")
         .crossJoin(broadcast(vR)).crossJoin(broadcast(vT))
         .groupBy("doc_id")
@@ -752,7 +855,8 @@ object TextOps {
     // at 1e14 tokens). Same identical-IEEE-tree + rounded-ranking
     // discipline as q95/q34: each ln drifts <= 1 ulp, invisible at
     // round(·,4), and the (w1, w2) tie-break pins the cut. Counts
-    // shuffle once; unigram tables broadcast (vocab-bounded); totals
+    // shuffle once; the unigram tables are Heaps-law corpus-derived
+    // and carry NO broadcast hint (AQE's call — see q85); totals
     // are 1-row crosses.
     "q128_pmi_collocations" -> ((s, d) => {
       val all = docs(s, d)
@@ -763,9 +867,9 @@ object TextOps {
         .groupBy("w").agg(count(lit(1)).as("nw"))
       val ntTot = uni.agg(sum("nw").as("ntt"))
       bc.filter(col("nb") >= 5)
-        .join(broadcast(uni.select(col("w").as("w1"), col("nw").as("n1"))),
+        .join(uni.select(col("w").as("w1"), col("nw").as("n1")),
           Seq("w1"))
-        .join(broadcast(uni.select(col("w").as("w2"), col("nw").as("n2"))),
+        .join(uni.select(col("w").as("w2"), col("nw").as("n2")),
           Seq("w2"))
         .crossJoin(broadcast(nbTot)).crossJoin(broadcast(ntTot))
         .select(col("w1"), col("w2"), col("nb"),
@@ -1037,16 +1141,36 @@ object TextOps {
 
     // encode = per-word symbol counts from the trained table s3 joined
     // against the corpus token stream; out-of-domain tokens COALESCE
-    // to 1 symbol (the Spark side's documented fallback)
+    // to a CHARACTER split — length(w) symbols (the Spark side's
+    // bpeSymCost fallback; both engines count code points)
     "q142_bpe_encode" ->
       s"""WITH $bpeTrainCtes,
           wl AS (SELECT w, CAST(count(*) AS BIGINT) AS nsym
                  FROM s3 GROUP BY w),
           toks AS (SELECT doc_id, unnest($duckTok) AS w FROM documents)
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-            CAST(sum(COALESCE(nsym, 1)) AS BIGINT) AS bpe_syms
+            CAST(sum(COALESCE(nsym, length(w))) AS BIGINT) AS bpe_syms
           FROM toks LEFT JOIN wl USING (w)
           GROUP BY doc_id ORDER BY doc_id""",
+
+    // packing over the SAME encode (the q75 cumulative-window shape on
+    // bpe_syms instead of the regex token proxy)
+    "q143_bpe_packing" ->
+      s"""WITH $bpeTrainCtes,
+          wl AS (SELECT w, CAST(count(*) AS BIGINT) AS nsym
+                 FROM s3 GROUP BY w),
+          toks AS (SELECT doc_id, unnest($duckTok) AS w FROM documents),
+          enc AS (SELECT doc_id,
+                    CAST(sum(COALESCE(nsym, length(w))) AS BIGINT) AS n_sym
+                  FROM toks LEFT JOIN wl USING (w) GROUP BY doc_id),
+          c AS (SELECT doc_id, n_sym,
+                  sum(n_sym) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM enc)
+          SELECT CAST((cum - n_sym) // 1024 AS BIGINT) AS bin,
+            count(*) AS n_docs, CAST(sum(n_sym) AS BIGINT) AS syms,
+            min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM c GROUP BY 1 ORDER BY bin""",
 
     "q33_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs,

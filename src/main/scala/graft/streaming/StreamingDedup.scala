@@ -245,6 +245,30 @@ object StreamingDedup {
       .join(dict, Seq("ck", "clen"), "left_anti")
       .select("doc_id", "p", "chunk")
 
+  /** Frozen learned-tokenizer serve state for [[bpeEncodeNew]]: q141's
+    * trained per-word symbol counts (queries.TextOps.bpeVocab — the
+    * SAME builder batch q142 joins against), persisted. Training runs
+    * ONCE, batch-side; the stream only reads the result — the
+    * vocabulary a production tokenizer ships is exactly this frozen
+    * table, refreshed by retraining, never updated by the stream. No
+    * broadcast hint here either (the table is training-corpus-derived,
+    * Heaps' law — Spark picks the stream-static join strategy from its
+    * measured size). */
+  def bpeState(corpus: DataFrame, rounds: Int = 3): DataFrame =
+    graft.queries.TextOps.bpeVocab(corpus, rounds).persist()
+
+  /** Streaming twin of batch q142: tokenize ARRIVING documents under
+    * the frozen learned vocabulary. Entirely STATELESS — tokens
+    * explode map-side, the stream-static LEFT join prices each token
+    * (in-vocab = learned symbol count, OOV = character split; the ONE
+    * bpeSymCost definition shared with batch), no watermark, no state
+    * store. Emits the token-level cost stream (doc_id, syms); per-doc
+    * aggregation is the sink's job on an unbounded stream (the q114
+    * chunk-survivor precedent — StreamingSpec reassembles per-doc
+    * totals and pins exact parity with batch q142). */
+  def bpeEncodeNew(stream: DataFrame, vocab: DataFrame): DataFrame =
+    graft.queries.TextOps.bpeTokenCosts(stream, vocab)
+
   /** One-row BM25 serve state: the deterministic query terms
     * (queries.Dedup.bm25Terms — the SAME builder batch q118 uses) with
     * their document frequencies as an array of structs, plus corpus

@@ -283,6 +283,33 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.durationMs == 2L * 1152 * 1000 / 44100)
   }
 
+  test("mp3: a lying Xing frame total inconsistent with its own byte " +
+      "total falls back to the walk") {
+    // frames=0xFFFFFFFF over 41700 declared bytes is physically
+    // impossible (every frame occupies >= 24 bytes) — the declared
+    // count must be DISTRUSTED, not turned into a 3.5-year durationMs
+    // (ADVICE r11: tags are hostile input)
+    val s = cat(tagFrame("Xing",
+        cat(be32(3), be32(0xFFFFFFFFL), be32(41700))),
+      mp3Stream(2))
+    val info = MediaProbe.probe(s).get
+    assert(info.frames == 2, "implausible tag -> walked audio frames")
+    assert(info.durationMs == 2L * 1152 * 1000 / 44100)
+  }
+
+  test("mp3: a lying frames-only Xing tag is duration-clamped") {
+    // no byte total to cross-check against, so the declared count is
+    // taken — but durationMs must stay inside the clamp (the longest
+    // stream a 32-bit byte counter could describe, 0xFFFFFFFF ms),
+    // never frames × 26 ms ≈ 3.5 years
+    val s = cat(tagFrame("Xing", cat(be32(1), be32(0xFFFFFFFFL))),
+      mp3Stream(2))
+    val info = MediaProbe.probe(s).get
+    assert(info.frames == 0xFFFFFFFFL)
+    assert(info.durationMs == 0xFFFFFFFFL,
+      s"hostile duration must clamp: ${info.durationMs}")
+  }
+
   test("mp3: ID3v2 prefix is skipped by synchsafe length") {
     val tag = cat(cc("ID3"), Array[Byte](4, 0, 0),
       Array[Byte](0, 0, 1, 5), Array.fill[Byte](133)(0x41)) // size 0b1_0000101=133

@@ -78,9 +78,25 @@ object PlanDigests {
     // r11: encode = training behind the same checkpoints + ONE
     // broadcast left join of the corpus token stream against the
     // per-word symbol counts; the merge-report side of bpeTrain is
-    // discarded unevaluated, so no BNLJ summary crosses appear here
+    // discarded unevaluated, so no BNLJ summary crosses appear here.
+    // r12: the vocab join dropped its forced broadcast() hint (the
+    // table is Heaps-law corpus-derived — VERDICT r11 task 1), so the
+    // per-word-count aggregate now plans shuffle-then-broadcast and
+    // AQE converts the join at runtime: +1 Exchange/AQEShuffleRead vs
+    // the hinted shape, BroadcastHashJoin x1 UNCHANGED — the same
+    // trade q45 made in r9 (the digest proves AQE still broadcasts at
+    // fixture scale; at 100 TB the same plan degrades to a shuffle
+    // join instead of a driver OOM)
     "q142_bpe_encode" ->
-      "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x1 | Exchange x3 | Generate x1 | HashAggregate x4 | Project x2 | Scan ExistingRDD x1 | Scan parquet x1 | Sort x1",
+      "AQEShuffleRead x4 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x1 | Exchange x4 | Generate x1 | HashAggregate x4 | Project x2 | Scan ExistingRDD x1 | Scan parquet x1 | Sort x1",
+    // r12: packing composition — train+encode hide behind the totals
+    // checkpoint (Scan ExistingRDD x2 = PrefixAgg's two consumers of
+    // the materialized per-doc table; a parquet scan reappearing here
+    // means the encode pipeline leaked back out and runs twice); the
+    // BroadcastHashJoin is the block-offset join-back, the two Windows
+    // are the block carry-in + block-local running sums
+    "q143_bpe_packing" ->
+      "AQEShuffleRead x4 | BroadcastExchange x1 | BroadcastHashJoin x1 | Exchange x5 | Filter x2 | HashAggregate x4 | Project x5 | Scan ExistingRDD x2 | Sort x3 | Window x2",
     "q102_cluster_canon" ->
       "AQEShuffleRead x4 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x1 | Exchange x4 | Project x3 | Scan ExistingRDD x1 | Scan parquet x1 | Sort x3 | SortAggregate x2",
     "q103_prefix_jaccard" ->

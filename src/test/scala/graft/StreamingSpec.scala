@@ -457,6 +457,36 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); state.unpersist() }
   }
 
+  test("streaming BPE encoding under the frozen vocabulary matches " +
+      "batch q142 exactly") {
+    import org.apache.spark.sql.functions._
+    // the q141 merges train ONCE on the static corpus (the frozen
+    // vocabulary a production tokenizer ships); the same docs then
+    // arrive as a stream and are priced token-by-token via the
+    // stateless stream-static join. Per-doc totals are the sink
+    // compaction's job (the q114 survivor-stream precedent) and must
+    // equal batch q142 row for row — same learned costs, same
+    // character-split OOV fallback, exact integers.
+    val corpus = Tables.load(spark, sf, "documents")
+    val vocab = graft.streaming.StreamingDedup.bpeState(corpus)
+    val stream = graft.streaming.StreamingDedup.docsStream(spark, sf)
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamingDedup.bpeEncodeNew(stream, vocab),
+      "bpeenc")
+    try {
+      val got = spark.table("bpeenc").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("syms").as("bpe_syms"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = SparkEntry.queries("q142_bpe_encode")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty)
+      assert(got == batch,
+        s"streaming ${got.size} vs batch ${batch.size} encoded docs")
+    } finally { q.stop(); vocab.unpersist() }
+  }
+
   test("streaming RAG chunking equals batch q101 exactly") {
     // the chunk projection is map-only (no aggregation, no watermark),
     // so the BATCH builder runs unchanged on the unbounded stream —
@@ -1208,12 +1238,24 @@ class StreamingSpec extends SparkSpec {
         in.addData(Seq((1L, 2L, "insert", "body-1"),
           (2L, 2L, "insert", "body-2")))
         awaitCount(1L, 1); awaitCount(2L, 1)
+        // earliest instant key 2's tombstone TTL clock can start (the
+        // engine stamps it when the delete batch PROCESSES, which is
+        // at or after this line) — lets the refusal assertion below
+        // detect a host stall that legitimately expired the tombstone
+        val tDel = System.currentTimeMillis
         in.addData(Seq((1L, 3L, "delete", null: String),
           (2L, 3L, "delete", null: String)))
         awaitCount(1L, 2); awaitCount(2L, 2)
         // key 2's straggler arrives INSIDE the TTL: refused by LWW
         in.addData(Seq((2L, 1L, "insert", "stale-2")))
         awaitCount(2L, 3)
+        // if the host stalled past the TTL between the delete and the
+        // straggler's commit, the tombstone may have expired on its
+        // own — the refusal assertion would then flake on a timing
+        // accident, not a product bug (ADVICE r11). Measure, don't
+        // hope: elapsed uses the CONSERVATIVE start (before the delete
+        // even enqueued), so skipping is provably sound.
+        val strugglerInTtl = System.currentTimeMillis - tDel < ttlMs
         // let both tombstones expire, then key 1's straggler arrives
         Thread.sleep(ttlMs + 2000L)
         in.addData(Seq((1L, 1L, "insert", "stale-1")))
@@ -1224,9 +1266,14 @@ class StreamingSpec extends SparkSpec {
         val r2 = rowsFor(2L).last
         assert(r1.getBoolean(2) && r1.getString(3) == "stale-1",
           s"post-eviction straggler must RESURRECT key 1: $r1")
-        assert(!r2.getBoolean(2),
-          s"in-horizon straggler must stay refused by the live " +
-            s"tombstone: $r2")
+        if (strugglerInTtl)
+          assert(!r2.getBoolean(2),
+            s"in-horizon straggler must stay refused by the live " +
+              s"tombstone: $r2")
+        else
+          info(s"host stall exceeded the ${ttlMs}ms TTL before key 2's " +
+            "straggler committed — refusal arm skipped (eviction arm " +
+            "above still verified)")
       } finally q.stop()
     } finally {
       prev match {

@@ -63,17 +63,43 @@ class TextSimilaritySpec extends SparkSpec {
   }
 
   test("BPE encode: per-doc counts under the learned merges, with the " +
-      "1-symbol fallback for out-of-domain tokens") {
+      "character-split fallback for out-of-domain tokens") {
     // same banana corpus: after 3 merges banana = b+anana (2 symbols)
     // and bana = b+ana (2). Doc 0's four tokens encode to 3·2+2 = 8.
-    // Doc 1's "Banana" and "123" are outside the trained ^[a-z]+$
-    // domain (1 symbol each); the single-char in-domain word "b"
-    // trains to 1 symbol and must not perturb the merges.
+    // Doc 1's "Banana" (6 chars) and "123" (3) are outside the trained
+    // ^[a-z]+$ domain and fall back to character splits — 6+3 symbols,
+    // the real tokenizer's OOV cost, NOT a flat 1 each (a flat 1 would
+    // undercount exactly the long/noisy tokens packing bills against);
+    // the single-char in-domain word "b" trains to 1 symbol and must
+    // not perturb the merges. Doc 2 is the OOV-heavy case: every token
+    // out-of-domain, so its cost is exactly its summed token lengths
+    // 20+9+12 = 41 — long noise is now EXPENSIVE, as it is under a
+    // real byte/char-fallback tokenizer.
     val docs = Seq((0L, "banana banana banana bana"),
-      (1L, "Banana 123 b")).toDF("doc_id", "text")
+      (1L, "Banana 123 b"),
+      (2L, "Supercalifragilistic 123456789 MIXED-case99"))
+      .toDF("doc_id", "text")
     val got = graft.queries.TextOps.bpeEncode(docs, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq == Seq((0L, 4L, 8L), (1L, 3L, 3L)), s"got ${got.toSeq}")
+    assert(got.toSeq == Seq((0L, 4L, 8L), (1L, 3L, 10L), (2L, 3L, 41L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("BPE encode: a vocabulary-exhausted trainer (pairless rounds) " +
+      "still prices in-domain words by their learned symbol table") {
+    // all words are single letters: round 1 finds no adjacent pair, the
+    // trainer short-circuits with the char symbol table intact, and the
+    // encoder must price each word at 1 learned symbol — NOT via the
+    // OOV fallback (the regression the explicit pairless break guards:
+    // an emptied symbol table would leave every word priced as OOV and
+    // only *happen* to agree while the fallback is length-based).
+    val docs = Seq((0L, "a b c a"), (1L, "z !!")).toDF("doc_id", "text")
+    val merges = graft.queries.TextOps.bpeMerges(docs, 3)
+    assert(merges.collect().isEmpty, "no pairs -> no merge rows")
+    val got = graft.queries.TextOps.bpeEncode(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: "z" in-domain (1 symbol), "!!" OOV (2 chars)
+    assert(got.toSeq == Seq((0L, 4L, 4L), (1L, 2L, 3L)), s"got ${got.toSeq}")
   }
 
   test("cosine top-k: sims within [-1, 1] and non-increasing") {
