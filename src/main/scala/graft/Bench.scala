@@ -100,8 +100,41 @@ object Bench {
     val errJson = if (errs.isEmpty) ""
       else errs.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
         .mkString(""","errors":{""", ",", "}")
+    // Automated host-drift triage (VERDICT r11 task 6): three rounds
+    // in a row a human had to divide a uniform host-drift median out
+    // of the round-over-round per-query ratios by hand. Emit the
+    // split here instead: median per-query ratio vs the previous
+    // recorded run (bench_prev.json — refreshed from target/
+    // bench.json each round, which holds the driver's own full
+    // record) = the host-drift factor; outliers = keys whose ratio
+    // exceeds median x 1.4, the only ones worth reading as possible
+    // plan regressions (the signal/noise rule IMPLEMENTATION.md's
+    // bench-protocol note prescribes). Absent file or no shared keys
+    // -> fields simply omitted; triage is best-effort, never a crash.
+    val driftJson = (try {
+      val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH",
+        "bench_prev.json")
+      val prevTxt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), "UTF-8")
+      val prev = """"(q\d+[a-z0-9_]*)"\s*:\s*([0-9.eE+-]+)""".r
+        .findAllMatchIn(prevTxt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val ratios = results.collect {
+        case (k, v) if prev.get(k).exists(_ > 0) => k -> (v / prev(k))
+      }
+      if (ratios.isEmpty) None else {
+        val sortedR = ratios.map(_._2).sorted
+        val median = sortedR(sortedR.size / 2)
+        val outliers = ratios
+          .filter { case (_, r) => r > median * 1.4 }
+          .sortBy(-_._2)
+          .map { case (k, r) => "\"" + k + "\":" + f"$r%.3f" }
+          .mkString("{", ",", "}")
+        Some(f""","median_ratio":$median%.4f,"ratio_base":${ratios.size},"outliers":$outliers""")
+      }
+    } catch { case _: Throwable => None }).getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec,"queries":$qs$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec,"queries":$qs$errJson$driftJson,"sf":"$sfDir"}"""
     println(json)
     // the driver records only a truncated tail of stdout — persist the
     // full line so later rounds can diff per-query times without rerunning

@@ -30,6 +30,35 @@ class ContractSpec extends SparkSpec {
       s"fractional-seconds formatting in hashed oracle SQL: ${bad.toList}")
   }
 
+  test("engine ln()/log() reaches a hashed oracle only through the " +
+      "audited carrier set (each with a pinned drift discipline)") {
+    // The other engine-version-sensitive construct this repo has met
+    // (VERDICT r11 task 7, the %f-tripwire's sibling): libm log
+    // implementations differ by ulps ACROSS ENGINES AND VERSIONS, so a
+    // raw ln() on the hashed surface is a latent q136-class driver
+    // miss. Every current carrier is audited: the ln either leaves
+    // through round(·, <= 4) (ulp drift invisible — q95/q97/q126/
+    // q127/q128/q96), is an identical double-literal IEEE expression
+    // tree folded through exact DECIMAL on both engines (q61/q118/
+    // q122/q123/q131 tf-idf/BM25 family), or only ORDERS a ranking
+    // whose emitted copy is rounded (q121's sample key). A NEW oracle
+    // reaching for ln()/log() fails here until its discipline is
+    // stated and the key added — prefer shipping the curve as data
+    // (q123's log2 discount table) over computing logs in-engine.
+    val audited = Set(
+      "q61_tfidf", "q95_token_entropy", "q96_psi_drift", "q97_bigram_lm",
+      "q118_bm25_rank", "q121_weighted_sample", "q122_rrf_fusion",
+      "q123_ndcg", "q126_perplexity_buckets", "q127_dsir_weights",
+      "q128_pmi_collocations", "q131_sparse_cosine")
+    val carriers = SparkEntry.oracleSql.collect {
+      case (k, sql) if "\\b(ln|log|log2|log10)\\s*\\(".r
+        .findFirstIn(sql).isDefined => k
+    }.toSet
+    assert(carriers == audited,
+      s"unaudited ln()/log() carriers: ${(carriers -- audited).toList.sorted}" +
+        s"; stale audit entries: ${(audited -- carriers).toList.sorted}")
+  }
+
   test("every query returns rows on sf0.001") {
     val empty = SparkEntry.queries.keys.filter(rows(_) == 0)
     assert(empty.isEmpty, s"empty results: ${empty.toList.sorted}")

@@ -63,6 +63,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("broadcast() hints appear only at the audited call-site counts " +
+      "(domain-bounded tables only — never corpus-derived vocab)") {
+    // The r11 weak grade, made mechanical: an explicit broadcast()
+    // hint forces the broadcast at ANY size, so it is earned only by
+    // a DOMAIN bound (1-row aggregates, query-term sets, cutpoints,
+    // language/event-type tables, k·dims codebooks, frequency-k
+    // dictionaries) — never by "it's small on the fixture". Heaps-law
+    // vocabulary/df tables lost their hints in r12; this pin keeps
+    // them from creeping back and forces every NEW hint through an
+    // audit (update the count here ONLY with a domain argument at the
+    // call-site). Counts are code-only (comment lines and // suffixes
+    // stripped), per file, from the library source itself.
+    val expected = Map(
+      "operators/PrefixAgg.scala" -> 1, // block-count offsets table
+      "queries/Analytics.scala" -> 9, // 1-row stats/probes/grids
+      "queries/Dedup.scala" -> 10, // probe rows, <=k candidate sets
+      "queries/Relational.scala" -> 7, // dims, cutpoints, 1-row stats
+      "queries/Similarity.scala" -> 27, // codebooks, probes, 1-row sums
+      "queries/TextOps.scala" -> 14, // 1-row totals/argmax, lang tables,
+        // <=k MG candidates, freq-k boiler dict
+      "streaming/StreamJoins.scala" -> 1, // event-type dim
+      "streaming/StreamingDedup.scala" -> 1) // 3-row BM25 terms
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"source root not visible from ${System.getProperty("user.dir")}")
+    val got = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val n = scala.io.Source.fromFile(p.toFile, "UTF-8").getLines()
+          .filterNot { l =>
+            val s = l.trim; s.startsWith("//") || s.startsWith("*")
+          }
+          .map(l => "broadcast\\(".r.findAllIn(l.split("//")(0)).size)
+          .sum
+        if (n > 0) got(root.relativize(p).toString) = n
+      }
+    }
+    assert(got.toMap == expected,
+      s"broadcast() call-site drift — audit each delta's domain bound " +
+        s"before re-pinning:\n  got      $got\n  expected $expected")
+  }
+
   test("top-cost query plan digests are pinned (no silent regressions)") {
     val diffs = PlanDigests.pinned.toSeq.sortBy(_._1).flatMap {
       case (name, want) =>
