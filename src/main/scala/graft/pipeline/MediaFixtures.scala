@@ -107,8 +107,8 @@ object MediaFixtures {
     val stsc = box("stsc", cat(be32(0), be32(2),
       be32(1), be32(10), be32(0), // run 1: chunks 1.. hold 10 samples
       be32(3), be32(7), be32(0))) // run 2: from chunk 3, 7 per chunk
-    val sizes = cat(Array.tabulate(n)(i =>
-      be32(100L + ((id + i) % 50))): _*)
+    val sizes = cat(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      Array.tabulate(n)(i => be32(100L + ((id + i) % 50)))): _*)
     val stsz = box("stsz", cat(be32(0), be32(0), be32(n.toLong), sizes))
     val stbl = box("stbl", cat(stsd, stts, stsc, stsz))
     val mdia = box("mdia", cat(mdhd,
