@@ -116,8 +116,18 @@ object Bench {
         "bench_prev.json")
       val prevTxt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(prevPath)), "UTF-8")
+      // scan ONLY the "queries" object: a raw copy of a bench line
+      // also carries an "outliers" object whose values are RATIOS —
+      // a flat whole-file scan would swallow those as seconds and
+      // corrupt the triage for exactly the keys being watched
+      val qStart = prevTxt.indexOf("\"queries\"")
+      val body = if (qStart < 0) "" else {
+        val open = prevTxt.indexOf('{', qStart)
+        val close = prevTxt.indexOf('}', open)
+        if (open < 0 || close < 0) "" else prevTxt.substring(open, close)
+      }
       val prev = """"(q\d+[a-z0-9_]*)"\s*:\s*([0-9.eE+-]+)""".r
-        .findAllMatchIn(prevTxt)
+        .findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
       val ratios = results.collect {
         case (k, v) if prev.get(k).exists(_ > 0) => k -> (v / prev(k))
