@@ -62,6 +62,90 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: relational BPE train+encode equals an independent " +
+      "imperative reference on generated corpora") {
+    // The strongest check the tokenizer has: the DuckDB oracle replays
+    // the SAME relational formulation, so both engines could agree on
+    // a wrong greedy semantics and every hash would still match. This
+    // reference is a from-scratch imperative classic-BPE trainer (pair
+    // counts over the word-frequency map, (count desc, pair asc)
+    // argmax, left-to-right greedy scan per word — the textbook
+    // sequential algorithm the relational gaps-and-islands form claims
+    // to equal), plus the encoder's vocab-or-char-split pricing. Any
+    // divergence in merge CHOICE, merge APPLICATION (a=a run parity
+    // included), or OOV pricing fails here with no engine in the loop.
+    def refTrain(words: Map[String, Long], rounds: Int)
+        : (Seq[((String, String), Long)], Map[String, Int]) = {
+      var syms: Map[String, Vector[String]] =
+        words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      val merges = Seq.newBuilder[((String, String), Long)]
+      var r = 0
+      var exhausted = false
+      while (r < rounds && !exhausted) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long]
+        for ((w, ss) <- syms; i <- 0 until ss.length - 1)
+          counts.updateWith((ss(i), ss(i + 1)))(
+            c => Some(c.getOrElse(0L) + words(w)))
+        if (counts.isEmpty) exhausted = true
+        else {
+          val (pair, cnt) = counts.toSeq
+            .minBy { case ((a, b), c) => (-c, a, b) }
+          merges += pair -> cnt
+          syms = syms.map { case (w, ss) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < ss.length) {
+              if (i + 1 < ss.length && ss(i) == pair._1
+                  && ss(i + 1) == pair._2) {
+                out += pair._1 + pair._2; i += 2
+              } else { out += ss(i); i += 1 }
+            }
+            w -> out.result()
+          }
+        }
+        r += 1
+      }
+      (merges.result(), syms.map { case (w, ss) => w -> ss.length })
+    }
+    // small alphabet for merge collisions + interleaved OOV tokens
+    // (digits/uppercase) to exercise the char-split fallback pricing
+    val wordGen = Gen.choose(1, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val oovGen = Gen.oneOf("X9", "42", "Mixed7", "1234567", "!!")
+    val tokGen = Gen.frequency(4 -> wordGen, 1 -> oovGen)
+    val docGen = Gen.choose(3, 15).flatMap(n =>
+      Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, docGen))
+    forSamples(Gen.zip(corpusGen, Gen.choose(1, 4)), 4) {
+      case (texts, rounds) =>
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        // reference trains on the same ^[a-z]+$ word-frequency table
+        val words = texts.flatMap(_.split(" "))
+          .filter(_.matches("^[a-z]+$"))
+          .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+        val (refMerges, refNsym) = refTrain(words, rounds)
+        val gotMerges = graft.queries.TextOps.bpeMerges(docs, rounds)
+          .collect()
+          .map(r => ((r.getString(1), r.getString(2)), r.getLong(3)))
+          .toSeq
+        assert(gotMerges == refMerges,
+          s"merge choice/count diverged: $gotMerges vs $refMerges " +
+            s"(corpus $texts, $rounds rounds)")
+        val gotEnc = graft.queries.TextOps.bpeEncode(docs, rounds)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val refEnc = texts.zipWithIndex.map { case (t, i) =>
+          val toks = t.split(" ")
+          (i.toLong, toks.length.toLong,
+            toks.map(w => refNsym.getOrElse(w, w.length)).map(_.toLong).sum)
+        }
+        assert(gotEnc.toSeq == refEnc,
+          s"encode diverged: ${gotEnc.toSeq} vs $refEnc (corpus $texts)")
+    }
+  }
+
   test("weighted sample: biased toward heavy docs, fully deterministic") {
     val rows = SparkEntry.queries("q121_weighted_sample")(spark, sf)
       .collect()
