@@ -45,17 +45,23 @@ class ContractSpec extends SparkSpec {
     // reaching for ln()/log() fails here until its discipline is
     // stated and the key added — prefer shipping the curve as data
     // (q123's log2 discount table) over computing logs in-engine.
+    // ln/log family + exp/pow: libm-approximated (allowed to differ by
+    // ulps per implementation), unlike sqrt, which IEEE 754 requires
+    // to be CORRECTLY rounded — identical on every conforming engine —
+    // and therefore needs no audit (q25/q57/q76/... use it freely).
     val audited = Set(
+      "q25_math_cond", // power(): emitted through round(·, 4)
       "q61_tfidf", "q95_token_entropy", "q96_psi_drift", "q97_bigram_lm",
       "q118_bm25_rank", "q121_weighted_sample", "q122_rrf_fusion",
       "q123_ndcg", "q126_perplexity_buckets", "q127_dsir_weights",
       "q128_pmi_collocations", "q131_sparse_cosine")
     val carriers = SparkEntry.oracleSql.collect {
-      case (k, sql) if "\\b(ln|log|log2|log10)\\s*\\(".r
+      case (k, sql) if "\\b(ln|log|log2|log10|exp|pow|power)\\s*\\(".r
         .findFirstIn(sql).isDefined => k
     }.toSet
     assert(carriers == audited,
-      s"unaudited ln()/log() carriers: ${(carriers -- audited).toList.sorted}" +
+      s"unaudited ln()/log()/exp()/pow() carriers: " +
+        s"${(carriers -- audited).toList.sorted}" +
         s"; stale audit entries: ${(audited -- carriers).toList.sorted}")
   }
 
