@@ -487,6 +487,35 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); vocab.unpersist() }
   }
 
+  test("streaming BPE encode prices OOV tokens by character split " +
+      "(the fallback path, exercised on the wire)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the fixture corpus is pure in-vocab [a-z]+ text, so the parity
+    // test above never takes the coalesce fallback on the streaming
+    // side — price a hand document with out-of-vocabulary tokens
+    // against a hand-trained vocab: banana = 2 learned symbols
+    // (b+anana after 3 merges), "X9" = 2 chars, "1234567" = 7 chars
+    val corpus = Seq((0L, "banana banana banana bana"))
+      .toDF("doc_id", "text")
+    val vocab = graft.streaming.StreamingDedup.bpeState(corpus)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamingDedup.bpeEncodeNew(
+        in.toDF().toDF("doc_id", "text"), vocab), "bpeoov")
+    try {
+      in.addData((10L, "banana X9 1234567"))
+      q.processAllAvailable()
+      val got = spark.table("bpeoov").groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum("syms").as("syms"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq((10L, 3L, 2L + 2L + 7L)),
+        s"got ${got.toSeq}")
+    } finally { q.stop(); vocab.unpersist() }
+  }
+
   test("streaming RAG chunking equals batch q101 exactly") {
     // the chunk projection is map-only (no aggregation, no watermark),
     // so the BATCH builder runs unchanged on the unbounded stream —
