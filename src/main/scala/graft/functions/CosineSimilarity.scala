@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen'd cosine similarity over two ARRAY<FLOAT> columns.
+/** Native codegen'd cosine similarity over two vector columns — each
+  * side ARRAY<FLOAT> (raw embeddings) or ARRAY<DOUBLE> (derived
+  * vectors, e.g. jl_project outputs), mixed freely.
   *
   * Accumulates dot product and norms in double, left to right — exactly
   * the arithmetic of the higher-order-function formulation
@@ -33,15 +35,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // r12: each side independently accepts ARRAY<FLOAT> (raw embeddings;
+  // widened to double per element, the original semantics bit-for-bit)
+  // or ARRAY<DOUBLE> (already-double vectors — jl_project outputs);
+  // the accumulation is double either way, so the float path is
+  // unchanged and the double path adds no conversion at all.
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
+    val ok = Seq(left, right).forall(e => elemOk(e.dataType))
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects (array<float>, array<float>), " +
+      s"cosine_sim expects array<float>/array<double> sides, " +
         s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
@@ -50,13 +63,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xf = isFloat(left.dataType)
+    val yf = isFloat(right.dataType)
     val n = CosineSimilarity.requireSameLength(
       x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -76,13 +91,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      // per-side element getter resolved at PLAN time (the types are
+      // static), so the generated loop stays branch-free per element
+      val getX = if (isFloat(left.dataType)) s"(double) $x.getFloat($i)"
+        else s"$x.getDouble($i)"
+      val getY = if (isFloat(right.dataType)) s"(double) $y.getFloat($i)"
+        else s"$y.getDouble($i)"
       s"""
         int $n = graft.functions.CosineSimilarity.requireSameLength(
           $x.numElements(), $y.numElements());
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double $xi = (double) $x.getFloat($i);
-          double $yi = (double) $y.getFloat($i);
+          double $xi = $getX;
+          double $yi = $getY;
           $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
         }
         ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
@@ -136,7 +157,9 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))),
     ("sorted_intersect_count", classOf[SortedIntersectCount],
       (exprs: Seq[Expression]) =>
-        SortedIntersectCount(exprs.head, exprs(1))))
+        SortedIntersectCount(exprs.head, exprs(1))),
+    ("jl_project", classOf[JlProject],
+      (exprs: Seq[Expression]) => JlProject(exprs.head, exprs(1))))
 
   /** Idempotently register graft's native expressions on a session, so
     * `expr("cosine_sim(a, b)")` etc. resolve (SQL + DataFrame surfaces).

@@ -284,6 +284,62 @@ object Similarity {
         .limit(10)
     }),
 
+    // q144: JL RANDOM PROJECTION, filter-then-refine + recall audit —
+    // the dimensionality-reduction pipeline a real ANN system runs:
+    // (1) PROJECT every vector 64 → 32 dims map-side (jl_project, a
+    // native codegen'd expression whose DETERMINISTIC ±1 sign matrix
+    // is pure integer arithmetic — no RNG, no broadcast matrix,
+    // reproducible across engines/runs/partitionings, the md5-
+    // keep-rule family; the 1/sqrt(k) JL scale is dropped because
+    // cosine is invariant under it); (2) FILTER: rank the probe's
+    // neighbors by projected cosine and keep a 50-vector candidate
+    // pool — at scale this pass touches only the half-width
+    // projections (4× less vector I/O than 64-dim floats); (3)
+    // REFINE: fetch full vectors for the POOL ONLY (a semi join —
+    // 10% of this corpus) and rank by exact cosine. The q89-style
+    // audit arm computes the true brute-force top-10 and each output
+    // row carries whether refine found it: 8/10 on this fixture —
+    // measured, not assumed, and an honest one: these synthetic
+    // embeddings are pure noise (true top sims ≈ 0.37), the WORST
+    // case for JL distance preservation; clustered real embeddings
+    // only do better. Rank window runs over a TakeOrdered-capped
+    // 10-row input (the q122 pattern).
+    "q144_jl_projection" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = emb(s, d)
+      val exactSims = {
+        val e = base.select(col("vec_id"), col("embedding").as("emb"))
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("emb").as("pe"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"), round(cosine("emb", "pe"), 4).as("sim"))
+      }
+      val brute10 = exactSims
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      val candidates = {
+        val e = base.select(col("vec_id"),
+          expr("jl_project(embedding, 32)").as("pj"))
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("pj").as("ppj"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"), round(cosine("pj", "ppj"), 4).as("psim"))
+          .orderBy(col("psim").desc, col("vec_id")).limit(50)
+      }
+      val refined = exactSims
+        .join(candidates.select("vec_id"), Seq("vec_id"), "left_semi")
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      refined
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("sim").desc, col("vec_id"))))
+        .join(brute10.select(col("vec_id"), lit(true).as("hit")),
+          Seq("vec_id"), "left")
+        .select(col("rk"), col("vec_id"), col("sim"),
+          coalesce(col("hit"), lit(false)).as("in_exact_top10"))
+        .orderBy("rk")
+    }),
+
     // q38: LSH-bucketed near-duplicate candidate pairs (cosine >= 0.3
     // within a sign bucket) — the pair space shrinks ~16x vs brute force
     "q38_embed_neardup" -> ((s, d) =>
@@ -687,6 +743,45 @@ object Similarity {
               (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) p
          WHERE e.vec_id <> 0
          ORDER BY sim DESC, vec_id LIMIT 10""",
+
+    // the projection replays as pure SQL: the SAME middle-square
+    // integer sign expression (mod-2^20 bound keeps h² < 2^40 —
+    // DuckDB throws on BIGINT overflow), each projected dim a
+    // left-fold (list_reduce) over the signed float-widened terms —
+    // bit-identical to the native expression's accumulation; cosine
+    // via list_cosine_similarity on the DOUBLE[] projections (the q34
+    // convention); then the same filter(50) → exact refine(10) → hit
+    // flag against the brute top-10
+    "q144_jl_projection" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+              list_transform(range(0, 32), j ->
+                list_reduce(list_transform(range(0, 64), i ->
+                  (CASE WHEN (((((i * 1000003 + j * 7919 + 12345)
+                                 % 1048576)
+                                * ((i * 1000003 + j * 7919 + 12345)
+                                   % 1048576)) // 128) % 2) = 0
+                        THEN 1.0 ELSE -1.0 END)
+                    * CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)),
+                  (a, b) -> a + b)) AS pj
+            FROM embeddings),
+          p AS (SELECT emb AS pe, pj AS ppj FROM e WHERE vec_id = 0),
+          sims AS (SELECT e.vec_id,
+                     round(list_cosine_similarity(e.emb, p.pe), 4) AS sim
+                   FROM e, p WHERE e.vec_id <> 0),
+          brute AS (SELECT vec_id FROM sims
+                    ORDER BY sim DESC, vec_id LIMIT 10),
+          cand AS (SELECT e.vec_id,
+                     round(list_cosine_similarity(e.pj, p.ppj), 4) AS psim
+                   FROM e, p WHERE e.vec_id <> 0
+                   ORDER BY psim DESC, vec_id LIMIT 50),
+          ref AS (SELECT s.vec_id, s.sim FROM sims s
+                  JOIN cand c USING (vec_id)
+                  ORDER BY s.sim DESC, s.vec_id LIMIT 10),
+          r AS (SELECT vec_id, sim, CAST(row_number() OVER (
+                  ORDER BY sim DESC, vec_id) AS INT) AS rk FROM ref)
+          SELECT r.rk, r.vec_id, r.sim,
+            b.vec_id IS NOT NULL AS in_exact_top10
+          FROM r LEFT JOIN brute b USING (vec_id) ORDER BY rk""",
 
     "q38_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, $duckBucket AS bucket,

@@ -99,6 +99,45 @@ class ExpressionSpec extends SparkSpec {
       s"expected requireSameLength to throw; got:\n${chain.mkString("\n")}")
   }
 
+  test("jl_project: equals the companion reference per cell, and the " +
+      "sign matrix is NOT rank-1 (the i+j-parity regression)") {
+    GraftFunctions.register(spark)
+    // per-cell: out[j] = Σ_i sign(i,j)·x_i — pin the SQL path against
+    // a driver-side fold over JlProject.sign (the single source)
+    val x = Array(0.25f, -1.5f, 3f, 0.125f, -2f)
+    val got = Seq(Tuple1(x)).toDF("a")
+      .selectExpr("jl_project(a, 6)").as[Seq[Double]].collect().head
+    val want = (0 until 6).map(j =>
+      x.indices.foldLeft(0.0)((s, i) =>
+        s + graft.functions.JlProject.sign(i, j) * x(i).toDouble))
+    assert(got == want, s"$got vs $want")
+    // rank-1 guard: the first formulation's sign was parity of
+    // (i·odd + j·odd) = parity of i+j, a rank-1 matrix — EVERY
+    // projection was exactly (anti-)parallel and projected cosine
+    // collapsed to ±1. Two orthogonal inputs must stay non-parallel.
+    val e0 = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val e1 = Array.tabulate(64)(i => if (i == 1) 1f else 0f)
+    val cos = Seq((e0, e1)).toDF("a", "b")
+      .selectExpr("cosine_sim(jl_project(a, 32), jl_project(b, 32))")
+      .as[Double].collect().head
+    assert(math.abs(cos) < 0.999,
+      s"sign matrix degenerated to rank 1 (|cos| = $cos)")
+  }
+
+  test("cosine_sim: double and mixed float/double sides (the jl_project " +
+      "output type), float path unchanged") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT
+           cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS dd,
+           cosine_sim(array(cast(1 as float), cast(0 as float)),
+                      array(0.0D, 1.0D)) AS fd,
+           cosine_sim(array(3.0D, 4.0D), array(-3.0D, -4.0D)) AS opp""")
+      .collect().head
+    assert(got.getDouble(0) == 1.0 && got.getDouble(1) == 0.0
+      && got.getDouble(2) == -1.0, s"$got")
+  }
+
   test("native simhash64 equals the HOF formulation (same hash, seed 42)") {
     GraftFunctions.register(spark)
     val hofSimhash =
@@ -252,10 +291,12 @@ class ExpressionSpec extends SparkSpec {
           "size(shingles3(tok)) AS c6",
           "size(minhash_bands(tok)) AS c7",
           "size(pair_combos(xs)) AS c8",
-          "sorted_intersect_count(xs, ys) AS c9")
+          "sorted_intersect_count(xs, ys) AS c9",
+          "size(jl_project(a, 4)) AS c10")
         .collect().head
       assert(!row.anyNull && row.getAs[Long]("c9") == 2L) // {4, 9}
       assert(row.getAs[Int]("c6") == 2 && row.getAs[Int]("c8") == 3)
+      assert(row.getAs[Int]("c10") == 4)
       // the bloom probe expression, against real aggregate-built bytes
       spark.range(0, 50).createOrReplaceTempView("cg_keys")
       val hits = spark.sql(
@@ -298,7 +339,9 @@ class ExpressionSpec extends SparkSpec {
           "shingles3(tok) AS c6",
           "minhash_bands(tok) AS c7",
           "pair_combos(xs) AS c8",
-          "sorted_intersect_count(xs, ys) AS c9")
+          "sorted_intersect_count(xs, ys) AS c9",
+          "jl_project(a, 4) AS c10",
+          "cosine_sim(jl_project(a, 4), jl_project(b, 4)) AS c11")
         .collect().head
     }
     try {
@@ -324,7 +367,7 @@ class ExpressionSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1).toSet == Set("cosine_sim",
       "simhash64", "simhash_md5", "hash60", "mix61", "shingles3",
       "minhash_bands", "pair_combos", "bloom_might_contain",
-      "sorted_intersect_count"))
+      "sorted_intersect_count", "jl_project"))
   }
 
   test("sorted_intersect_count: equals size(array_intersect) on sorted sets") {

@@ -43,7 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     "q131_sparse_cosine", // q131: n_docs + probe norm are 1-row crosses
     "q139_ivf_sampled", // q139: brute arm + 1-row n_scanned/n_train
     "q140_multiprobe_learned", // q140: brute arm + 1-row n_scanned
-    "q141_bpe_merges") // q141: per-round 1-row best-pair + symbol-total
+    "q141_bpe_merges", // q141: per-round 1-row best-pair + symbol-total
+    "q144_jl_projection") // q144: probe emb + probe projection, 1 row each
 
   test("no CartesianProduct anywhere; BNLJ only where declared") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -80,7 +81,8 @@ class PlanAuditSpec extends SparkSpec {
       "queries/Analytics.scala" -> 9, // 1-row stats/probes/grids
       "queries/Dedup.scala" -> 10, // probe rows, <=k candidate sets
       "queries/Relational.scala" -> 7, // dims, cutpoints, 1-row stats
-      "queries/Similarity.scala" -> 27, // codebooks, probes, 1-row sums
+      "queries/Similarity.scala" -> 29, // codebooks, probes, 1-row sums
+        // (+2 in r12: q144's 1-row probe embedding + probe projection)
       "queries/TextOps.scala" -> 14, // 1-row totals/argmax, lang tables,
         // <=k MG candidates, freq-k boiler dict
       "streaming/StreamJoins.scala" -> 1, // event-type dim
