@@ -29,7 +29,8 @@ object MediaFixtures {
 
   /** MPEG-1 Layer III CBR stream: 44.1 kHz / 128 kbps / stereo frames
     * (417 bytes each, no padding), `2 + id % 9` frames. Every third mp3
-    * id prepends a Xing header frame, the next third a VBRI one (r11),
+    * id (`(id/7) % 3` — mp3 ids step by the round-robin width) prepends
+    * a Xing header frame, the next third a VBRI one (r11),
     * each declaring exactly the shipped frame/byte totals — so the
     * probed duration equals the tagless walk (no pinned q138 field
     * moves) while the driver-visible corpus exercises the declared-
@@ -47,13 +48,37 @@ object MediaFixtures {
       System.arraycopy(body, 0, f, 36, body.length) // MPEG1-stereo offset
       f
     }
-    (id / 6) % 3 match {
+    (id / 7) % 3 match {
       case 1 => cat(tagFrame(cat(cc("Xing"), be32(3),
         be32(n), be32(n * 417L))), audio)
       case 2 => cat(tagFrame(cat(cc("VBRI"), be16(1), be16(0), be16(0),
         be32(n * 417L), be32(n))), audio)
       case _ => audio
     }
+  }
+
+  /** ADTS AAC-LC stream: 44.1 kHz stereo, `2 + id % 9` frames of one
+    * 1024-sample block each over a 200-byte payload. Every third aac
+    * id ships CRC-protected 9-byte headers, the next third packs TWO
+    * raw data blocks per frame — so the driver-visible corpus walks
+    * all three header shapes, not just the plain one. Payload bytes
+    * stay ≤ 0x7f (no false 0xFFFx syncs inside frames). */
+  private def aacAdts(id: Long): Array[Byte] = {
+    val variant = ((id / 7) % 3).toInt
+    val prot = if (variant == 1) 0 else 1 // 0 = CRC present
+    val rdb = if (variant == 2) 1 else 0  // raw_data_blocks - 1
+    val hdrLen = if (prot == 1) 7 else 9
+    val n = 2 + (id % 9).toInt
+    cat((0 until n).map { i =>
+      val len = hdrLen + 200
+      val h = Array[Byte](
+        0xff.toByte, (0xf0 | prot).toByte, 0x50,
+        (0x80 | ((len >> 11) & 3)).toByte, ((len >> 3) & 0xff).toByte,
+        (((len & 7) << 5) | 0x1f).toByte, (0xfc | rdb).toByte)
+      val crc = if (prot == 0) Array[Byte](0, 0) else Array.empty[Byte]
+      cat(h, crc, Array.tabulate[Byte](200)(
+        j => ((id * 17 + i + j) & 0x7f).toByte))
+    }: _*)
   }
 
   /** 16-bit stereo PCM WAV, 16 kHz, `(1 + id % 5) / 4` seconds. */
@@ -110,7 +135,12 @@ object MediaFixtures {
     val sizes = cat(scala.collection.immutable.ArraySeq.unsafeWrapArray(
       Array.tabulate(n)(i => be32(100L + ((id + i) % 50)))): _*)
     val stsz = box("stsz", cat(be32(0), be32(0), be32(n.toLong), sizes))
-    val stbl = box("stbl", cat(stsd, stts, stsc, stsz))
+    // one sync sample per second (samples 1, 25, 49, …): the sparse-
+    // keyframe shape a video pipeline cost-models GOP length from
+    val stss = box("stss", cat(be32(0), be32(secs.toLong),
+      cat(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        Array.tabulate(secs)(i => be32(1L + 24L * i))): _*)))
+    val stbl = box("stbl", cat(stsd, stts, stsc, stsz, stss))
     val mdia = box("mdia", cat(mdhd,
       box("hdlr", cat(be32(0), be32(0), cc("vide"), Array.fill[Byte](13)(0))),
       box("minf", stbl)))
@@ -155,13 +185,14 @@ object MediaFixtures {
       info, trk)
   }
 
-  /** One clip per id, format round-robin by `id % 6`. */
-  def synth(id: Long): (Long, Array[Byte]) = (id, (id % 6) match {
+  /** One clip per id, format round-robin by `id % 7`. */
+  def synth(id: Long): (Long, Array[Byte]) = (id, (id % 7) match {
     case 0 => mp3(id)
     case 1 => wav(id)
     case 2 => gif(id)
     case 3 => mp4(id)
     case 4 => ogg(id)
-    case _ => webm(id)
+    case 5 => webm(id)
+    case _ => aacAdts(id)
   })
 }

@@ -42,13 +42,22 @@ object MediaProbe {
     * and `chunks` the chunk count reconstructed from the stsc run
     * table + the stsz sample count. These are what let a 100 TB media
     * scan cost-model decode work (bytes, frame counts, rates) and spot
-    * corrupt tables WITHOUT touching codec data. */
+    * corrupt tables WITHOUT touching codec data.
+    *
+    * `syncSamples` (r12) is the trak's random-access point count: the
+    * stss sync-sample table's entry count when the box is present,
+    * else the full sample count (a MISSING stss means every sample is
+    * sync, ISO 14496-12 §8.6.2 — the all-intra / audio case). This is
+    * the field a keyframe-sampling video stage plans against: work ∝
+    * sync points, not frames, and sparse-keyframe clips (GOP length =
+    * frames/syncSamples) cost a full inter-frame decode per sample. */
   final case class MediaInfo(
       container: String, codec: String,
       sampleRate: Int, channels: Int, bitrateKbps: Int,
       durationMs: Long, width: Int, height: Int, frames: Long,
       trackDurMs: Long = 0, fpsMilli: Long = 0,
-      sampleBytes: Long = 0, maxSampleBytes: Long = 0, chunks: Long = 0)
+      sampleBytes: Long = 0, maxSampleBytes: Long = 0, chunks: Long = 0,
+      syncSamples: Long = 0)
 
   /** Probe any supported container; None when nothing matches. Order
     * matters only for speed — the magic checks are disjoint. */
@@ -56,7 +65,8 @@ object MediaProbe {
     if (bytes == null || bytes.length < 8) None
     else probeMp4(bytes).orElse(probeEbml(bytes)).orElse(probeOgg(bytes))
       .orElse(probeRiff(bytes)).orElse(probeFlacHeader(bytes))
-      .orElse(probeGifHeader(bytes)).orElse(probeMp3(bytes))
+      .orElse(probeGifHeader(bytes)).orElse(probeAdts(bytes))
+      .orElse(probeMp3(bytes))
 
   // ---------------------------------------------------------------- utils
 
@@ -154,16 +164,22 @@ object MediaProbe {
     * bitrate comes from declared bytes when present, else from walked
     * bytes, so VBR streams report their true mean, not the first
     * frame's nominal rate. */
-  private def probeMp3(b: Array[Byte]): Option[MediaInfo] = {
-    var start = 0
+  /** Offset of the first post-ID3v2 byte (0 when no tag). Shared by
+    * the two raw-frame-stream formats an ID3 tag legally prefixes
+    * (MPEG audio and ADTS AAC); the synchsafe size excludes the
+    * 10-byte header and, per flags bit 4, a 10-byte footer. */
+  private def skipId3(b: Array[Byte]): Int =
     if (matches(b, 0, "ID3") && b.length >= 10) {
       val sz = ((u8(b, 6) & 0x7f) << 21) | ((u8(b, 7) & 0x7f) << 14) |
         ((u8(b, 8) & 0x7f) << 7) | (u8(b, 9) & 0x7f)
       // flags bit 4: a 10-byte footer follows the tag body (its length
       // is NOT included in the synchsafe size)
       val footer = if ((u8(b, 5) & 0x10) != 0) 10 else 0
-      start = math.min(b.length, 10 + sz + footer)
-    }
+      math.min(b.length, 10 + sz + footer)
+    } else 0
+
+  private def probeMp3(b: Array[Byte]): Option[MediaInfo] = {
+    val start = skipId3(b)
     // find the first verified sync within a bounded probe window
     var o = start
     var h: Array[Int] = null
@@ -254,6 +270,81 @@ object MediaProbe {
       0, 0, frames))
   }
 
+  // -------------------------------------------------------- ADTS (aac)
+
+  // ADTS sampling_frequency_index table (ISO 14496-3 §1.6.3.4) —
+  // indices 13/14 are reserved, 15 is the escape ADTS forbids.
+  private val adtsSr = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** (frameBytes, samplesInFrame, sampleRate, channels, profile) for
+    * an ADTS header at `o`, or null. The fixed header is pure bit
+    * layout (ISO 14496-3 §1.A.2.2): 12-bit sync 0xFFF with the 2 layer
+    * bits 00 (which is exactly what keeps ADTS and MPEG-audio syncs
+    * disjoint — mp3Header REJECTS layer 00), a 13-bit frame length
+    * that INCLUDES the 7-byte header (9 with the optional CRC), and a
+    * raw-data-block count so one frame can carry up to 4×1024-sample
+    * AAC blocks. */
+  private def adtsHeader(b: Array[Byte], o: Int): Array[Int] = {
+    if (o + 7 > b.length) return null
+    if (u8(b, o) != 0xff || (u8(b, o + 1) & 0xf6) != 0xf0) return null
+    val protAbsent = u8(b, o + 1) & 1
+    val profile = (u8(b, o + 2) >> 6) & 3
+    val srIdx = (u8(b, o + 2) >> 2) & 0xf
+    if (srIdx >= 13) return null // 13/14 reserved, 15 escape-forbidden
+    val chanCfg = ((u8(b, o + 2) & 1) << 2) | ((u8(b, o + 3) >> 6) & 3)
+    val frameLen = ((u8(b, o + 3) & 3) << 11) | (u8(b, o + 4) << 3) |
+      ((u8(b, o + 5) >> 5) & 7)
+    val hdrLen = if (protAbsent == 1) 7 else 9
+    if (frameLen < hdrLen) return null // a lying length cannot stall the walk
+    val blocks = (u8(b, o + 6) & 3) + 1
+    // chanCfg 7 means 7.1 (8 channels); 0 means "in a PCE" — report 0
+    val chans = if (chanCfg == 7) 8 else chanCfg
+    Array(frameLen, blocks * 1024, adtsSr(srIdx), chans, profile)
+  }
+
+  /** Walk an ADTS AAC stream — the raw framing aac crawls actually
+    * ship in (.aac side files, HLS segments). Same acceptance rule as
+    * MPEG audio: TWO consecutive headers agreeing on samplerate and
+    * profile (a 0xFFFx sync in arbitrary binary is too common), or a
+    * single frame that exactly fills the input. Duration is exact
+    * container structure: Σ raw_data_blocks·1024 samples over the
+    * walked frames. The AAC payload itself needs codec data tables
+    * ([[MediaCodec]]) — everything read here is framing. */
+  private def probeAdts(b: Array[Byte]): Option[MediaInfo] = {
+    val start = skipId3(b)
+    var o = start
+    var h: Array[Int] = null
+    val limit = math.min(b.length - 7, start + 64 * 1024)
+    while (h == null && o < limit) {
+      val c = adtsHeader(b, o)
+      if (c != null) {
+        val n = adtsHeader(b, o + c(0))
+        val consistent = n != null && n(2) == c(2) && n(4) == c(4)
+        if (consistent || o + c(0) == b.length) h = c else o += 1
+      } else o += 1
+    }
+    if (h == null) return None
+    var frames = 0L; var samples = 0L; var bytes = 0L; var pos = o
+    var cur = h
+    while (cur != null && pos + cur(0) <= b.length) {
+      frames += 1; samples += cur(1); bytes += cur(0); pos += cur(0)
+      cur = adtsHeader(b, pos)
+      if (cur != null && (cur(2) != h(2) || cur(4) != h(4))) cur = null
+    }
+    val durMs = samples * 1000L / h(2)
+    val avgKbps =
+      if (durMs > 0) math.min(bytes * 8 / durMs, Int.MaxValue.toLong).toInt
+      else 0
+    // the 2-bit profile is the audio object type - 1 (Main/LC/SSR/LTP)
+    val prof = h(4) match {
+      case 0 => "aac-main"; case 1 => "aac-lc"
+      case 2 => "aac-ssr"; case _ => "aac-ltp"
+    }
+    Some(MediaInfo("adts", prof, h(2), h(3), avgKbps, durMs,
+      0, 0, frames))
+  }
+
   // ------------------------------------------------------ ISO-BMFF (mp4)
 
   /** mp4 / mov / m4a probe: walks the length-prefixed box tree to mvhd
@@ -295,8 +386,10 @@ object MediaProbe {
     var pendSttsDur = 0L; var pendSttsN = 0L
     var pendSzN = 0L; var pendSzTotal = 0L; var pendSzMax = 0L
     var pendStsc: Vector[(Long, Long)] = Vector.empty // (first_chunk, spc)
-    // committed groups: (trackDurMs, fpsMilli, bytes, maxBytes, chunks)
-    type SampleGroup = (Long, Long, Long, Long, Long)
+    var pendStss = -1L // -1 = no stss box (≠ 0 = an empty/truncated one)
+    // committed groups: (trackDurMs, fpsMilli, bytes, maxBytes, chunks,
+    // syncSamples)
+    type SampleGroup = (Long, Long, Long, Long, Long, Long)
     var vGrp: SampleGroup = null; var aGrp: SampleGroup = null
     var anyGrp: SampleGroup = null
 
@@ -327,6 +420,7 @@ object MediaProbe {
             pendTs = 0; pendSttsDur = 0; pendSttsN = 0
             pendSzN = 0; pendSzTotal = 0; pendSzMax = 0
             pendStsc = Vector.empty
+            pendStss = -1L
             if (depth < 8) walk(body, bend, depth + 1, inTrak = true)
             // commit the stash now the handler is known: video trak dims
             // win (first video trak only); a handlerless trak's dims are
@@ -375,9 +469,15 @@ object MediaProbe {
                 }
                 chunks = math.max(chunks, 0L)
               }
-              val grp = (tdur, fps, pendSzTotal, pendSzMax, chunks)
+              // sync-sample count: a present stss speaks for itself
+              // (entries actually inside the box, a lying entry_count
+              // is bounded like every other table); an ABSENT stss
+              // means all samples are sync (§8.6.2), so the stsz
+              // sample count is the exact answer
+              val syncs = if (pendStss >= 0) pendStss else pendSzN
+              val grp = (tdur, fps, pendSzTotal, pendSzMax, chunks, syncs)
               val hasSignal = tdur > 0 || fps > 0 || pendSzTotal > 0 ||
-                chunks > 0
+                chunks > 0 || syncs > 0
               if (hasSignal) curHandler match {
                 case "vide" => if (vGrp == null) vGrp = grp
                 case "soun" => if (aGrp == null) aGrp = grp
@@ -487,6 +587,16 @@ object MediaProbe {
                 }
               }
             }
+          case "stss" if body + 8 <= bend =>
+            // sync-sample table: ver/flags(4) entry_count(4) then one
+            // u32 sample number per random-access point. Only the
+            // COUNT matters here, and only entries physically inside
+            // the box count — a declared total overrunning the box
+            // yields the present entries, never sibling bytes
+            if (inTrak && pendStss < 0) {
+              val n = be32(b, body.toInt + 4)
+              pendStss = math.min(n, math.max(0L, (bend - body - 8) / 4))
+            }
           case "stsd" if body + 16 <= bend =>
             val entryO = body + 8          // ver/flags + entry_count
             val fmt = fourcc(b, entryO.toInt + 4)
@@ -537,7 +647,7 @@ object MediaProbe {
       val grp = if (vGrp != null) vGrp
         else if (aGrp != null) aGrp
         else if (anyGrp != null) anyGrp
-        else (0L, 0L, 0L, 0L, 0L)
+        else (0L, 0L, 0L, 0L, 0L, 0L)
       Some(MediaInfo(container,
         if (vCodec.nonEmpty) vCodec else if (aCodec.nonEmpty) aCodec else "",
         sr, ch, if (durMs > 0) (b.length * 8L / durMs).toInt else 0,
@@ -545,7 +655,8 @@ object MediaProbe {
         if (vSamples > 0) vSamples
         else if (aSamples > 0) aSamples else anySamples,
         trackDurMs = grp._1, fpsMilli = grp._2,
-        sampleBytes = grp._3, maxSampleBytes = grp._4, chunks = grp._5))
+        sampleBytes = grp._3, maxSampleBytes = grp._4, chunks = grp._5,
+        syncSamples = grp._6))
     }
   }
 

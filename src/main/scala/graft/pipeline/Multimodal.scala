@@ -94,9 +94,10 @@ object Multimodal {
   }
 
   /** Structural metadata probe over a media frame: one typed row per
-    * clip whose container [[MediaProbe]] recognizes (mp3/mp2 frame
-    * walk, mp4 box tree, ogg pages, wav/avi RIFF, flac STREAMINFO, gif
-    * blocks) — codec identity, duration, resolution, rates — WITHOUT
+    * clip whose container [[MediaProbe]] recognizes (mp3/mp2 and ADTS
+    * aac frame walks, mp4 box tree, ogg pages, wav/avi RIFF, flac
+    * STREAMINFO, gif blocks, webm/mkv EBML) — codec identity,
+    * duration, resolution, rates — WITHOUT
     * decoding. This is how a 100 TB corpus filters/buckets/cost-models
     * media columns before routing the keeper rows through a
     * codec-equipped decode stage: the probe is a pure per-row map
@@ -113,11 +114,11 @@ object Multimodal {
           m.sampleRate, m.channels, m.bitrateKbps, m.durationMs,
           m.width, m.height, m.frames,
           m.trackDurMs, m.fpsMilli, m.sampleBytes, m.maxSampleBytes,
-          m.chunks))
+          m.chunks, m.syncSamples))
       }.toDF("media_id", "container", "codec", "sample_rate", "channels",
         "bitrate_kbps", "duration_ms", "width", "height", "frames",
         "track_dur_ms", "fps_milli", "sample_bytes", "max_sample_bytes",
-        "chunks")
+        "chunks", "sync_samples")
   }
 
   /** Video frame sampling through the [[MediaCodec]] seam. The default

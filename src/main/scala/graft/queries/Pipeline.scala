@@ -44,8 +44,8 @@ object Pipeline {
     }),
 
     // q138: structural media metadata probe — a synthetic mixed-format
-    // corpus (real MPEG-audio/WAV/GIF/MP4/Ogg container bytes,
-    // generated distributed from the row id) probed WITHOUT decode:
+    // corpus (real MPEG-audio/WAV/GIF/MP4/Ogg/WebM/ADTS-AAC container
+    // bytes, generated distributed from the row id) probed WITHOUT decode:
     // container, codec, rates, duration, dimensions, frame counts.
     // The 100 TB read-path shape for media columns: a pure per-row map
     // (no shuffle until the final presentation sort) that decides

@@ -387,6 +387,88 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.codec == "mp3" && info.frames == 3)
   }
 
+  // ----------------------------------------------------------- adts
+
+  /** One ADTS frame: profile (0=Main 1=LC 2=SSR 3=LTP), srIdx into the
+    * ISO table, channel config, payload bytes, optional CRC header,
+    * `blocks` raw data blocks (1024 samples each). Field packing is
+    * the spec's bit layout, built independently of the probe. */
+  private def adtsFrame(payload: Int, profile: Int = 1, srIdx: Int = 4,
+      cfg: Int = 2, crc: Boolean = false, blocks: Int = 1): Array[Byte] = {
+    val hdrLen = if (crc) 9 else 7
+    val len = hdrLen + payload
+    cat(Array[Byte](
+      0xff.toByte, (0xf0 | (if (crc) 0 else 1)).toByte,
+      ((profile << 6) | (srIdx << 2) | ((cfg >> 2) & 1)).toByte,
+      (((cfg & 3) << 6) | ((len >> 11) & 3)).toByte,
+      ((len >> 3) & 0xff).toByte,
+      (((len & 7) << 5) | 0x1f).toByte,
+      (0xfc | (blocks - 1)).toByte),
+      Array.fill[Byte](hdrLen - 7)(0), // CRC bytes when present
+      Array.fill[Byte](payload)(0x41))
+  }
+
+  test("adts: frame walk gives exact sample-count duration and rate") {
+    val s = cat((0 until 5).map(_ => adtsFrame(300)): _*)
+    val info = MediaProbe.probe(s).get
+    assert(info.container == "adts" && info.codec == "aac-lc")
+    assert(info.sampleRate == 44100 && info.channels == 2)
+    assert(info.frames == 5)
+    assert(info.durationMs == 5 * 1024L * 1000 / 44100)
+    assert(info.bitrateKbps == 5 * 307L * 8 / info.durationMs)
+  }
+
+  test("adts: CRC headers, multi-block frames, and profile names") {
+    val crcStream = cat((0 until 4).map(_ =>
+      adtsFrame(100, profile = 0, srIdx = 3, crc = true)): _*)
+    val c = MediaProbe.probe(crcStream).get
+    assert(c.codec == "aac-main" && c.sampleRate == 48000 && c.frames == 4)
+    // two raw data blocks per frame double the samples per frame
+    val two = cat((0 until 3).map(_ =>
+      adtsFrame(100, srIdx = 8, cfg = 1, blocks = 2)): _*)
+    val t = MediaProbe.probe(two).get
+    assert(t.sampleRate == 16000 && t.channels == 1 &&
+      t.durationMs == 3 * 2048L * 1000 / 16000)
+    // channel config 7 is the 8-channel (7.1) layout
+    assert(MediaProbe.probe(cat(adtsFrame(50, cfg = 7),
+      adtsFrame(50, cfg = 7))).get.channels == 8)
+  }
+
+  test("adts: a lone sync is NOT declared aac; reserved srIdx rejects") {
+    // one plausible header then garbage — two-consecutive rule rejects
+    val junk = cat(adtsFrame(300).take(7), Array.fill[Byte](400)(0x41))
+    assert(MediaProbe.probe(junk).isEmpty)
+    // srIdx 13/14 reserved, 15 escape-forbidden in ADTS
+    assert(MediaProbe.probe(cat(adtsFrame(50, srIdx = 13),
+      adtsFrame(50, srIdx = 13))).isEmpty)
+    // a single frame exactly filling the input IS acceptable
+    assert(MediaProbe.probe(adtsFrame(120)).get.frames == 1)
+  }
+
+  test("adts: lying frame length cannot stall or crash the walk") {
+    // declared length below the header size: that header is rejected
+    // outright (a zero advance would loop forever) and the scan
+    // resyncs onto the next real frame
+    val f = adtsFrame(100)
+    val zeroLen = f.clone()
+    zeroLen(3) = (zeroLen(3) & 0xc0).toByte; zeroLen(4) = 0; zeroLen(5) = 0x1f
+    assert(MediaProbe.probe(cat(zeroLen, adtsFrame(100))).get.frames == 1)
+    // length overshooting the remaining buffer (truncated final frame):
+    // walk stops at the last complete frame
+    val over = cat(adtsFrame(100), adtsFrame(100), adtsFrame(4000).take(500))
+    assert(MediaProbe.probe(over).get.frames == 2)
+  }
+
+  test("adts: ID3v2 prefix is skipped; walk stops at a rate change") {
+    val tag = cat(cc("ID3"), Array[Byte](4, 0, 0),
+      Array[Byte](0, 0, 0, 30), Array.fill[Byte](30)(0x41))
+    val info = MediaProbe.probe(cat(tag, adtsFrame(80), adtsFrame(80))).get
+    assert(info.codec == "aac-lc" && info.frames == 2)
+    // a samplerate discontinuity ends the stream, frames don't mix
+    val mixed = cat(adtsFrame(80), adtsFrame(80), adtsFrame(80, srIdx = 7))
+    assert(MediaProbe.probe(mixed).get.frames == 2)
+  }
+
   // ------------------------------------------------------------ mp4
 
   test("mp4: box walk finds mvhd duration, tkhd dims, stsd codec, stsz") {
@@ -465,6 +547,40 @@ class MediaProbeSpec extends SparkSpec {
     assert(tinfo2.trackDurMs == 0 && tinfo2.fpsMilli == 0,
       s"stts overflow leaked: ${tinfo2.trackDurMs}/${tinfo2.fpsMilli}")
     assert(tinfo2.sampleBytes >= 0 && tinfo2.chunks >= 0)
+  }
+
+  test("mp4 stss: sync-sample count when present; all-sync fallback " +
+      "when absent; lying entry_count stays box-bounded") {
+    def fix(extra: Array[Byte]*): Array[Byte] = {
+      val ftyp = box("ftyp", cat(cc("isom"), be32(0), cc("isom")))
+      val stsd = box("stsd", cat(be32(0), be32(1),
+        cat(be32(86), cc("avc1"), Array.fill[Byte](78)(0))))
+      val hdlr = box("hdlr", cat(be32(0), be32(0), cc("vide"),
+        Array.fill[Byte](13)(0)))
+      val stsz = box("stsz", cat(be32(0), be32(0), be32(48),
+        cat(Array.tabulate(48)(_ => be32(100L)): _*)))
+      val stbl = box("stbl", cat(stsd +: stsz +: extra: _*))
+      cat(ftyp, box("moov", box("trak",
+        box("mdia", cat(hdlr, box("minf", stbl))))))
+    }
+    // present: 2 keyframes out of 48 samples (GOP length 24)
+    val stss = box("stss", cat(be32(0), be32(2), be32(1), be32(25)))
+    val p = MediaProbe.probe(fix(stss)).get
+    assert(p.syncSamples == 2, s"stss count ${p.syncSamples}")
+    assert(p.frames == 48)
+    // absent: EVERY sample is a sync sample (ISO 14496-12 §8.6.2) —
+    // the all-intra / audio case reports the full sample count
+    val a = MediaProbe.probe(fix()).get
+    assert(a.syncSamples == 48, s"all-sync fallback ${a.syncSamples}")
+    // a declared entry_count overrunning the box yields only the
+    // entries physically present, never sibling bytes
+    val liar = box("stss", cat(be32(0), be32(1000000), be32(1)))
+    val l = MediaProbe.probe(fix(liar)).get
+    assert(l.syncSamples == 1, s"lying stss leaked ${l.syncSamples}")
+    // an EMPTY present table is 0 sync points, NOT the all-sync
+    // fallback (a live/fragmented muxer artifact, kept distinct)
+    val empty = box("stss", cat(be32(0), be32(0)))
+    assert(MediaProbe.probe(fix(empty)).get.syncSamples == 0)
   }
 
   test("m4a: audio sample entry carries channels + 16.16 sample rate") {
@@ -831,7 +947,10 @@ class MediaProbeSpec extends SparkSpec {
       oggOpusFixture(96000), oggVorbisFixture(88200),
       oggFlacFixture(44100), mp4TwoTrakFixture(),
       wavFixture(), aviFixture(), flacFixture(),
-      gifFixture(2, 10), webmFixture())
+      gifFixture(2, 10), webmFixture(),
+      cat(adtsFrame(60), adtsFrame(60), adtsFrame(60)),
+      cat(adtsFrame(60, crc = true, blocks = 2),
+        adtsFrame(60, crc = true, blocks = 2)))
     fixtures.foreach { f =>
       (0 to f.length).foreach(n => MediaProbe.probe(f.take(n)))
       // bit-flipped copies exercise the validation branches
@@ -857,47 +976,65 @@ class MediaProbeSpec extends SparkSpec {
     val out = SparkEntry.queries("q138_media_probe")(spark, sf).collect()
     assert(out.length == 100) // every format family recognized, no drops
     val byContainer = out.groupBy(_.getString(1)).view.mapValues(_.length)
-    // 100 ids round-robin over 6 families: residues 0-3 get 17, 4-5 get 16
-    assert(byContainer("mpeg-audio") == 17 && byContainer("wav") == 17 &&
-      byContainer("gif") == 17 && byContainer("isom") == 17 &&
-      byContainer("ogg") == 16 && byContainer("webm") == 16)
-    // spot-exact fields per family (id → synth parameters)
+    // 100 ids round-robin over 7 families: residues 0-1 get 15, 2-6 get 14
+    assert(byContainer("mpeg-audio") == 15 && byContainer("wav") == 15 &&
+      byContainer("gif") == 14 && byContainer("isom") == 14 &&
+      byContainer("ogg") == 14 && byContainer("webm") == 14 &&
+      byContainer("adts") == 14)
+    // spot-exact fields per family (id → synth parameters; mp3 ids step
+    // by 7 so the tag variant (id/7)%3 cycles tagless/Xing/VBRI)
     val r0 = out.find(_.getLong(0) == 0).get  // mp3, 2 frames, tagless
     assert(r0.getString(2) == "mp3" &&
       r0.getLong(6) == 2 * 1152L * 1000 / 44100 && r0.getLong(9) == 2)
-    // r11: ids 6 (Xing) and 12 (VBRI) carry header frames declaring the
+    // ids 7 (Xing) and 14 (VBRI) carry header frames declaring the
     // shipped totals — declared fields must equal the tagless formula
     // and the header frame must not count as audio
-    val r6 = out.find(_.getLong(0) == 6).get  // Xing, 8 audio frames
-    assert(r6.getString(2) == "mp3" && r6.getLong(9) == 8 &&
-      r6.getLong(6) == 8 * 1152L * 1000 / 44100)
-    val r12 = out.find(_.getLong(0) == 12).get // VBRI, 5 audio frames
-    assert(r12.getString(2) == "mp3" && r12.getLong(9) == 5 &&
-      r12.getLong(6) == 5 * 1152L * 1000 / 44100)
-    val r7 = out.find(_.getLong(0) == 7).get  // wav, (1 + 7%5)*0.25 s
-    assert(r7.getString(2) == "pcm" && r7.getLong(6) == 750)
-    val r8 = out.find(_.getLong(0) == 8).get  // gif, 1 + 8%4 = 1 frame
-    assert(r8.getLong(9) == 1 && r8.getInt(7) == 11 && r8.getInt(8) == 7)
-    val r9 = out.find(_.getLong(0) == 9).get  // mp4, (1 + 9%6) = 4 s
-    assert(r9.getString(2) == "avc1" && r9.getLong(6) == 4000 &&
-      r9.getLong(9) == 96 && r9.getInt(7) == 320)
-    // r10 sample-table fields (synth stts/stsc/stsz, id 9 → 96 samples):
+    val r7 = out.find(_.getLong(0) == 7).get  // Xing, 2+7%9 = 9 frames
+    assert(r7.getString(2) == "mp3" && r7.getLong(9) == 9 &&
+      r7.getLong(6) == 9 * 1152L * 1000 / 44100)
+    val r14 = out.find(_.getLong(0) == 14).get // VBRI, 2+14%9 = 7 frames
+    assert(r14.getString(2) == "mp3" && r14.getLong(9) == 7 &&
+      r14.getLong(6) == 7 * 1152L * 1000 / 44100)
+    val r8 = out.find(_.getLong(0) == 8).get  // wav, (1 + 8%5)*0.25 s
+    assert(r8.getString(2) == "pcm" && r8.getLong(6) == 1000)
+    val r9 = out.find(_.getLong(0) == 9).get  // gif, 1 + 9%4 = 2 frames
+    assert(r9.getLong(9) == 2 && r9.getInt(7) == 11 && r9.getInt(8) == 7)
+    val r3 = out.find(_.getLong(0) == 3).get  // mp4, (1 + 3%6) = 4 s
+    assert(r3.getString(2) == "avc1" && r3.getLong(6) == 4000 &&
+      r3.getLong(9) == 96 && r3.getInt(7) == 320)
+    // r10 sample-table fields (synth stts/stsc/stsz, id 3 → 96 samples):
     // track duration sums the stts runs exactly (95·41 + 105 = 4000);
     // fps = 96·1000·1000/4000 = 24000 millihertz; sizes cycle
-    // 100+((9+i)%50) → Σ = 12024, max = 149; chunks = 2 runs of 10 +
+    // 100+((3+i)%50) → Σ = 11998, max = 149; chunks = 2 runs of 10 +
     // ceil(76/7) = 13
-    assert(r9.getLong(10) == 4000, s"track_dur_ms ${r9.getLong(10)}")
-    assert(r9.getLong(11) == 24000, s"fps_milli ${r9.getLong(11)}")
-    assert(r9.getLong(12) == 12024, s"sample_bytes ${r9.getLong(12)}")
-    assert(r9.getLong(13) == 149, s"max_sample_bytes ${r9.getLong(13)}")
-    assert(r9.getLong(14) == 13, s"chunks ${r9.getLong(14)}")
+    assert(r3.getLong(10) == 4000, s"track_dur_ms ${r3.getLong(10)}")
+    assert(r3.getLong(11) == 24000, s"fps_milli ${r3.getLong(11)}")
+    assert(r3.getLong(12) == 11998, s"sample_bytes ${r3.getLong(12)}")
+    assert(r3.getLong(13) == 149, s"max_sample_bytes ${r3.getLong(13)}")
+    assert(r3.getLong(14) == 13, s"chunks ${r3.getLong(14)}")
+    // stss (r12): one sync sample per second of the 4 s clip — the
+    // GOP-length signal a keyframe-sampling stage plans against
+    assert(r3.getLong(15) == 4, s"sync_samples ${r3.getLong(15)}")
     // non-ISO-BMFF families report 0 sample-table fields, not garbage
-    assert(r0.getLong(12) == 0 && r8.getLong(14) == 0)
-    val r10 = out.find(_.getLong(0) == 10).get // ogg, 24000*(1+10%4)/48k
-    assert(r10.getString(2) == "opus" && r10.getLong(6) == 1500)
-    val r11 = out.find(_.getLong(0) == 11).get // webm, (1+11%3)*1000 ticks
-    assert(r11.getString(1) == "webm" && r11.getString(2) == "V_VP9" &&
-      r11.getLong(6) == 3000 && r11.getInt(7) == 256 && r11.getInt(8) == 144)
+    assert(r0.getLong(12) == 0 && r9.getLong(14) == 0 &&
+      r0.getLong(15) == 0)
+    val r4 = out.find(_.getLong(0) == 4).get // ogg, 24000*(1+4%4)/48k
+    assert(r4.getString(2) == "opus" && r4.getLong(6) == 500)
+    val r5 = out.find(_.getLong(0) == 5).get // webm, (1+5%3)*1000 ticks
+    assert(r5.getString(1) == "webm" && r5.getString(2) == "V_VP9" &&
+      r5.getLong(6) == 3000 && r5.getInt(7) == 256 && r5.getInt(8) == 144)
+    // adts (r12): ids 6/13/20 walk the three header shapes — plain
+    // 7-byte, CRC-protected 9-byte, and two raw blocks per frame
+    val r6 = out.find(_.getLong(0) == 6).get  // plain, 2+6%9 = 8 frames
+    assert(r6.getString(1) == "adts" && r6.getString(2) == "aac-lc" &&
+      r6.getInt(3) == 44100 && r6.getInt(4) == 2 && r6.getLong(9) == 8 &&
+      r6.getLong(6) == 8 * 1024L * 1000 / 44100)
+    val r13 = out.find(_.getLong(0) == 13).get // CRC, 2+13%9 = 6 frames
+    assert(r13.getString(1) == "adts" && r13.getLong(9) == 6 &&
+      r13.getLong(6) == 6 * 1024L * 1000 / 44100)
+    val r20 = out.find(_.getLong(0) == 20).get // 2 blocks, 2+20%9 = 4 frames
+    assert(r20.getString(1) == "adts" && r20.getLong(9) == 4 &&
+      r20.getLong(6) == 4 * 2048L * 1000 / 44100)
   }
 
   test("probeMetadata is stream-safe: identical rows from a stream") {
