@@ -181,8 +181,14 @@ object MediaFixtures {
         el(Array[Byte](0xe0.toByte), cat(
           el(Array[Byte](0xb0.toByte), be16(256)),
           el(Array[Byte](0xba.toByte), be16(144)))))))
+    // Cues seek index: one CuePoint (CueTime child) per second of the
+    // clip — the keyframe-count signal, like the mp4 fixture's stss
+    val nCues = (1 + id % 3).toInt
+    val cues = el(Array[Byte](0x1c, 0x53, 0xbb.toByte, 0x6b),
+      cat((0 until nCues).map(i => el(Array[Byte](0xbb.toByte),
+        el(Array[Byte](0xb3.toByte), be16(i * 1000)))): _*))
     cat(hdr, Array[Byte](0x18, 0x53, 0x80.toByte, 0x67, 0xff.toByte),
-      info, trk)
+      info, trk, cues)
   }
 
   /** One clip per id, format round-robin by `id % 7`. */

@@ -666,7 +666,9 @@ object MediaProbe {
     * Matroska element IDs): DocType from the EBML header, then inside
     * Segment → Info (TimecodeScale, Duration) and Tracks → TrackEntry
     * (CodecID, Video PixelWidth/PixelHeight, Audio SamplingFrequency/
-    * Channels). Pure length-prefixed tree walking like the mp4 box
+    * Channels), plus the Cues seek index whose CuePoint count is the
+    * random-access-point signal (`syncSamples` — the Matroska twin of
+    * the mp4 stss count). Pure length-prefixed tree walking like the mp4 box
     * probe — cluster payloads are skipped by their declared size, so
     * cost is O(#elements), not O(bytes). Unknown-size elements (legal
     * for Segment in live captures) extend to the end of the input. */
@@ -708,9 +710,11 @@ object MediaProbe {
     var docType = ""; var codecV = ""; var codecA = ""
     var scaleNs = 1000000L; var durTicks = 0.0
     var w = 0; var h = 0; var sr = 0; var ch = 0
+    var cuePoints = 0L
     var guard = 0
     // trackType of the entry currently being walked (1 video, 2 audio)
-    def walk(from: Int, to: Int, depth: Int, inTrack: Boolean): Unit = {
+    def walk(from: Int, to: Int, depth: Int, inTrack: Boolean,
+        inCues: Boolean = false): Unit = {
       var o = from
       while (o < to && guard < 4096) {
         guard += 1
@@ -729,6 +733,14 @@ object MediaProbe {
             if (depth < 8) walk(body, end, depth + 1, inTrack = true)
           case 0xe0L | 0xe1L => // Video / Audio settings
             if (depth < 8) walk(body, end, depth + 1, inTrack)
+          case 0x1c53bb6bL => // Cues: the seek/keyframe index
+            if (depth < 8) walk(body, end, depth + 1, inTrack,
+              inCues = true)
+          // CuePoint (0xBB is a CuePoint only inside Cues): each entry
+          // indexes one random-access point — the Matroska twin of the
+          // mp4 stss count. Counted, not descended: only the COUNT is
+          // the GOP/keyframe signal.
+          case 0xbbL if inCues => cuePoints += 1
           case 0x4282L => // DocType
             docType = new String(b, body, sz.toInt,
               java.nio.charset.StandardCharsets.ISO_8859_1).trim
@@ -757,7 +769,7 @@ object MediaProbe {
     Some(MediaInfo(docType,
       if (codecV.nonEmpty) codecV else codecA, sr, ch,
       if (durMs > 0) (b.length * 8L / durMs).toInt else 0,
-      durMs, w, h, 0L))
+      durMs, w, h, 0L, syncSamples = cuePoints))
   }
 
   // ------------------------------------------------------------- Ogg

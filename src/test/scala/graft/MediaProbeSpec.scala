@@ -459,6 +459,36 @@ class MediaProbeSpec extends SparkSpec {
     assert(MediaProbe.probe(over).get.frames == 2)
   }
 
+  test("adts: EXHAUSTIVE header space round-trips (2912 combos)") {
+    // every profile × sampling index × channel config × CRC flag ×
+    // raw-data-block count: build two consecutive frames from the
+    // spec bit layout (the independent builder above) and require the
+    // probe to read back every field exactly — the same all-corners
+    // discipline as the MPEG-audio header test
+    val srTab = Array(96000, 88200, 64000, 48000, 44100, 32000,
+      24000, 22050, 16000, 12000, 11025, 8000, 7350)
+    val profTab = Array("aac-main", "aac-lc", "aac-ssr", "aac-ltp")
+    var combos = 0
+    for (profile <- 0 to 3; srIdx <- 0 to 12; cfg <- 1 to 7;
+         crc <- Seq(false, true); blocks <- 1 to 4) {
+      val f = adtsFrame(40, profile, srIdx, cfg, crc, blocks)
+      val info = MediaProbe.probe(cat(f, f)).getOrElse(
+        fail(s"unprobed: p=$profile sr=$srIdx cfg=$cfg crc=$crc b=$blocks"))
+      assert(info.container == "adts" && info.codec == profTab(profile))
+      assert(info.sampleRate == srTab(srIdx))
+      assert(info.channels == (if (cfg == 7) 8 else cfg))
+      assert(info.frames == 2)
+      assert(info.durationMs == 2L * blocks * 1024 * 1000 / srTab(srIdx))
+      combos += 1
+    }
+    assert(combos == 4 * 13 * 7 * 2 * 4)
+    // the reserved sampling indices reject across the whole space
+    for (srIdx <- 13 to 15) {
+      val f = adtsFrame(40, 1, srIdx, 2)
+      assert(MediaProbe.probe(cat(f, f)).isEmpty, s"srIdx $srIdx accepted")
+    }
+  }
+
   test("adts: ID3v2 prefix is skipped; walk stops at a rate change") {
     val tag = cat(cc("ID3"), Array[Byte](4, 0, 0),
       Array[Byte](0, 0, 0, 30), Array.fill[Byte](30)(0x41))
@@ -877,6 +907,28 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.width == 640 && info.height == 360)
     assert(info.sampleRate == 48000 && info.channels == 2)
     assert(info.durationMs == 2500) // 2500 ticks * 1 ms scale
+    assert(info.syncSamples == 0)   // no Cues element shipped
+  }
+
+  test("webm: Cues CuePoint count is the keyframe signal; 0xBB outside " +
+      "Cues does not count") {
+    // three CuePoints (CueTime child each) appended segment-level
+    val cue = ebml(Array[Byte](0xbb.toByte),
+      ebml(Array[Byte](0xb3.toByte), be16(0)))
+    val cues = ebml(Array[Byte](0x1c, 0x53, 0xbb.toByte, 0x6b),
+      cat(cue, cue, cue))
+    val c = MediaProbe.probe(cat(webmFixture(), cues)).get
+    assert(c.syncSamples == 3, s"cue points ${c.syncSamples}")
+    // the same 0xBB element id at SEGMENT level (not inside Cues) is
+    // some other element and must not inflate the keyframe count
+    val stray = ebml(Array[Byte](0xbb.toByte), be16(7))
+    val s = MediaProbe.probe(cat(webmFixture(), stray, cues)).get
+    assert(s.syncSamples == 3, s"stray 0xBB counted: ${s.syncSamples}")
+    // a Cues element whose declared size overruns the input is skipped
+    // whole (the EBML walk's element-level bounding rule): count 0,
+    // never a partial read into missing bytes
+    val t = MediaProbe.probe(cat(webmFixture(), cues.dropRight(3))).get
+    assert(t.syncSamples == 0, s"truncated cues ${t.syncSamples}")
   }
 
   // ----------------------------------------------------------- riff
@@ -1023,6 +1075,8 @@ class MediaProbeSpec extends SparkSpec {
     val r5 = out.find(_.getLong(0) == 5).get // webm, (1+5%3)*1000 ticks
     assert(r5.getString(1) == "webm" && r5.getString(2) == "V_VP9" &&
       r5.getLong(6) == 3000 && r5.getInt(7) == 256 && r5.getInt(8) == 144)
+    // Cues (r12): one CuePoint per second — the webm keyframe signal
+    assert(r5.getLong(15) == 3, s"webm cue points ${r5.getLong(15)}")
     // adts (r12): ids 6/13/20 walk the three header shapes — plain
     // 7-byte, CRC-protected 9-byte, and two raw blocks per frame
     val r6 = out.find(_.getLong(0) == 6).get  // plain, 2+6%9 = 8 frames
