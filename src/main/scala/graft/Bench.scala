@@ -135,12 +135,19 @@ object Bench {
       if (ratios.isEmpty) None else {
         val sortedR = ratios.map(_._2).sorted
         val median = sortedR(sortedR.size / 2)
+        // Locale.ROOT: the f-interpolator uses the JVM default locale,
+        // and a comma-decimal locale (de_DE, fr_FR, ...) would render
+        // 1.0342 as "1,0342" — malformed JSON in the one contract line
+        // the driver and refresh_bench_prev.py both parse
+        def num(v: Double, digits: Int): String =
+          String.format(java.util.Locale.ROOT, s"%.${digits}f",
+            Double.box(v))
         val outliers = ratios
           .filter { case (_, r) => r > median * 1.4 }
           .sortBy(-_._2)
-          .map { case (k, r) => "\"" + k + "\":" + f"$r%.3f" }
+          .map { case (k, r) => "\"" + k + "\":" + num(r, 3) }
           .mkString("{", ",", "}")
-        Some(f""","median_ratio":$median%.4f,"ratio_base":${ratios.size},"outliers":$outliers""")
+        Some(s""","median_ratio":${num(median, 4)},"ratio_base":${ratios.size},"outliers":$outliers""")
       }
     } catch { case _: Throwable => None }).getOrElse("")
     val json =

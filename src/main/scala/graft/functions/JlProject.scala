@@ -38,7 +38,17 @@ case class JlProject(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // k is foldable, so its VALUE is checkable here too: reject
+        // k <= 0 (the per-row require would otherwise throw at
+        // execution) and absurd k (a 2e9 literal would attempt a
+        // ~16 GB per-row output allocation and OOM the executor —
+        // fail analysis instead; 2^16 dims is far past any JL target)
+        val k = right.eval()
+        if (k == null || k.asInstanceOf[Int] <= 0 ||
+            k.asInstanceOf[Int] > 65536)
+          TypeCheckResult.TypeCheckFailure(
+            s"jl_project: k must be in [1, 65536], got $k")
+        else TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"jl_project expects (array<float>, foldable int k), " +
           s"got (${l.simpleString}, ${r.simpleString})")

@@ -713,8 +713,7 @@ object MediaProbe {
     var cuePoints = 0L
     var guard = 0
     // trackType of the entry currently being walked (1 video, 2 audio)
-    def walk(from: Int, to: Int, depth: Int, inTrack: Boolean,
-        inCues: Boolean = false): Unit = {
+    def walk(from: Int, to: Int, depth: Int, inTrack: Boolean): Unit = {
       var o = from
       while (o < to && guard < 4096) {
         guard += 1
@@ -733,14 +732,31 @@ object MediaProbe {
             if (depth < 8) walk(body, end, depth + 1, inTrack = true)
           case 0xe0L | 0xe1L => // Video / Audio settings
             if (depth < 8) walk(body, end, depth + 1, inTrack)
-          case 0x1c53bb6bL => // Cues: the seek/keyframe index
-            if (depth < 8) walk(body, end, depth + 1, inTrack,
-              inCues = true)
-          // CuePoint (0xBB is a CuePoint only inside Cues): each entry
-          // indexes one random-access point — the Matroska twin of the
-          // mp4 stss count. Counted, not descended: only the COUNT is
-          // the GOP/keyframe signal.
-          case 0xbbL if inCues => cuePoints += 1
+          // Cues: the seek/keyframe index. Each CuePoint (0xBB — that
+          // id means CuePoint only inside Cues) indexes one random-
+          // access point, the Matroska twin of the mp4 stss count.
+          // Counted by a DEDICATED flat loop with its own bound, not
+          // by descending walk(): a real index easily holds 10^4–10^5
+          // CuePoints (one per keyframe of a 2 h movie), which would
+          // exhaust the global 4096-element guard mid-count — silently
+          // wrong syncSamples AND an aborted parse of every element
+          // after Cues. The flat loop is O(#entries) skips, entries
+          // are never descended, and the count caps at 2^20 (a lying
+          // index cannot spin the prefix probe).
+          case 0x1c53bb6bL =>
+            var co = body
+            while (co < end && cuePoints < (1L << 20)) {
+              val (cid, cidLen) = readId(co)
+              if (cidLen == 0) { co = end } else {
+                val (csz, cszLen) = readSize(co + cidLen)
+                val cbody = co + cidLen + cszLen
+                if (cszLen == 0 || csz < 0 || cbody + csz > end) co = end
+                else {
+                  if (cid == 0xbbL) cuePoints += 1
+                  co = (cbody + csz).toInt
+                }
+              }
+            }
           case 0x4282L => // DocType
             docType = new String(b, body, sz.toInt,
               java.nio.charset.StandardCharsets.ISO_8859_1).trim

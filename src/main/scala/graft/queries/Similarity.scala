@@ -307,7 +307,13 @@ object Similarity {
     "q144_jl_projection" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val base = emb(s, d)
-      val exactSims = {
+      // materialized: BOTH the brute-force audit arm and the refine
+      // arm consume this subtree, and Spark reuses only the broadcast
+      // exchange across them — unchecked, the corpus-wide exact-cosine
+      // pass (the dominant cost, the thing the JL filter exists to
+      // avoid rerunning) would execute twice per collect (the
+      // q103/q143 lineage-replay class)
+      val exactSims = graft.operators.Materialize.truncate {
         val e = base.select(col("vec_id"), col("embedding").as("emb"))
         val probe = e.filter(col("vec_id") === 0)
           .select(col("emb").as("pe"))

@@ -124,6 +124,22 @@ class ExpressionSpec extends SparkSpec {
       s"sign matrix degenerated to rank 1 (|cos| = $cos)")
   }
 
+  test("jl_project: k is validated at ANALYSIS time, not per row") {
+    GraftFunctions.register(spark)
+    // k <= 0 and absurd k must fail analysis (a 2e9 k would otherwise
+    // attempt a ~16 GB per-row allocation at execution — executor OOM,
+    // not a clean error), and a non-foldable k is rejected outright
+    val df = Seq(Tuple1(Array(1f, 2f))).toDF("a")
+    for (bad <- Seq("0", "-3", "70000", "2000000000"))
+      assertThrows[org.apache.spark.sql.AnalysisException] {
+        df.selectExpr(s"jl_project(a, $bad)").queryExecution.analyzed
+      }
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1f, 2f), 3)).toDF("a", "k")
+        .selectExpr("jl_project(a, k)").queryExecution.analyzed
+    }
+  }
+
   test("cosine_sim: double and mixed float/double sides (the jl_project " +
       "output type), float path unchanged") {
     GraftFunctions.register(spark)

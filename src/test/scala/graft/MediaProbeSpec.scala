@@ -214,7 +214,7 @@ class MediaProbeSpec extends SparkSpec {
       Array[Byte](0x21, 0xf9.toByte, 4, 0), le16(delayCs), Array[Byte](0, 0),
       Array[Byte](0x2c), le16(0), le16(0), le16(11), le16(7), Array[Byte](0),
       Array[Byte](2, 2, 1, 2, 0)) // lzw-min=2, one 2-byte sub-block, term
-    cat(hdr +: Array.fill(frames)(one) :+ Array[Byte](0x3b): _*)
+    cat((hdr +: Seq.fill(frames)(one)) :+ Array[Byte](0x3b): _*)
   }
 
   // ------------------------------------------------------------ mp3
@@ -537,7 +537,7 @@ class MediaProbeSpec extends SparkSpec {
     val stsc = box("stsc", cat(be32(0), be32(2),
       be32(1), be32(4), be32(0), be32(3), be32(8), be32(0)))
     val stsz = box("stsz", cat(be32(0), be32(0), be32(30),
-      cat(Array.tabulate(30)(i => be32((i + 1) * 10L)): _*)))
+      cat(Seq.tabulate(30)(i => be32((i + 1) * 10L)): _*)))
     val info = MediaProbe.probe(fix(stts, stsc, stsz)).get
     assert(info.trackDurMs == 5000, s"trackDurMs ${info.trackDurMs}")
     assert(info.fpsMilli == 6000, s"fpsMilli ${info.fpsMilli}")
@@ -557,7 +557,7 @@ class MediaProbeSpec extends SparkSpec {
     assert(tinfo.trackDurMs == 29L * 100 * 1000 / 600,
       s"truncated stts leaked: ${tinfo.trackDurMs}")
     val liarStsz = box("stsz", cat(be32(0), be32(0), be32(1000000),
-      cat(Array.tabulate(3)(i => be32((i + 1) * 10L)): _*)))
+      cat(Seq.tabulate(3)(i => be32((i + 1) * 10L)): _*)))
     val zinfo = MediaProbe.probe(fix(stts, stsc, liarStsz)).get
     assert(zinfo.sampleBytes == 60 && zinfo.maxSampleBytes == 30,
       s"overrunning stsz leaked: ${zinfo.sampleBytes}")
@@ -588,7 +588,7 @@ class MediaProbeSpec extends SparkSpec {
       val hdlr = box("hdlr", cat(be32(0), be32(0), cc("vide"),
         Array.fill[Byte](13)(0)))
       val stsz = box("stsz", cat(be32(0), be32(0), be32(48),
-        cat(Array.tabulate(48)(_ => be32(100L)): _*)))
+        cat(Seq.tabulate(48)(_ => be32(100L)): _*)))
       val stbl = box("stbl", cat(stsd +: stsz +: extra: _*))
       cat(ftyp, box("moov", box("trak",
         box("mdia", cat(hdlr, box("minf", stbl))))))
@@ -929,6 +929,35 @@ class MediaProbeSpec extends SparkSpec {
     // never a partial read into missing bytes
     val t = MediaProbe.probe(cat(webmFixture(), cues.dropRight(3))).get
     assert(t.syncSamples == 0, s"truncated cues ${t.syncSamples}")
+  }
+
+  test("webm: a realistic large Cues index (5000 points) counts fully " +
+      "and does not starve the element walk") {
+    // a 2 h movie at ~0.7 keyframes/s: far past the walk's global
+    // 4096-element guard — the count must come from the dedicated flat
+    // loop, and elements AFTER Cues must still parse (the DocType/
+    // dims/duration here all come from BEFORE, so pin a track element
+    // placed after the index instead)
+    val cue = ebml(Array[Byte](0xbb.toByte),
+      ebml(Array[Byte](0xb3.toByte), be16(0)))
+    val n = 5000
+    val cuesBody = cat(Seq.fill(n)(cue): _*)
+    // the ~30 KB body needs a 4-byte VINT size (leading 0x10 marker)
+    val sz = cuesBody.length
+    val cues = cat(Array[Byte](0x1c, 0x53, 0xbb.toByte, 0x6b,
+      0x10, ((sz >> 16) & 0xff).toByte, ((sz >> 8) & 0xff).toByte,
+      (sz & 0xff).toByte), cuesBody)
+    val after = ebml(Array[Byte](0x16, 0x54, 0xae.toByte, 0x6b),
+      ebml(Array[Byte](0xae.toByte),
+        ebml(Array[Byte](0x86.toByte), cc("A_OPUS"))))
+    // a bare header + segment so the ONLY codec comes after the index
+    val hdr = ebml(Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte),
+      ebml(Array[Byte](0x42, 0x82.toByte), cc("webm")))
+    val clip = cat(hdr,
+      Array[Byte](0x18, 0x53, 0x80.toByte, 0x67, 0xff.toByte), cues, after)
+    val info = MediaProbe.probe(clip).get
+    assert(info.syncSamples == n, s"large cues ${info.syncSamples}")
+    assert(info.codec == "A_OPUS", "post-Cues elements were not parsed")
   }
 
   // ----------------------------------------------------------- riff

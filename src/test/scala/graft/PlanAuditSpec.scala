@@ -91,15 +91,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(java.nio.file.Files.isDirectory(root),
       s"source root not visible from ${System.getProperty("user.dir")}")
     val got = scala.collection.mutable.Map.empty[String, Int]
-    java.nio.file.Files.walk(root).forEach { p =>
-      if (p.toString.endsWith(".scala")) {
-        val n = scala.io.Source.fromFile(p.toFile, "UTF-8").getLines()
-          .filterNot { l =>
-            val s = l.trim; s.startsWith("//") || s.startsWith("*")
+    // Using closes the walk stream and each file (a bare Files.walk/
+    // Source.fromFile leaks a handle per suite run in a long-lived
+    // sbt session). The '//'-suffix strip anchors to " //" so a
+    // literal "//" INSIDE a string (a URL, an expr("a // b")) cannot
+    // hide a broadcast( call later on the same line; the library
+    // style always puts a space before a trailing comment.
+    scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>
+      stream.forEach { p =>
+        if (p.toString.endsWith(".scala")) {
+          val n = scala.util.Using.resource(
+            scala.io.Source.fromFile(p.toFile, "UTF-8")) { src =>
+            src.getLines()
+              .filterNot { l =>
+                val s = l.trim; s.startsWith("//") || s.startsWith("*")
+              }
+              .map(l => "broadcast\\(".r.findAllIn(l.split(" //")(0)).size)
+              .sum
           }
-          .map(l => "broadcast\\(".r.findAllIn(l.split("//")(0)).size)
-          .sum
-        if (n > 0) got(root.relativize(p).toString) = n
+          if (n > 0) got(root.relativize(p).toString) = n
+        }
       }
     }
     assert(got.toMap == expected,

@@ -999,6 +999,7 @@ class StreamingSpec extends SparkSpec {
       case (id, "keep", text) => (id, 0L, "insert", text)
       case (id, "update", _) => (id, 0L, "insert", "pre-update body")
     } ++ diff.collect { case (id, "removed") => (id, 0L, "insert", "doomed") }
+      .toSeq
     // a NULL-body live doc (legal per q110's NULL-text contract): it
     // must materialize as a live row with a null body — neither kill
     // the query (ValueState rejects bare nulls) nor read as a tombstone
@@ -1063,6 +1064,7 @@ class StreamingSpec extends SparkSpec {
       case (id, "keep", text) => (id, 0L, "insert", text)
       case (id, "update", _) => (id, 0L, "insert", "pre-update body")
     } ++ diff.collect { case (id, "removed") => (id, 0L, "insert", "doomed") }
+      .toSeq
     val cdc = diff.toSeq.collect {
       case (id, "added") => (id, 1L, "insert", mergedByKey(id))
       case (id, "changed") => (id, 1L, "update", mergedByKey(id))
@@ -1160,7 +1162,7 @@ class StreamingSpec extends SparkSpec {
     val waveB = merged.collect {
       case (id, "keep", text) => (id, 1L, "insert", text)
       case (id, "update", _) => (id, 1L, "insert", "pre-update body")
-    } ++ removed.toSeq.map(id => (id, 1L, "insert", "doomed"))
+    } ++ removed.toSeq.map(id => (id, 1L, "insert", "doomed")).toSeq
     // wave C: a transport retry — duplicates of earlier deliveries
     val waveC = removed.toSeq.map(id => (id, 1L, "insert", "doomed")) ++
       changed.take(3).toSeq.map(id => (id, 2L, "update", mergedByKey(id)))
