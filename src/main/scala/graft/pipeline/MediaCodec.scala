@@ -56,11 +56,13 @@ object MediaCodec {
     * ALGORITHMIC — Rice coding, LPC, step adaptation — so their
     * correctness is provable without the standard's data tables. A
     * codec-equipped deploy plugs its own [[MediaCodec]] in. Video [[sampleFrames]] demuxes + decodes FOR
-    * REAL from two containers: animated GIF ([[GifFrames]] — timed
-    * LZW frames composited per disposal method) and AVI/MJPEG
-    * ([[AviMjpeg]] — RIFF demux + per-frame baseline JPEG); every
-    * inter-frame codec (mp4/webm/mkv) is undecodable here and its
-    * rows are dropped, same policy as audio. */
+    * REAL from three containers: animated GIF ([[GifFrames]] — timed
+    * LZW frames composited per disposal method), AVI/MJPEG
+    * ([[AviMjpeg]] — RIFF demux + per-frame baseline JPEG) and
+    * QuickTime/mp4 MJPEG ([[Mp4Mjpeg]] — box-tree demux through the
+    * full stts/stsz/stsc/stco sample tables, per-sample JPEG); every
+    * inter-frame codec (h264/vp9/av1 in mp4/webm/mkv) is undecodable
+    * here and its rows are dropped, same policy as audio. */
   object Jvm extends MediaCodec {
 
     override def audioFeatures(bytes: Array[Byte],
@@ -74,6 +76,7 @@ object MediaCodec {
         maxFrames: Int): Seq[(Long, Array[Byte])] =
       GifFrames.sample(bytes, everyMs, maxFrames)
         .orElse(AviMjpeg.sample(bytes, everyMs, maxFrames))
+        .orElse(Mp4Mjpeg.sample(bytes, everyMs, maxFrames))
         .getOrElse(Seq.empty)
   }
 

@@ -122,11 +122,13 @@ object Multimodal {
   }
 
   /** Video frame sampling through the [[MediaCodec]] seam. The default
-    * [[MediaCodec.Jvm]] demuxes + composites animated GIF for real
-    * ([[GifFrames]]) and DROPS clips in containers this offline JVM
-    * cannot decode (mp4/webm/mkv) — the drop-undecodable policy the
-    * rest of the media pipeline uses. One output row per sampled
-    * frame, one frame every `everyMs` along the clip's timeline. */
+    * [[MediaCodec.Jvm]] demuxes + decodes for real from animated GIF
+    * ([[GifFrames]]), AVI/MJPEG ([[AviMjpeg]]) and QuickTime/mp4 MJPEG
+    * ([[Mp4Mjpeg]]), and DROPS clips whose codec this offline JVM
+    * cannot decode (h264/vp9/av1 in mp4/webm/mkv) — the
+    * drop-undecodable policy the rest of the media pipeline uses. One
+    * output row per sampled frame, one frame every `everyMs` along the
+    * clip's timeline. */
   def sampleVideoFrames(spark: SparkSession, media: DataFrame,
       everyMs: Long = 1000, maxFrames: Int = 4,
       codec: MediaCodec = MediaCodec.Jvm): DataFrame = {

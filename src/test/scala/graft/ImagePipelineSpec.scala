@@ -356,6 +356,105 @@ class ImagePipelineSpec extends SparkSpec {
     list("RIFF", "AVI ", hdrl ++ movi)
   }
 
+  /** Minimal QuickTime/mp4 Motion-JPEG: ftyp + mdat carrying the
+    * ImageIO-encoded JPEG samples back to back, then a moov whose
+    * 'jpeg' video trak ships the full stts/stsz/stsc/stco tables with
+    * TRUE absolute file offsets (two chunks via a two-run stsc, so the
+    * chunk-resolution path is exercised, not just trivial 1:1). */
+  private def movMjpeg(frames: Seq[java.awt.image.BufferedImage],
+      timescale: Int, deltas: Seq[Int]): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    val jpegs = frames.map { img =>
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", baos)
+      baos.toByteArray
+    }
+    val ftyp = box("ftyp", "qt  ".getBytes("US-ASCII") ++ be32(0) ++
+      "qt  ".getBytes("US-ASCII"))
+    val mdatPayload = jpegs.flatten.toArray
+    val mdat = box("mdat", mdatPayload)
+    val dataStart = ftyp.length + 8L // first sample's absolute offset
+    // chunk 1 = first 2 samples, chunk 2 = the rest (stsc runs)
+    val chunk2Start = dataStart + jpegs.take(2).map(_.length).sum
+    val n = jpegs.length
+    val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale.toLong) ++ be32(deltas.map(_.toLong).sum) ++ be32(0))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++
+      "vide".getBytes("US-ASCII") ++ Array.fill(13)(0.toByte))
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      (be32(86) ++ "jpeg".getBytes("US-ASCII") ++ Array.fill(78)(0.toByte)))
+    val stts = box("stts", be32(0) ++ be32(deltas.length.toLong) ++
+      deltas.flatMap(d => be32(1) ++ be32(d.toLong)).toArray)
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(n.toLong) ++
+      jpegs.flatMap(j => be32(j.length.toLong)).toArray)
+    val stsc = box("stsc", be32(0) ++ be32(2) ++
+      be32(1) ++ be32(2) ++ be32(1) ++   // chunks 1.. : 2 samples each
+      be32(2) ++ be32(n - 2L) ++ be32(1)) // from chunk 2: the rest
+    val stco = box("stco", be32(0) ++ be32(2) ++
+      be32(dataStart) ++ be32(chunk2Start))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val moov = box("moov", box("trak",
+      box("mdia", mdhd ++ hdlr ++ box("minf", stbl))))
+    ftyp ++ mdat ++ moov
+  }
+
+  test("video: QuickTime/mp4 MJPEG sampling decodes real pixels " +
+      "through the full sample tables") {
+    import java.awt.image.BufferedImage
+    def frame(rgb: Int): BufferedImage = {
+      val img = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb))
+      g.fillRect(0, 0, 16, 12)
+      g.dispose()
+      img
+    }
+    // 4 frames, VARIABLE durations (700+300+500+500 ms at timescale
+    // 1000) => timeline [0, 2000): t=0 -> frame 0 (red), t=1000 ->
+    // frame 2 (blue, starts at 1000) — stts-resolved, which the AVI
+    // path's single clock could not express
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val mov = movMjpeg(colors.map(frame), timescale = 1000,
+      deltas = Seq(700, 300, 500, 500))
+    val media = Multimodal.asMediaFrame(
+      Seq((11L, mov)).toDF("id", "bytes"), "id", "video", "bytes")
+    val rows = Multimodal.sampleVideoFrames(
+        spark, media, everyMs = 1000, maxFrames = 8)
+      .orderBy("frame_ts_ms").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 1000L),
+      "samples must stop at the track's total duration")
+    val expected = Seq((true, false), (false, true)) // (red, blue)
+    rows.zip(expected).foreach { case (r, (isRed, isBlue)) =>
+      val png = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(png.getWidth == 16 && png.getHeight == 12)
+      val p = png.getRGB(8, 6)
+      val (red, blue) = ((p >> 16) & 0xff, p & 0xff)
+      if (isRed) assert(red > 200 && blue < 80, f"not red: $p%08x")
+      if (isBlue) assert(blue > 200 && red < 80, f"not blue: $p%08x")
+    }
+    // determinism + the drop-undecodable policy on mangled inputs
+    val again = Multimodal.sampleVideoFrames(
+        spark, media, everyMs = 1000, maxFrames = 8)
+      .orderBy("frame_ts_ms").collect()
+    rows.zip(again).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(
+        a.getAs[Array[Byte]](2), b.getAs[Array[Byte]](2)))
+    }
+    val junk = Multimodal.asMediaFrame(
+      Seq((1L, mov.take(60)), (2L, mov.map(b => (b ^ 0x55).toByte)))
+        .toDF("id", "bytes"), "id", "video", "bytes")
+    assert(Multimodal.sampleVideoFrames(spark, junk).count() == 0)
+    // an avc1 (inter-frame) mp4 still DROPS: the 'jpeg' entry gate
+    val avc = graft.pipeline.MediaFixtures.synth(3)._2 // mp4/avc1 fixture
+    val avcMedia = Multimodal.asMediaFrame(
+      Seq((3L, avc)).toDF("id", "bytes"), "id", "video", "bytes")
+    assert(Multimodal.sampleVideoFrames(spark, avcMedia).count() == 0)
+  }
+
   test("video: AVI/MJPEG frame sampling decodes real pixels") {
     import java.awt.image.BufferedImage
     def frame(rgb: Int): BufferedImage = {

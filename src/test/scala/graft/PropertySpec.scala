@@ -205,12 +205,15 @@ class PropertySpec extends SparkSpec {
     // not a task-killing exception. Fuzz three byte shapes — pure
     // noise, noise behind the magic prefix each decoder trusts most,
     // and truncated valid-ish headers — through every pure-JVM decoder.
-    import graft.pipeline.{AviMjpeg, Flac, GifFrames, ImaAdpcm, MsAdpcm}
+    import graft.pipeline.{AviMjpeg, Flac, GifFrames, ImaAdpcm,
+      Mp4Mjpeg, MsAdpcm}
     val prefixes = Seq(
       Array.empty[Byte],
       "RIFFxxxxWAVE".getBytes("ISO-8859-1"),
       "fLaC".getBytes("ISO-8859-1"),
-      "GIF89a".getBytes("ISO-8859-1"))
+      "GIF89a".getBytes("ISO-8859-1"),
+      // a plausible box-tree head so the walker gets past the magic
+      (Array[Byte](0, 0, 0, 16) ++ "ftypqt  ".getBytes("ISO-8859-1")))
     val bytesGen = for {
       p <- Gen.oneOf(prefixes)
       n <- Gen.choose(0, 96)
@@ -222,6 +225,7 @@ class PropertySpec extends SparkSpec {
       Flac.decode(b)
       GifFrames.sample(b, 40, 4)
       AviMjpeg.sample(b, 40, 4)
+      Mp4Mjpeg.sample(b, 40, 4)
     }
   }
 
