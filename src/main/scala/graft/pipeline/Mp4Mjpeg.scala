@@ -4,7 +4,9 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 /** REAL pure-JVM video frame sampling for Motion-JPEG inside ISO-BMFF
-  * (QuickTime .mov / .mp4 with a 'jpeg' video sample entry).
+  * (QuickTime .mov / .mp4 with a 'jpeg' video sample entry; the
+  * 'png ' PNG-animation sibling entry rides the same tables and is
+  * lossless end-to-end).
   *
   * The third genuinely decodable video path next to [[GifFrames]] and
   * [[AviMjpeg]]: MJPEG is intra-only and each sample is an ordinary
@@ -103,11 +105,14 @@ object Mp4Mjpeg {
             else if (ver == 0 && body + 16 <= bend)
               cur.timescale = be32(b, body.toInt + 12)
           case "stsd" if cur != null && body + 16 <= bend =>
-            // 'jpeg' is the QuickTime Motion-JPEG sample entry; 'mjpa'/
-            // 'mjpb' are FIELD-SPLIT MJPEG variants whose payloads are
-            // not plain JFIF scans — ImageIO cannot read them, so they
+            // 'jpeg' is the QuickTime Motion-JPEG sample entry and
+            // 'png ' its PNG-animation sibling — both are containers
+            // of ordinary ImageIO-readable still images. 'mjpa'/'mjpb'
+            // are FIELD-SPLIT MJPEG variants whose payloads are not
+            // plain JFIF scans — ImageIO cannot read them, so they
             // stay at the seam rather than half-working here
-            curIsJpeg = fourcc(b, body.toInt + 12) == "jpeg"
+            val entry = fourcc(b, body.toInt + 12)
+            curIsJpeg = entry == "jpeg" || entry == "png "
           case "stts" if cur != null && body + 8 <= bend =>
             val n = be32(b, body.toInt + 4)
             var i = 0L; var off = body + 8

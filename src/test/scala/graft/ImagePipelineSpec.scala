@@ -362,14 +362,15 @@ class ImagePipelineSpec extends SparkSpec {
     * TRUE absolute file offsets (two chunks via a two-run stsc, so the
     * chunk-resolution path is exercised, not just trivial 1:1). */
   private def movMjpeg(frames: Seq[java.awt.image.BufferedImage],
-      timescale: Int, deltas: Seq[Int]): Array[Byte] = {
+      timescale: Int, deltas: Seq[Int],
+      entry: String = "jpeg", enc: String = "jpeg"): Array[Byte] = {
     def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     def box(typ: String, body: Array[Byte]): Array[Byte] =
       be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
     val jpegs = frames.map { img =>
       val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpeg", baos)
+      javax.imageio.ImageIO.write(img, enc, baos)
       baos.toByteArray
     }
     val ftyp = box("ftyp", "qt  ".getBytes("US-ASCII") ++ be32(0) ++
@@ -385,7 +386,7 @@ class ImagePipelineSpec extends SparkSpec {
     val hdlr = box("hdlr", be32(0) ++ be32(0) ++
       "vide".getBytes("US-ASCII") ++ Array.fill(13)(0.toByte))
     val stsd = box("stsd", be32(0) ++ be32(1) ++
-      (be32(86) ++ "jpeg".getBytes("US-ASCII") ++ Array.fill(78)(0.toByte)))
+      (be32(86) ++ entry.getBytes("US-ASCII") ++ Array.fill(78)(0.toByte)))
     val stts = box("stts", be32(0) ++ be32(deltas.length.toLong) ++
       deltas.flatMap(d => be32(1) ++ be32(d.toLong)).toArray)
     val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(n.toLong) ++
@@ -453,6 +454,21 @@ class ImagePipelineSpec extends SparkSpec {
     val avcMedia = Multimodal.asMediaFrame(
       Seq((3L, avc)).toDF("id", "bytes"), "id", "video", "bytes")
     assert(Multimodal.sampleVideoFrames(spark, avcMedia).count() == 0)
+    // the 'png ' sibling entry (QuickTime PNG animation) decodes via
+    // the same tables — and PNG is lossless, so pixels are EXACT
+    val png = movMjpeg(colors.map(frame), timescale = 1000,
+      deltas = Seq(700, 300, 500, 500), entry = "png ", enc = "png")
+    val pngRows = Multimodal.sampleVideoFrames(spark,
+        Multimodal.asMediaFrame(Seq((12L, png)).toDF("id", "bytes"),
+          "id", "video", "bytes"), everyMs = 1000, maxFrames = 8)
+      .orderBy("frame_ts_ms").collect()
+    assert(pngRows.map(_.getLong(1)).toSeq == Seq(0L, 1000L))
+    val p0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      pngRows(0).getAs[Array[Byte]](2))).getRGB(8, 6) & 0xffffff
+    val p1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      pngRows(1).getAs[Array[Byte]](2))).getRGB(8, 6) & 0xffffff
+    assert(p0 == 0xff0000 && p1 == 0x0000ff,
+      f"png samples not bit-exact: $p0%06x $p1%06x")
   }
 
   test("video: AVI/MJPEG frame sampling decodes real pixels") {
