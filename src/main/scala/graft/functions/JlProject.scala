@@ -42,10 +42,18 @@ case class JlProject(left: Expression, right: Expression)
         // k <= 0 (the per-row require would otherwise throw at
         // execution) and absurd k (a 2e9 literal would attempt a
         // ~16 GB per-row output allocation and OOM the executor —
-        // fail analysis instead; 2^16 dims is far past any JL target)
-        val k = right.eval()
-        if (k == null || k.asInstanceOf[Int] <= 0 ||
-            k.asInstanceOf[Int] > 65536)
+        // fail analysis instead; 2^16 dims is far past any JL target).
+        // A NULL k keeps its longstanding nullIntolerant semantics
+        // (null result column), and an eval that THROWS here (ANSI
+        // cast of a bad literal) becomes a clean type-check failure,
+        // not a raw exception out of the analyzer.
+        val k = try right.eval() catch {
+          case scala.util.control.NonFatal(e) =>
+            return TypeCheckResult.TypeCheckFailure(
+              s"jl_project: k is not evaluable at analysis time: $e")
+        }
+        if (k != null && (k.asInstanceOf[Int] <= 0 ||
+            k.asInstanceOf[Int] > 65536))
           TypeCheckResult.TypeCheckFailure(
             s"jl_project: k must be in [1, 65536], got $k")
         else TypeCheckResult.TypeCheckSuccess

@@ -59,8 +59,12 @@ object MediaProbe {
       sampleBytes: Long = 0, maxSampleBytes: Long = 0, chunks: Long = 0,
       syncSamples: Long = 0)
 
-  /** Probe any supported container; None when nothing matches. Order
-    * matters only for speed — the magic checks are disjoint. */
+  /** Probe any supported container; None when nothing matches. The
+    * magic checks are disjoint AT OFFSET 0, so order is mostly a
+    * speed choice; the one exception is the two raw-sync WINDOW
+    * scanners (ADTS vs MPEG audio), where probeAdts explicitly defers
+    * to a verified mp3 stream at the start offset — see its header
+    * comment. */
   def probe(bytes: Array[Byte]): Option[MediaInfo] =
     if (bytes == null || bytes.length < 8) None
     else probeMp4(bytes).orElse(probeEbml(bytes)).orElse(probeOgg(bytes))
@@ -70,16 +74,19 @@ object MediaProbe {
 
   // ---------------------------------------------------------------- utils
 
-  private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
+  // u8/be32/be64/fourcc are private[pipeline]: Mp4Mjpeg reads the
+  // same big-endian box layout (one definition per hardening class,
+  // the RiffWav precedent for the little-endian side)
+  private[pipeline] def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
   private def be16(b: Array[Byte], o: Int): Int = (u8(b, o) << 8) | u8(b, o + 1)
   // little-endian readers live in RiffWav (one definition per hardening
   // class — see its scaladoc); the big-endian ones have no other user
   private def le16(b: Array[Byte], o: Int): Int = RiffWav.le16(b, o)
   private def le32(b: Array[Byte], o: Int): Long = RiffWav.le32(b, o)
-  private def be32(b: Array[Byte], o: Int): Long =
+  private[pipeline] def be32(b: Array[Byte], o: Int): Long =
     ((u8(b, o).toLong << 24) | (u8(b, o + 1) << 16) |
       (u8(b, o + 2) << 8) | u8(b, o + 3)) & 0xffffffffL
-  private def be64(b: Array[Byte], o: Int): Long =
+  private[pipeline] def be64(b: Array[Byte], o: Int): Long =
     (be32(b, o) << 32) | be32(b, o + 4)
   private def le64(b: Array[Byte], o: Int): Long =
     le32(b, o) | (le32(b, o + 4) << 32)
@@ -97,7 +104,7 @@ object MediaProbe {
     else try Math.addExact(a, b)
     catch { case _: ArithmeticException => -1L }
 
-  private def fourcc(b: Array[Byte], o: Int): String =
+  private[pipeline] def fourcc(b: Array[Byte], o: Int): String =
     new String(Array(b(o), b(o + 1), b(o + 2), b(o + 3)),
       java.nio.charset.StandardCharsets.ISO_8859_1)
   private def matches(b: Array[Byte], o: Int, s: String): Boolean =
@@ -313,6 +320,19 @@ object MediaProbe {
     * ([[MediaCodec]]) — everything read here is framing. */
   private def probeAdts(b: Array[Byte]): Option[MediaInfo] = {
     val start = skipId3(b)
+    // AT the stream start the two raw-sync formats are bit-disjoint
+    // (ADTS is layer 00, exactly what mp3Header rejects) — but the
+    // WINDOW SCAN below is not: a genuine mp3's compressed payload can
+    // contain two consecutive ADTS-shaped false syncs, and this probe
+    // runs first. So if a VERIFIED MPEG-audio stream begins exactly at
+    // the post-ID3 offset, defer to probeMp3 rather than scanning the
+    // mp3's payload bytes for accidental ADTS patterns.
+    val m = mp3Header(b, start)
+    if (m != null) {
+      val n2 = mp3Header(b, start + m(0))
+      if ((n2 != null && n2(2) == m(2) && n2(5) == m(5) && n2(6) == m(6))
+          || start + m(0) == b.length) return None
+    }
     var o = start
     var h: Array[Int] = null
     val limit = math.min(b.length - 7, start + 64 * 1024)

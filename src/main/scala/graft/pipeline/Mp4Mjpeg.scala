@@ -23,8 +23,11 @@ import javax.imageio.ImageIO
   * honest for a zero-egress JVM.
   *
   * Timeline semantics mirror [[AviMjpeg]]: sampling instants are 0,
-  * everyMs, 2·everyMs, … strictly inside the track's total duration
-  * (Σ stts count·delta rescaled by the mdhd timescale), each instant
+  * everyMs, 2·everyMs, … strictly inside the display span of the
+  * RESOLVED sample prefix (= the full stts total on a coherent file;
+  * on a lying/truncated table it ends with the last coherent sample,
+  * so no instant is ever served a frame whose display interval does
+  * not contain it), each instant
   * resolved to the sample whose display interval contains it — except
   * that stts makes PER-SAMPLE durations first-class, so a
   * variable-frame-rate table samples correctly where AVI's single
@@ -39,15 +42,17 @@ import javax.imageio.ImageIO
   */
 object Mp4Mjpeg {
 
-  private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
-  private def be32(b: Array[Byte], o: Int): Long =
-    ((u8(b, o).toLong << 24) | (u8(b, o + 1) << 16) |
-      (u8(b, o + 2) << 8) | u8(b, o + 3)) & 0xffffffffL
-  private def be64(b: Array[Byte], o: Int): Long =
-    (be32(b, o) << 32) | be32(b, o + 4)
+  // byte readers shared with MediaProbe (one definition per hardening
+  // class — the RiffWav precedent); the box WALK itself is deliberately
+  // separate: the probe accumulates metadata summaries and skips
+  // stco/co64 entirely, this demuxer needs offsets and full stsc
+  // resolution, and fusing the two walks would couple their bounding
+  // rules to two different failure policies
+  private def u8(b: Array[Byte], o: Int): Int = MediaProbe.u8(b, o)
+  private def be32(b: Array[Byte], o: Int): Long = MediaProbe.be32(b, o)
+  private def be64(b: Array[Byte], o: Int): Long = MediaProbe.be64(b, o)
   private def fourcc(b: Array[Byte], o: Int): String =
-    if (o + 4 > b.length) ""
-    else new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (o + 4 > b.length) "" else MediaProbe.fourcc(b, o)
 
   // a lying table may declare u32 entry counts; nothing here allocates
   // past this (2^20 frames ≈ 12 h of 24 fps — far past any real clip
@@ -93,8 +98,12 @@ object Mp4Mjpeg {
           case "trak" =>
             cur = new Tables; curHandler = ""; curIsJpeg = false
             if (depth < 8) walk(body, bend, depth + 1)
+            // vide or handlerless only — a text/hint/meta trak with a
+            // 'jpeg' entry must not masquerade as the video track
+            // (the same whitelist MediaProbe's trak commit uses)
             if (committed == null && cur != null && curIsJpeg &&
-                curHandler != "soun" && cur.complete) committed = cur
+                (curHandler == "vide" || curHandler.isEmpty) &&
+                cur.complete) committed = cur
             cur = null
           case "hdlr" if cur != null && body + 12 <= bend =>
             curHandler = fourcc(b, body.toInt + 8)
@@ -176,43 +185,55 @@ object Mp4Mjpeg {
     * offset. Any inconsistency (offsets past EOF, sizes overrunning,
     * fewer chunks than the runs claim) stops resolution at the last
     * coherent sample — bounded output on lying input. */
-  private def resolve(t: Tables, fileLen: Int):
-      Array[(Long, Long, Int)] = {
+  /** Resolution result: the coherent sample prefix plus the exact
+    * tick where that prefix's display time ENDS — the sampling
+    * horizon. On a fully coherent file coveredTicks equals the stts
+    * total; on a lying/truncated table it stops with the last
+    * resolved sample, so instants past the prefix are NOT clamped
+    * onto the last frame (which would fabricate output at timestamps
+    * the file never covered). */
+  private final case class Resolved(
+      frames: Array[(Long, Long, Int)], coveredTicks: Long)
+
+  private def resolve(t: Tables, fileLen: Int): Resolved = {
     val n = t.sizes.length
     val out = Vector.newBuilder[(Long, Long, Int)]
-    // per-sample start times in media ticks (cumulative stts)
+    // per-sample start AND end times in media ticks (cumulative stts)
     val starts = new Array[Long](n)
+    val ends = new Array[Long](n)
     var si = 0; var tick = 0L
     t.sttsRuns.foreach { case (cnt, delta) =>
       var c = 0L
       while (c < cnt && si < n) {
-        starts(si) = tick; tick += delta; si += 1; c += 1
+        starts(si) = tick; tick += delta; ends(si) = tick; si += 1; c += 1
       }
     }
-    if (si < n) return Array.empty // stts covers fewer samples than stsz
+    if (si < n) return Resolved(Array.empty, 0L) // stts short of stsz
     var sample = 0
     var chunk = 0
     var run = 0
+    def done() = Resolved(out.result().toArray,
+      if (sample > 0) ends(sample - 1) else 0L)
     while (sample < n && chunk < t.chunkOffs.length) {
       // samples-per-chunk for THIS chunk: advance the run pointer while
       // the next run's firstChunk (1-based) has begun
       while (run + 1 < t.stscRuns.length &&
         t.stscRuns(run + 1)._1 <= chunk + 1) run += 1
       val spc = t.stscRuns(run)._2
-      if (spc <= 0) return out.result().toArray
+      if (spc <= 0) return done()
       var off = t.chunkOffs(chunk)
       var k = 0L
       while (k < spc && sample < n) {
         val sz = t.sizes(sample)
         if (off < 0 || sz <= 0 || sz > Int.MaxValue ||
-            off + sz > fileLen) return out.result().toArray
+            off + sz > fileLen) return done()
         out += ((starts(sample) * 1000L / t.timescale, off, sz.toInt))
         off += sz; sample += 1; k += 1
       }
       chunk += 1
     }
     // fewer chunks than samples ⇒ the coherent prefix stands
-    out.result().toArray
+    done()
   }
 
   /** Demux + JPEG-decode + sample the frame timeline at 0, everyMs,
@@ -223,11 +244,13 @@ object Mp4Mjpeg {
       maxFrames: Int): Option[Seq[(Long, Array[Byte])]] = {
     try {
       val t = demux(bytes).getOrElse(return None)
-      val frames = resolve(t, bytes.length)
+      val r = resolve(t, bytes.length)
+      val frames = r.frames
       if (frames.isEmpty) return None
-      val totalTicks = t.sttsRuns.take(MaxSamples)
-        .map { case (c, d) => c * d }.sum
-      val totalMs = totalTicks * 1000L / t.timescale
+      // sampling horizon = the RESOLVED prefix's end, not the declared
+      // stts total: past-the-prefix instants are skipped, never served
+      // the last frame's pixels at a timestamp the file never covered
+      val totalMs = r.coveredTicks * 1000L / t.timescale
       if (totalMs <= 0) return None
       val decoded = new scala.collection.mutable.HashMap[Int, Option[
         java.awt.image.BufferedImage]]()

@@ -138,6 +138,12 @@ class ExpressionSpec extends SparkSpec {
       Seq((Array(1f, 2f), 3)).toDF("a", "k")
         .selectExpr("jl_project(a, k)").queryExecution.analyzed
     }
+    // a NULL literal k keeps the nullIntolerant semantics it always
+    // had: analyzes fine, yields a null column — the value check must
+    // not narrow that into an analysis failure
+    val nullOut = df.selectExpr("jl_project(a, cast(null as int))")
+      .collect().head
+    assert(nullOut.isNullAt(0), "null k must yield a null projection")
   }
 
   test("cosine_sim: double and mixed float/double sides (the jl_project " +

@@ -469,6 +469,73 @@ class ImagePipelineSpec extends SparkSpec {
       pngRows(1).getAs[Array[Byte]](2))).getRGB(8, 6) & 0xffffff
     assert(p0 == 0xff0000 && p1 == 0x0000ff,
       f"png samples not bit-exact: $p0%06x $p1%06x")
+    // co64 (64-bit chunk offsets): rewrite the stco box in place as a
+    // co64 carrying the same two offsets widened to 8 bytes — the
+    // sampler must resolve identically through the wide-offset path
+    val stcoIdx = {
+      var i = -1; var j = 0
+      while (i < 0 && j + 4 <= mov.length) {
+        if (mov(j) == 's' && mov(j + 1) == 't' && mov(j + 2) == 'c' &&
+          mov(j + 3) == 'o') i = j - 4
+        j += 1
+      }
+      i
+    }
+    assert(stcoIdx > 0, "fixture lost its stco box")
+    val nOff = 2
+    val offs = (0 until nOff).map(k =>
+      java.nio.ByteBuffer.wrap(mov, stcoIdx + 16 + 4 * k, 4).getInt.toLong)
+    def b32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val co64Box = b32(16L + 8 * nOff) ++ "co64".getBytes("US-ASCII") ++
+      b32(0) ++ b32(nOff.toLong) ++
+      offs.flatMap(o => b32(o >>> 32) ++ b32(o & 0xffffffffL)).toArray
+    // splice: grow the stbl/minf/mdia/trak/moov sizes by the 8 extra
+    // bytes co64 adds over stco (4 ancestors + the box itself live
+    // AFTER mdat, so no sample offset moves)
+    val before = mov.take(stcoIdx); val after = mov.drop(stcoIdx + 8 + 16)
+    val grown = new Array[Byte](before.length)
+    System.arraycopy(before, 0, grown, 0, before.length)
+    for (anc <- Seq("stbl", "minf", "mdia", "trak", "moov")) {
+      var i = -1; var j = 0
+      while (i < 0 && j + 4 <= grown.length) {
+        if (grown(j) == anc(0) && grown(j + 1) == anc(1) &&
+          grown(j + 2) == anc(2) && grown(j + 3) == anc(3)) i = j - 4
+        j += 1
+      }
+      assert(i >= 0, s"ancestor $anc not found")
+      val sz = java.nio.ByteBuffer.wrap(grown, i, 4).getInt + 8
+      grown(i) = ((sz >> 24) & 0xff).toByte
+      grown(i + 1) = ((sz >> 16) & 0xff).toByte
+      grown(i + 2) = ((sz >> 8) & 0xff).toByte
+      grown(i + 3) = (sz & 0xff).toByte
+    }
+    val movCo64 = grown ++ co64Box ++ after
+    val wide = Multimodal.sampleVideoFrames(spark,
+        Multimodal.asMediaFrame(Seq((13L, movCo64)).toDF("id", "bytes"),
+          "id", "video", "bytes"), everyMs = 1000, maxFrames = 8)
+      .orderBy("frame_ts_ms").collect()
+    assert(wide.map(_.getLong(1)).toSeq == Seq(0L, 1000L),
+      "co64 offsets must resolve like stco")
+    rows.zip(wide).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(
+        a.getAs[Array[Byte]](2), b.getAs[Array[Byte]](2)),
+        "co64 sample bytes diverge from the stco run")
+    }
+    // lying stco (declares 1 chunk while stts/stsz declare 4 samples):
+    // only the coherent prefix (samples 0-1, display span [0, 1000))
+    // resolves, and the sampling HORIZON shrinks with it — t=1000 must
+    // be skipped, not served frame 1's pixels at a timestamp outside
+    // its display interval
+    val lying = mov.clone()
+    lying(stcoIdx + 12) = 0; lying(stcoIdx + 13) = 0
+    lying(stcoIdx + 14) = 0; lying(stcoIdx + 15) = 1
+    val prefix = Multimodal.sampleVideoFrames(spark,
+        Multimodal.asMediaFrame(Seq((14L, lying)).toDF("id", "bytes"),
+          "id", "video", "bytes"), everyMs = 1000, maxFrames = 8)
+      .collect()
+    assert(prefix.map(_.getLong(1)).toSeq == Seq(0L),
+      s"truncated-table horizon leaked: ${prefix.map(_.getLong(1)).toSeq}")
   }
 
   test("video: AVI/MJPEG frame sampling decodes real pixels") {

@@ -489,6 +489,20 @@ class MediaProbeSpec extends SparkSpec {
     }
   }
 
+  test("adts: a real mp3 with ADTS-shaped bytes in its payload is " +
+      "still mpeg-audio (the scanner-order ambiguity)") {
+    // plant two consecutive valid ADTS frames INSIDE an mp3 frame's
+    // payload: probeAdts runs first and its 64 KB window scan would
+    // find them, but a verified MPEG-audio stream starts at offset 0,
+    // so it must defer to probeMp3
+    val fake = cat(adtsFrame(60), adtsFrame(60))
+    val s = mp3Stream(3)
+    System.arraycopy(fake, 0, s, 40, fake.length) // inside frame 1 payload
+    val info = MediaProbe.probe(s).get
+    assert(info.container == "mpeg-audio" && info.codec == "mp3",
+      s"misclassified as ${info.container}/${info.codec}")
+  }
+
   test("adts: ID3v2 prefix is skipped; walk stops at a rate change") {
     val tag = cat(cc("ID3"), Array[Byte](4, 0, 0),
       Array[Byte](0, 0, 0, 30), Array.fill[Byte](30)(0x41))

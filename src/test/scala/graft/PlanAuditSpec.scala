@@ -93,10 +93,11 @@ class PlanAuditSpec extends SparkSpec {
     val got = scala.collection.mutable.Map.empty[String, Int]
     // Using closes the walk stream and each file (a bare Files.walk/
     // Source.fromFile leaks a handle per suite run in a long-lived
-    // sbt session). The '//'-suffix strip anchors to " //" so a
-    // literal "//" INSIDE a string (a URL, an expr("a // b")) cannot
-    // hide a broadcast( call later on the same line; the library
-    // style always puts a space before a trailing comment.
+    // sbt session). Comment stripping ERASES string literals first:
+    // a "//" inside a string (a URL, an expr("a // b")) must not be
+    // read as a comment start, or a broadcast( call later on the same
+    // line would silently escape the audit.
+    val strLit = "\"(\\\\.|[^\"\\\\])*\"".r
     scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>
       stream.forEach { p =>
         if (p.toString.endsWith(".scala")) {
@@ -106,7 +107,10 @@ class PlanAuditSpec extends SparkSpec {
               .filterNot { l =>
                 val s = l.trim; s.startsWith("//") || s.startsWith("*")
               }
-              .map(l => "broadcast\\(".r.findAllIn(l.split(" //")(0)).size)
+              .map { l =>
+                val noStr = strLit.replaceAllIn(l, "\"\"")
+                "broadcast\\(".r.findAllIn(noStr.split("//")(0)).size
+              }
               .sum
           }
           if (n > 0) got(root.relativize(p).toString) = n

@@ -1162,7 +1162,7 @@ class StreamingSpec extends SparkSpec {
     val waveB = merged.collect {
       case (id, "keep", text) => (id, 1L, "insert", text)
       case (id, "update", _) => (id, 1L, "insert", "pre-update body")
-    } ++ removed.toSeq.map(id => (id, 1L, "insert", "doomed")).toSeq
+    }.toSeq ++ removed.toSeq.map(id => (id, 1L, "insert", "doomed"))
     // wave C: a transport retry — duplicates of earlier deliveries
     val waveC = removed.toSeq.map(id => (id, 1L, "insert", "doomed")) ++
       changed.take(3).toSeq.map(id => (id, 2L, "update", mergedByKey(id)))
