@@ -867,8 +867,35 @@ object MediaProbe {
       if (codec == "opus" && granule > 0) granule * 1000L / 48000L
       else if (sr > 0 && granule > 0) granule * 1000L / sr
       else 0L
+    // AUDIO packet count (r12, the `frames` field): forward page walk
+    // counting packets that COMPLETE on each page (lacing values
+    // < 255, RFC 3533 §5) — but only on pages whose granule position
+    // is > 0: header packets (id/comment/setup) complete on granule-0
+    // pages by the mapping specs, and a continued-packet-only page
+    // carries granule -1, so both are excluded without hardcoding any
+    // per-codec header-packet count. A corrupt/truncated middle page
+    // ends the count at the coherent prefix, like every other walk.
+    var pkts = 0L
+    var pp = 0
+    var guard = 0
+    while (pp >= 0 && pp + 27 <= b.length && matches(b, pp, "OggS") &&
+        isPageHeader(pp) && guard < (1 << 20)) {
+      guard += 1
+      val nseg = u8(b, pp + 26)
+      val gran = le64(b, pp + 6)
+      var sum = 0L; var completed = 0L
+      var s = 0
+      while (s < nseg) {
+        val v = u8(b, pp + 27 + s)
+        sum += v; if (v < 255) completed += 1; s += 1
+      }
+      if (gran > 0) pkts += completed
+      val next = pp.toLong + 27 + nseg + sum
+      pp = if (next > b.length.toLong) -1 else next.toInt
+    }
     Some(MediaInfo("ogg", codec, sr, ch,
-      if (durMs > 0) (b.length * 8L / durMs).toInt else 0, durMs, 0, 0, 0L))
+      if (durMs > 0) (b.length * 8L / durMs).toInt else 0, durMs, 0, 0,
+      pkts))
   }
 
   // ------------------------------------------------- RIFF (wav / avi)

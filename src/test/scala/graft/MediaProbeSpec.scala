@@ -641,6 +641,32 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.container == "ogg" && info.codec == "opus")
     assert(info.channels == 2 && info.sampleRate == 48000)
     assert(info.durationMs == 2000) // 96000 ticks at 48 kHz
+    assert(info.frames == 1) // one packet completes on the audio page
+  }
+
+  test("ogg: frames counts packets completing on audio pages only " +
+      "(granule-0 header pages and continued-packet pages excluded)") {
+    def page(gran: Long, lacing: Array[Byte],
+        payload: Array[Byte]): Array[Byte] =
+      cat(cc("OggS"), Array[Byte](0, 0), le64(gran), le32(1), le32(0),
+        le32(0), Array[Byte](lacing.length.toByte), lacing, payload)
+    val head = cat(cc("OpusHead"), Array[Byte](1, 2), le16(312),
+      le32(48000), le16(0), Array[Byte](0))
+    // header page (granule 0, 1 packet), tags page (granule 0, 1
+    // packet — must NOT count), audio page A: 3 packets (lacing 20,
+    // 20, 20), a continued-packet page (granule -1, one 255 lacing,
+    // no completion), audio page B: the continuation ends + 1 more
+    // (lacing 45, 20) => frames = 3 + 2 = 5
+    val clip = cat(
+      page(0, Array[Byte](head.length.toByte), head),
+      page(0, Array[Byte](30), cat(cc("OpusTags"),
+        Array.fill[Byte](22)(0x41))),
+      page(4800, Array[Byte](20, 20, 20), Array.fill[Byte](60)(1)),
+      page(-1, Array[Byte](-1), Array.fill[Byte](255)(2)), // 255 = cont.
+      page(9600, Array[Byte](45, 20), Array.fill[Byte](65)(3)))
+    val info = MediaProbe.probe(clip).get
+    assert(info.frames == 5, s"packet count ${info.frames}")
+    assert(info.durationMs == 9600 * 1000L / 48000)
   }
 
   test("ogg vorbis: type byte + magic at packet start; channels/rate " +
@@ -1066,6 +1092,21 @@ class MediaProbeSpec extends SparkSpec {
   }
 
   // -------------------------------------------------- spark plumbing
+
+  test("every MediaFixtures id probes with a recognized container " +
+      "and positive duration (0..210, 30 per family)") {
+    // the q138 test pins exact fields at 100 Spark-driven ids; this
+    // direct loop widens the id range so every family's parameter
+    // cycle (frame counts, tag variants, header shapes, durations)
+    // is exercised end-to-end at least 30 times
+    (0L until 210L).foreach { id =>
+      val (_, bytes) = graft.pipeline.MediaFixtures.synth(id)
+      val info = MediaProbe.probe(bytes).getOrElse(
+        fail(s"fixture id $id did not probe"))
+      assert(info.container.nonEmpty && info.codec.nonEmpty, s"id $id")
+      assert(info.durationMs > 0, s"id $id zero duration")
+    }
+  }
 
   test("q138: every synthetic clip probes; per-format fields are exact") {
     val out = SparkEntry.queries("q138_media_probe")(spark, sf).collect()
