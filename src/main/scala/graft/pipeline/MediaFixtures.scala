@@ -153,13 +153,15 @@ object MediaFixtures {
   /** Ogg Opus: id page + one data page whose granule encodes
     * `(1 + id % 4) / 2` seconds at 48 kHz. */
   private def ogg(id: Long): Array[Byte] = {
-    def page(gran: Long, payload: Array[Byte]): Array[Byte] =
-      cat(cc("OggS"), Array[Byte](0, 2), le64(gran), le32(1), le32(0),
+    // BOS flag (0x02) on the FIRST page only, like a real muxer —
+    // a BOS after data pages would read as a chained-stream boundary
+    def page(typ: Byte, gran: Long, payload: Array[Byte]): Array[Byte] =
+      cat(cc("OggS"), Array[Byte](0, typ), le64(gran), le32(1), le32(0),
         le32(0), Array[Byte](1, payload.length.toByte), payload)
     val head = cat(cc("OpusHead"), Array[Byte](1, 2), le16(312),
       le32(48000), le16(0), Array[Byte](0))
-    cat(page(0, head), page(24000L * (1 + id % 4),
-      Array.tabulate[Byte](24)(i => ((id + i) & 0xff).toByte)))
+    cat(page(2, 0, head), page(0, 24000L * (1 + id % 4),
+      Array.tabulate[Byte](24)(i => (((id + i) & 0x3f) + 1).toByte)))
   }
 
   /** webm: EBML DocType header + unknown-size Segment with Info

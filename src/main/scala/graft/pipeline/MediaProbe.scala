@@ -863,36 +863,63 @@ object MediaProbe {
       if (matches(b, i, "OggS") && isPageHeader(i)) last = i else i -= 1
     }
     val granule = if (last >= 0 && last + 14 <= b.length) le64(b, last + 6) else 0L
-    val durMs =
-      if (codec == "opus" && granule > 0) granule * 1000L / 48000L
-      else if (sr > 0 && granule > 0) granule * 1000L / sr
-      else 0L
     // AUDIO packet count (r12, the `frames` field): forward page walk
     // counting packets that COMPLETE on each page (lacing values
-    // < 255, RFC 3533 §5) — but only on pages whose granule position
-    // is > 0: header packets (id/comment/setup) complete on granule-0
-    // pages by the mapping specs, and a continued-packet-only page
-    // carries granule -1, so both are excluded without hardcoding any
-    // per-codec header-packet count. A corrupt/truncated middle page
-    // ends the count at the coherent prefix, like every other walk.
+    // < 255, RFC 3533 §5) — restricted to the IDENTIFIED stream:
+    // only pages carrying the first page's serial number (a
+    // multiplexed file's other logical streams — Theora video,
+    // metadata — have their own serials and must not inflate the
+    // audio count), and only pages whose granule position is > 0
+    // (header packets complete on granule-0 pages by the mapping
+    // specs; a continued-packet-only page carries granule -1 — both
+    // excluded without hardcoding any per-codec header-packet count).
+    // A BOS page (header-type bit 0x02) appearing after a non-BOS
+    // page marks a CHAINED stream whose granules reset (in a grouped
+    // mux ALL streams' BOS pages come first, RFC 3533 §4, so those
+    // are not boundaries); the walk stops there so frames describes
+    // the first chain. A corrupt/truncated middle page ends the count
+    // at the coherent prefix, like every other walk.
+    val serial0 = le32(b, 14)
     var pkts = 0L
+    var chainGran = 0L // last matching-serial granule inside chain 1
+    var chained = false
+    var seenData = false // a non-BOS page has been walked
     var pp = 0
     var guard = 0
     while (pp >= 0 && pp + 27 <= b.length && matches(b, pp, "OggS") &&
         isPageHeader(pp) && guard < (1 << 20)) {
       guard += 1
-      val nseg = u8(b, pp + 26)
-      val gran = le64(b, pp + 6)
-      var sum = 0L; var completed = 0L
-      var s = 0
-      while (s < nseg) {
-        val v = u8(b, pp + 27 + s)
-        sum += v; if (v < 255) completed += 1; s += 1
+      val bos = (u8(b, pp + 5) & 0x02) != 0
+      if (bos && seenData) { chained = true; pp = -1 }
+      else {
+        if (!bos) seenData = true
+        val nseg = u8(b, pp + 26)
+        val gran = le64(b, pp + 6)
+        var sum = 0L; var completed = 0L
+        var s = 0
+        while (s < nseg) {
+          val v = u8(b, pp + 27 + s)
+          sum += v; if (v < 255) completed += 1; s += 1
+        }
+        if (gran > 0 && le32(b, pp + 14) == serial0) {
+          pkts += completed
+          chainGran = gran
+        }
+        val next = pp.toLong + 27 + nseg + sum
+        pp = if (next > b.length.toLong) -1 else next.toInt
       }
-      if (gran > 0) pkts += completed
-      val next = pp.toLong + 27 + nseg + sum
-      pp = if (next > b.length.toLong) -1 else next.toInt
     }
+    // duration: normally the LAST page's granule (robust when a probe
+    // window truncates the middle — the backward scan still finds the
+    // final intact page); on a CHAINED file granules reset per chain,
+    // so the last-chain granule would be inconsistent with the
+    // first-chain packet count — use chain 1's own last granule, the
+    // same stream `frames` describes.
+    val effGran = if (chained) chainGran else granule
+    val durMs =
+      if (codec == "opus" && effGran > 0) effGran * 1000L / 48000L
+      else if (sr > 0 && effGran > 0) effGran * 1000L / sr
+      else 0L
     Some(MediaInfo("ogg", codec, sr, ch,
       if (durMs > 0) (b.length * 8L / durMs).toInt else 0, durMs, 0, 0,
       pkts))

@@ -669,6 +669,45 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.durationMs == 9600 * 1000L / 48000)
   }
 
+  test("ogg: a multiplexed second stream's packets don't inflate " +
+      "frames; a chained stream ends both count and duration at " +
+      "chain 1") {
+    def page(typ: Byte, serial: Long, gran: Long, lacing: Array[Byte],
+        payload: Array[Byte]): Array[Byte] =
+      cat(cc("OggS"), Array[Byte](0, typ), le64(gran), le32(serial),
+        le32(0), le32(0), Array[Byte](lacing.length.toByte), lacing,
+        payload)
+    val head = cat(cc("OpusHead"), Array[Byte](1, 2), le16(312),
+      le32(48000), le16(0), Array[Byte](0))
+    // grouped mux (RFC 3533 §4): BOS pages of BOTH streams first
+    // (opus serial 1 identified from page one, a second stream serial
+    // 9), then interleaved data pages — stream 9's completed packets
+    // must not count toward the AUDIO frames
+    val mux = cat(
+      page(2, 1, 0, Array[Byte](head.length.toByte), head),
+      page(2, 9, 0, Array[Byte](10), Array.fill[Byte](10)(7)),
+      page(0, 1, 4800, Array[Byte](20, 20), Array.fill[Byte](40)(1)),
+      page(0, 9, 777, Array[Byte](10, 10, 10), Array.fill[Byte](30)(7)),
+      page(0, 1, 9600, Array[Byte](20), Array.fill[Byte](20)(1)))
+    val m = MediaProbe.probe(mux).get
+    assert(m.frames == 3, s"mux leaked foreign packets: ${m.frames}")
+    assert(m.durationMs == 9600 * 1000L / 48000)
+    // chained file (a radio-dump concat): granules RESET at chain 2,
+    // so both frames AND duration must describe chain 1 — not chain
+    // 1+2 packets against chain 2's (shorter) last granule
+    val chain2 = cat(
+      page(2, 5, 0, Array[Byte](head.length.toByte), head),
+      page(0, 5, 4800, Array[Byte](20), Array.fill[Byte](20)(3)))
+    val chain1 = cat(
+      page(2, 1, 0, Array[Byte](head.length.toByte), head),
+      page(0, 1, 4800, Array[Byte](20, 20), Array.fill[Byte](40)(1)),
+      page(0, 1, 14400, Array[Byte](20), Array.fill[Byte](20)(1)))
+    val c = MediaProbe.probe(cat(chain1, chain2)).get
+    assert(c.frames == 3, s"chained count leaked: ${c.frames}")
+    assert(c.durationMs == 14400 * 1000L / 48000,
+      s"duration not chain 1's: ${c.durationMs}")
+  }
+
   test("ogg vorbis: type byte + magic at packet start; channels/rate " +
       "from the id header; duration from last granule") {
     val info = MediaProbe.probe(oggVorbisFixture(88200)).get
