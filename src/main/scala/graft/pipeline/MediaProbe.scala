@@ -320,19 +320,6 @@ object MediaProbe {
     * ([[MediaCodec]]) — everything read here is framing. */
   private def probeAdts(b: Array[Byte]): Option[MediaInfo] = {
     val start = skipId3(b)
-    // AT the stream start the two raw-sync formats are bit-disjoint
-    // (ADTS is layer 00, exactly what mp3Header rejects) — but the
-    // WINDOW SCAN below is not: a genuine mp3's compressed payload can
-    // contain two consecutive ADTS-shaped false syncs, and this probe
-    // runs first. So if a VERIFIED MPEG-audio stream begins exactly at
-    // the post-ID3 offset, defer to probeMp3 rather than scanning the
-    // mp3's payload bytes for accidental ADTS patterns.
-    val m = mp3Header(b, start)
-    if (m != null) {
-      val n2 = mp3Header(b, start + m(0))
-      if ((n2 != null && n2(2) == m(2) && n2(5) == m(5) && n2(6) == m(6))
-          || start + m(0) == b.length) return None
-    }
     var o = start
     var h: Array[Int] = null
     val limit = math.min(b.length - 7, start + 64 * 1024)
@@ -345,6 +332,26 @@ object MediaProbe {
       } else o += 1
     }
     if (h == null) return None
+    // AT the stream start the two raw-sync formats are bit-disjoint
+    // (ADTS is layer 00, exactly what mp3Header rejects) — but window
+    // scans are not: a genuine mp3's compressed payload can contain
+    // two consecutive ADTS-shaped false syncs, and this probe runs
+    // first. probeMp3 tolerates junk BEFORE its first sync via its own
+    // 64 KB window scan, so the defer check must mirror that window,
+    // not just the post-ID3 offset: if a VERIFIED MPEG-audio sync
+    // (two consecutive agreeing headers, or a single frame exactly
+    // filling the input — probeMp3's acceptance rule) exists at or
+    // before the accepted ADTS sync, the stream is probeMp3's.
+    var mo = start
+    while (mo <= o) {
+      val m = mp3Header(b, mo)
+      if (m != null) {
+        val n2 = mp3Header(b, mo + m(0))
+        if ((n2 != null && n2(2) == m(2) && n2(5) == m(5) &&
+            n2(6) == m(6)) || mo + m(0) == b.length) return None
+        mo += 1
+      } else mo += 1
+    }
     var frames = 0L; var samples = 0L; var bytes = 0L; var pos = o
     var cur = h
     while (cur != null && pos + cur(0) <= b.length) {

@@ -225,8 +225,14 @@ object Mp4Mjpeg {
       var k = 0L
       while (k < spc && sample < n) {
         val sz = t.sizes(sample)
+        // `off > fileLen - sz`, NOT `off + sz > fileLen`: a lying co64
+        // offset just below 2^63 makes the sum wrap negative and PASS
+        // the naive check, extending coveredTicks (the sampling
+        // horizon) past the last coherent sample. The subtraction is
+        // overflow-safe because sz ∈ (0, Int.MaxValue] is already
+        // guaranteed by the two preceding tests.
         if (off < 0 || sz <= 0 || sz > Int.MaxValue ||
-            off + sz > fileLen) return done()
+            off > fileLen.toLong - sz) return done()
         out += ((starts(sample) * 1000L / t.timescale, off, sz.toInt))
         off += sz; sample += 1; k += 1
       }

@@ -295,8 +295,14 @@ object Similarity {
     // neighbors by projected cosine and keep a 50-vector candidate
     // pool — at scale this pass touches only the half-width
     // projections (4× less vector I/O than 64-dim floats); (3)
-    // REFINE: fetch full vectors for the POOL ONLY (a semi join —
-    // 10% of this corpus) and rank by exact cosine. The q89-style
+    // REFINE: rank the pool by exact cosine. In the AUDIT-FREE
+    // deployment shape that refine step fetches full vectors for the
+    // pool only (a semi join — 10% of this corpus); in THIS query the
+    // brute-force audit arm below already needs the corpus-wide exact
+    // pass, so refine deliberately semi-joins that MATERIALIZED table
+    // instead of recomputing pool cosines — the exact pass is
+    // audit-funded and shared, not an extra cost of refine (computing
+    // the pool's cosines separately here would add work). The q89-style
     // audit arm computes the true brute-force top-10 and each output
     // row carries whether refine found it: 8/10 on this fixture —
     // measured, not assumed, and an honest one: these synthetic

@@ -522,6 +522,26 @@ class ImagePipelineSpec extends SparkSpec {
         a.getAs[Array[Byte]](2), b.getAs[Array[Byte]](2)),
         "co64 sample bytes diverge from the stco run")
     }
+    // co64 offset overflow: set the SECOND chunk offset's high word to
+    // 0x7FFFFFFF while keeping the low word = the real offset. A naive
+    // `off + sz > fileLen` bounds check wraps negative and PASSES, the
+    // bogus sample enters the resolved prefix keeping the horizon at
+    // 2000 ticks, and the decoder's `off.toInt` truncation then reads
+    // the REAL frame bytes — silently serving frame pixels at an
+    // offset the file's tables never pointed at. The overflow-safe
+    // check must instead drop the chunk, shrink the horizon to the
+    // coherent prefix (1000 ms), and sample only t=0.
+    val movOvf = movCo64.clone()
+    val e1 = grown.length + 24 // co64 box: 8 hdr + 4 ver + 4 cnt + 8
+    movOvf(e1) = 0x7f.toByte; movOvf(e1 + 1) = 0xff.toByte
+    movOvf(e1 + 2) = 0xff.toByte; movOvf(e1 + 3) = 0xff.toByte
+    val ovf = Multimodal.sampleVideoFrames(spark,
+        Multimodal.asMediaFrame(Seq((14L, movOvf)).toDF("id", "bytes"),
+          "id", "video", "bytes"), everyMs = 1000, maxFrames = 8)
+      .orderBy("frame_ts_ms").collect()
+    assert(ovf.map(_.getLong(1)).toSeq == Seq(0L),
+      "overflowing co64 offset must shrink the horizon, not serve " +
+        "truncated-offset pixels")
     // lying stco (declares 1 chunk while stts/stsz declare 4 samples):
     // only the coherent prefix (samples 0-1, display span [0, 1000))
     // resolves, and the sampling HORIZON shrinks with it — t=1000 must

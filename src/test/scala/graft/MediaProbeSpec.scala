@@ -459,6 +459,27 @@ class MediaProbeSpec extends SparkSpec {
     assert(MediaProbe.probe(over).get.frames == 2)
   }
 
+  test("adts: an mp3 with junk before its sync is NOT stolen by " +
+      "ADTS-shaped false syncs inside the mp3 payload") {
+    // probeMp3 tolerates junk before its first sync via a window scan,
+    // but probeAdts runs FIRST — so its defer check must mirror that
+    // window, not only the post-ID3 offset. Here the mp3 stream starts
+    // at offset 100 (after sync-free junk) and frame 0's compressed
+    // payload happens to contain two consecutive ADTS-shaped headers:
+    // a start-offset-only defer check never sees the mp3 (offset 100
+    // != 0), accepts the embedded false pair, and misclassifies the
+    // whole clip as aac.
+    val m0 = mp3Frame(0x55)
+    val falseAdts = cat(adtsFrame(20), adtsFrame(20))
+    System.arraycopy(falseAdts, 0, m0, 50, falseAdts.length)
+    val clip = cat(Array.fill[Byte](100)(0x41),
+      m0, mp3Frame(0x11), mp3Frame(0x22))
+    val info = MediaProbe.probe(clip).get
+    assert(info.container == "mpeg-audio" && info.codec == "mp3",
+      s"ADTS false syncs stole a windowed mp3: ${info.container}")
+    assert(info.frames == 3)
+  }
+
   test("adts: EXHAUSTIVE header space round-trips (2912 combos)") {
     // every profile × sampling index × channel config × CRC flag ×
     // raw-data-block count: build two consecutive frames from the
