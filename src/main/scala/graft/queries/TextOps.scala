@@ -148,9 +148,20 @@ object TextOps {
   private[graft] def bpeTrain(documentsDf: DataFrame,
       rounds: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // FULL raw token universe — no domain regex, no case folding.
+    // Verbatim tokens are deliberate: engine Unicode case maps differ
+    // (Java toLowerCase vs utf8proc — 'İ' is the classic divergence),
+    // and real byte-level trainers (Sennrich/GPT-2 family) don't fold
+    // either. The character unit is the CODE POINT on both engines
+    // (Spark substring/length = UTF8String numChars; DuckDB w[i]/
+    // length — verified on 2-, 3- and 4-byte UTF-8), and the greedy
+    // tie-break's string order is binary UTF-8 = code-point order on
+    // both. Only EMPTY tokens are excluded: a whitespace-only doc
+    // tokenizes to [''] and Spark's sequence(1, 0) DESCENDS ([1,0] —
+    // two phantom symbols) where DuckDB's range(1,1) is empty.
     val words = documentsDf
       .select(explode(expr(Dedup.TokExpr)).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
+      .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("wf"))
     var syms = graft.operators.Materialize.truncate(
       words.select(col("w"), col("wf"),
@@ -242,8 +253,11 @@ object TextOps {
       .groupBy("w").agg(count(lit(1)).as("nsym"))
 
   /** Symbol cost of one token after the LEFT join against [[bpeVocab]]:
-    * in-vocabulary words spend their learned symbol count; tokens
-    * outside the trained ^[a-z]+$ domain fall back to a CHARACTER
+    * in-vocabulary words spend their learned symbol count; tokens the
+    * trainer never saw (the training corpus covers the full raw token
+    * universe, so at serve time that means genuinely UNSEEN words — a
+    * different corpus, or the streaming twin's live traffic; plus the
+    * zero-cost empty token) fall back to a CHARACTER
     * split — length(w) symbols, the real tokenizer's OOV behavior (a
     * flat 1 would undercount exactly the long/noisy tokens a billing
     * or packing pipeline cares most about). The ONE cost definition
@@ -381,8 +395,12 @@ object TextOps {
     // matches at even offsets — exactly the sequential greedy result,
     // with no recursion and no UDF. Per-round tables are materialized
     // (two consumers each: the next round + the merge report).
-    // Words are pinned to ^[a-z]+$ so character indexing can never
-    // diverge across engines on multi-byte input. Output: one row per
+    // Training covers the FULL raw token universe (no domain regex,
+    // no case fold — a real byte-level trainer's behavior); character
+    // indexing stays engine-portable because both engines split and
+    // measure by CODE POINT and tie-break in binary UTF-8 order (the
+    // bpeTrain scaladoc pins this, TextSimilaritySpec exercises
+    // mixed-case/punctuated/accented corpora). Output: one row per
     // round — the merge pair, its weighted count, and the post-merge
     // corpus symbol total (the compression trajectory a trainer
     // reports).
@@ -401,9 +419,11 @@ object TextOps {
     // Heaps-law corpus-derived, so AQE picks broadcast at fixture
     // scale and a shuffle join on the word at a scale where the
     // forced broadcast would OOM; either way never a per-token
-    // re-merge. Tokens outside the trained ^[a-z]+$ domain fall back
-    // to a CHARACTER split — length(w) symbols, the real tokenizer's
-    // OOV behavior (bpeSymCost; mirrored in the oracle's COALESCE).
+    // re-merge. Tokens the trainer never saw (here: only the empty
+    // token, since training spans the full raw token universe of the
+    // same corpus) fall back to a CHARACTER split — length(w)
+    // symbols, the real tokenizer's OOV behavior (bpeSymCost;
+    // mirrored in the oracle's COALESCE).
     "q142_bpe_encode" -> ((s, d) =>
       bpeEncode(Tables.load(s, d, "documents"), 3)),
 
@@ -1107,7 +1127,7 @@ object TextOps {
   private lazy val bpeTrainCtes: String =
     s"""w0 AS (SELECT unnest($duckTok) AS w FROM documents),
         wv AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM w0
-               WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+               WHERE length(w) > 0 GROUP BY w),
         s0 AS (SELECT w, wf, generate_subscripts(cs, 1) - 1 AS p,
                  unnest(cs) AS sym
                FROM (SELECT w, wf, list_transform(

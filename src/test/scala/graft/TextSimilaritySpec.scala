@@ -62,44 +62,89 @@ class TextSimilaritySpec extends SparkSpec {
       (2L, "aa", "aa", 1L, 3L)), s"got ${got.toSeq}")
   }
 
-  test("BPE encode: per-doc counts under the learned merges, with the " +
-      "character-split fallback for out-of-domain tokens") {
-    // same banana corpus: after 3 merges banana = b+anana (2 symbols)
-    // and bana = b+ana (2). Doc 0's four tokens encode to 3·2+2 = 8.
-    // Doc 1's "Banana" (6 chars) and "123" (3) are outside the trained
-    // ^[a-z]+$ domain and fall back to character splits — 6+3 symbols,
-    // the real tokenizer's OOV cost, NOT a flat 1 each (a flat 1 would
-    // undercount exactly the long/noisy tokens packing bills against);
-    // the single-char in-domain word "b" trains to 1 symbol and must
-    // not perturb the merges. Doc 2 is the OOV-heavy case: every token
-    // out-of-domain, so its cost is exactly its summed token lengths
-    // 20+9+12 = 41 — long noise is now EXPENSIVE, as it is under a
-    // real byte/char-fallback tokenizer.
+  test("BPE encode: training spans the FULL raw token universe — " +
+      "mixed-case and digit tokens train real merges, not OOV prices") {
+    // Hand-computed under full-universe training (no ^[a-z]+$ pin, no
+    // case fold). Round 1: (a,n) and (n,a) tie at 9 (banana×3 ×2 +
+    // bana + Banana×2 each) — binary order picks (a,n). Round 2:
+    // (an,a) wins at 5. Round 3: (an,ana) at 4. So banana = b+anana
+    // (2 symbols), bana = b+ana (2), and "Banana" — formerly priced
+    // as a 6-char OOV split — now ENCODES under the same merges:
+    // B+anana (2 symbols). "123" (3), "b" (1) and doc 2's long tokens
+    // gain no merges at these counts, so they price at their
+    // code-point lengths through the LEARNED table — every token is
+    // in-vocab now; the char-split COALESCE arm is for genuinely
+    // unseen serve-time tokens (the streaming OOV test and the
+    // foreign-vocab case below). Doc 2: 20+9+12 = 41 — long noise
+    // stays expensive.
     val docs = Seq((0L, "banana banana banana bana"),
       (1L, "Banana 123 b"),
       (2L, "Supercalifragilistic 123456789 MIXED-case99"))
       .toDF("doc_id", "text")
     val got = graft.queries.TextOps.bpeEncode(docs, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq == Seq((0L, 4L, 8L), (1L, 3L, 10L), (2L, 3L, 41L)),
+    assert(got.toSeq == Seq((0L, 4L, 8L), (1L, 3L, 6L), (2L, 3L, 41L)),
       s"got ${got.toSeq}")
   }
 
+  test("BPE: code-point unit and binary tie-break pinned on an " +
+      "accented, mixed-case, punctuated, emoji corpus") {
+    // Née×1 née×2 casa×2 ¡hola!×1 42×1 👍👍×1 — 2-, 3- and 4-byte
+    // UTF-8 in both trained positions and tie-breaks. Hand-computed:
+    // symbols split by CODE POINT (é and 👍 are one symbol each, so
+    // the corpus starts at 27 symbols, not its byte count); round 1
+    // merges (é,e) at 3 — case-sensitivity keeps N/n distinct, yet
+    // Née and née share the merge through their common (é,e) pair;
+    // round 2 has a four-way tie at 2 between (a,s),(c,a),(n,ée),
+    // (s,a) and binary UTF-8 order must pick (a,s); round 3 ties
+    // (as,a),(c,as),(n,ée) and picks (as,a). A whitespace-only doc
+    // tokenizes to the EMPTY token: excluded from training (Spark's
+    // sequence(1,0) would DESCEND into phantom symbols where DuckDB's
+    // range(1,1) is empty) and priced at 0 by the fallback.
+    val docs = Seq((0L, "Née née née casa"),
+      (1L, "¡hola! casa 42 👍👍"), (2L, "   ")).toDF("doc_id", "text")
+    val merges = graft.queries.TextOps.bpeMerges(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      (1L, "é", "e", 3L, 24L),
+      (2L, "a", "s", 2L, 22L),
+      (3L, "as", "a", 2L, 20L)), s"got ${merges.toSeq}")
+    // encode: Née/née = 2 (N|n + ée), casa = 2 (c + asa), ¡hola! = 6,
+    // 42 = 2, 👍👍 = 2 — all through the learned table
+    val got = graft.queries.TextOps.bpeEncode(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 4L, 8L), (1L, 4L, 12L), (2L, 1L, 0L)),
+      s"got ${got.toSeq}")
+    // foreign-vocab serve: the SAME accented doc priced against a
+    // vocab trained elsewhere — accented unseen tokens take the
+    // code-point char-split arm (Née = 3 symbols, NOT its 4 UTF-8
+    // bytes)
+    val vocab = graft.queries.TextOps.bpeVocab(
+      Seq((9L, "banana banana banana bana")).toDF("doc_id", "text"), 3)
+    val oov = graft.queries.TextOps.bpeTokenCosts(
+        docs.filter($"doc_id" === 0L), vocab)
+      .groupBy("doc_id").agg(sum($"syms").as("syms")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(oov.toSeq == Seq((0L, 3L + 3L + 3L + 4L)), s"got ${oov.toSeq}")
+  }
+
   test("BPE encode: a vocabulary-exhausted trainer (pairless rounds) " +
-      "still prices in-domain words by their learned symbol table") {
-    // all words are single letters: round 1 finds no adjacent pair, the
-    // trainer short-circuits with the char symbol table intact, and the
-    // encoder must price each word at 1 learned symbol — NOT via the
-    // OOV fallback (the regression the explicit pairless break guards:
-    // an emptied symbol table would leave every word priced as OOV and
-    // only *happen* to agree while the fallback is length-based).
-    val docs = Seq((0L, "a b c a"), (1L, "z !!")).toDF("doc_id", "text")
+      "still prices words by their learned symbol table") {
+    // all words are single code points: round 1 finds no adjacent
+    // pair, the trainer short-circuits with the char symbol table
+    // intact, and the encoder must price each word at 1 learned
+    // symbol — NOT via the OOV fallback (the regression the explicit
+    // pairless break guards: an emptied symbol table would leave
+    // every word priced as OOV and only *happen* to agree while the
+    // fallback is length-based). "!" trains too under the
+    // full-universe domain.
+    val docs = Seq((0L, "a b c a"), (1L, "z !")).toDF("doc_id", "text")
     val merges = graft.queries.TextOps.bpeMerges(docs, 3)
     assert(merges.collect().isEmpty, "no pairs -> no merge rows")
     val got = graft.queries.TextOps.bpeEncode(docs, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // doc 1: "z" in-domain (1 symbol), "!!" OOV (2 chars)
-    assert(got.toSeq == Seq((0L, 4L, 4L), (1L, 2L, 3L)), s"got ${got.toSeq}")
+    assert(got.toSeq == Seq((0L, 4L, 4L), (1L, 2L, 2L)), s"got ${got.toSeq}")
   }
 
   test("cosine top-k: sims within [-1, 1] and non-increasing") {
