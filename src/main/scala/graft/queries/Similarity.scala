@@ -352,6 +352,80 @@ object Similarity {
         .orderBy("rk")
     }),
 
+    // q145: the JL projection's PRODUCTION consumer — q47's kNN join
+    // with candidate generation re-based on jl_project'ed vectors
+    // (64 → 16 dims, 4× less vector I/O and cosine arithmetic for
+    // every candidate pair). Unlike q144 — where the brute-force
+    // audit arm funds a corpus-wide exact pass that refine then
+    // shares — HERE the refine arm is genuinely POOL-ONLY end to end:
+    // (1) CANDIDATES: the bucket equi-join and per-probe ranking run
+    // entirely on the 16-dim projections (the narrow table a 100 TB
+    // pipeline would pre-materialize next to its index) — top-10 pool
+    // per probe by projected cosine; (2) REFINE: full 64-dim vectors
+    // are fetched ONLY for pool members (two id equi-joins, ≤ 10
+    // rows per probe) and reranked by exact cosine to top-3;
+    // (3) AUDIT: the full-dim in-bucket top-3 (exactly q47's answer
+    // set) marks each refined row in_full_top3 — recall measured per
+    // row, q89-style, not assumed. The audit arm is probe-bounded
+    // (100 probes × one bucket each), not corpus-wide. The pool needs
+    // NO Materialize: its consumers form a single linear chain
+    // (pool ⋈ full-vectors-for-a ⋈ full-vectors-for-b), so the
+    // projected bucket join + rank runs exactly once per collect —
+    // unlike q143/q144, where a genuinely shared subtree had to be
+    // truncated to stop a second corpus-scale lineage replay.
+    "q145_jl_knn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = emb(s, d)
+      val proj = base.select(col("vec_id"), bucketExpr.as("bucket"),
+        expr("jl_project(embedding, 16)").as("pj"))
+      val pPool = Window.partitionBy("a_id")
+        .orderBy(col("psim").desc, col("b_id"))
+      val pool =
+        proj.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("a_id"), col("bucket"),
+            col("pj").as("a_pj"))
+          .join(proj.select(col("vec_id").as("b_id"), col("bucket"),
+            col("pj").as("b_pj")), Seq("bucket"))
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            round(cosine("a_pj", "b_pj"), 4).as("psim"))
+          .withColumn("prn", row_number().over(pPool))
+          .filter(col("prn") <= 10)
+          .select("a_id", "b_id")
+      val full = base.select(col("vec_id"), col("embedding"))
+      val exact = pool
+        .join(full.select(col("vec_id").as("a_id"),
+          col("embedding").as("a_emb")), Seq("a_id"))
+        .join(full.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_emb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(cosine("a_emb", "b_emb"), 4).as("sim"))
+      val wE = Window.partitionBy("a_id")
+        .orderBy(col("sim").desc, col("b_id"))
+      val refined = exact.withColumn("rk", row_number().over(wE))
+        .filter(col("rk") <= 3)
+      val wF = Window.partitionBy("a_id")
+        .orderBy(col("fsim").desc, col("b_id"))
+      val eFull = base.select(col("vec_id"), bucketExpr.as("bucket"),
+        col("embedding").as("emb"))
+      val fullTop = eFull.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("a_id"), col("bucket"),
+          col("emb").as("a_emb"))
+        .join(eFull.select(col("vec_id").as("b_id"), col("bucket"),
+          col("emb").as("b_emb")), Seq("bucket"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(cosine("a_emb", "b_emb"), 4).as("fsim"))
+        .withColumn("rn", row_number().over(wF))
+        .filter(col("rn") <= 3)
+        .select(col("a_id"), col("b_id"), lit(true).as("hit"))
+      refined
+        .join(fullTop, Seq("a_id", "b_id"), "left")
+        .select(col("a_id"), col("rk"), col("b_id"), col("sim"),
+          coalesce(col("hit"), lit(false)).as("in_full_top3"))
+        .orderBy("a_id", "rk")
+    }),
+
     // q38: LSH-bucketed near-duplicate candidate pairs (cosine >= 0.3
     // within a sign bucket) — the pair space shrinks ~16x vs brute force
     "q38_embed_neardup" -> ((s, d) =>
@@ -794,6 +868,51 @@ object Similarity {
           SELECT r.rk, r.vec_id, r.sim,
             b.vec_id IS NOT NULL AS in_exact_top10
           FROM r LEFT JOIN brute b USING (vec_id) ORDER BY rk""",
+
+    "q145_jl_knn" ->
+      s"""WITH e AS (SELECT vec_id, $duckBucket AS bucket,
+              CAST(embedding AS DOUBLE[]) AS emb,
+              list_transform(range(0, 16), j ->
+                list_reduce(list_transform(range(0, 64), i ->
+                  (CASE WHEN (((((i * 1000003 + j * 7919 + 12345)
+                                 % 1048576)
+                                * ((i * 1000003 + j * 7919 + 12345)
+                                   % 1048576)) // 128) % 2) = 0
+                        THEN 1.0 ELSE -1.0 END)
+                    * CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)),
+                  (a, b) -> a + b)) AS pj
+            FROM embeddings),
+          pool0 AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              round(list_cosine_similarity(a.pj, b.pj), 4) AS psim
+            FROM e a JOIN e b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            WHERE a.vec_id < 100),
+          pool AS (SELECT a_id, b_id FROM (
+              SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+                ORDER BY psim DESC, b_id) AS prn FROM pool0)
+            WHERE prn <= 10),
+          ex AS (SELECT p.a_id, p.b_id,
+              round(list_cosine_similarity(ea.emb, eb.emb), 4) AS sim
+            FROM pool p JOIN e ea ON ea.vec_id = p.a_id
+                        JOIN e eb ON eb.vec_id = p.b_id),
+          r AS (SELECT a_id, b_id, sim,
+              CAST(row_number() OVER (PARTITION BY a_id
+                ORDER BY sim DESC, b_id) AS INT) AS rk FROM ex),
+          ftop AS (SELECT a_id, b_id FROM (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4)
+                    DESC, b.vec_id) AS rn
+              FROM e a JOIN e b
+                ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              WHERE a.vec_id < 100)
+            WHERE rn <= 3)
+          SELECT r.a_id, r.rk, r.b_id, r.sim,
+            f.b_id IS NOT NULL AS in_full_top3
+          FROM r LEFT JOIN ftop f
+            ON f.a_id = r.a_id AND f.b_id = r.b_id
+          WHERE r.rk <= 3
+          ORDER BY r.a_id, r.rk""",
 
     "q38_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, $duckBucket AS bucket,

@@ -168,4 +168,11 @@ object PlanDigests {
     // is the shared checkpoint (Scan ExistingRDD x2)
     "q122_rrf_fusion" ->
       "AQEShuffleRead x1 | BroadcastExchange x3 | BroadcastHashJoin x1 | BroadcastNestedLoopJoin x2 | ColumnarToRow x3 | Exchange x3 | Filter x2 | HashAggregate x6 | Project x9 | Scan ExistingRDD x2 | Scan parquet x3 | Sort x2 | SortMergeJoin x1 | TakeOrderedAndProject x3 | Window x2")
+    // q145 (sub-second) is deliberately NOT digest-pinned: its final
+    // tiny orderBy's Exchange+AQEShuffleRead pair comes and goes with
+    // AQE runtime stats (observed x3 vs x4 on back-to-back identical
+    // runs), so any pin would flake. Its load-bearing plan facts are
+    // asserted semantically instead: TextSimilaritySpec pins the
+    // jl_project candidate stage, PlanAuditSpec's cartesian sweep
+    // covers it like every other query.
 }
