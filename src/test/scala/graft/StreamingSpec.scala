@@ -662,6 +662,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: the wire sketch's candidates feed an " +
+      "exact re-count that reproduces batch q74 across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production pattern end to end: the STREAM maintains O(k)
+    // Misra-Gries state (never the vocabulary), its candidate set is
+    // then re-counted EXACTLY by one batch pass — and that composition
+    // must land on batch q74's answer even when the docs arrive over
+    // several micro-batches (the sketch buffer merging across
+    // triggers, not one lucky single-batch fold). Parity is guaranteed
+    // because BOTH candidate sets cover every term with true freq >
+    // n/(k+1) (the MG invariant; the q74 precondition test pins that
+    // the fixture's top-10 are all above the bar), so the exact
+    // re-count ranks the same terms with the same counts.
+    val docsAll = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(docsAll.length >= 3)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamingSketches.heavyHitterCandidates(
+        in.toDF().toDF("doc_id", "text"), k = 50),
+      "hh_twin", mode = "complete")
+    try {
+      docsAll.grouped((docsAll.length + 2) / 3).foreach { g =>
+        in.addData(g.toSeq)
+        q.processAllAvailable()
+      }
+      val cand = spark.table("hh_twin").select($"term")
+      assert(cand.count() <= 50, "MG state exceeded its k counters")
+      val terms = Tables.load(spark, sf, "documents")
+        .select(explode(expr(graft.queries.Dedup.TokExpr)).as("term"))
+      val recount = terms
+        .join(broadcast(cand), Seq("term"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"term").limit(10).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val batch = SparkEntry.queries("q74_heavy_hitters")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(recount == batch,
+        s"streamed-candidate re-count diverged:\n  got   $recount\n" +
+          s"  batch $batch")
+    } finally q.stop()
+  }
+
   test("stateful sessions merge across MULTI-batch boundaries") {
     // VERDICT r8 item 7: the single-file parity test never exercises
     // cross-micro-batch state. Stage the events as THREE time-ordered
