@@ -827,6 +827,30 @@ object MediaProbe {
     val nseg0 = u8(b, 26)
     val p0 = 27 + nseg0
     var codec = ""; var sr = 0; var ch = 0
+    // id-header extras (no DSP — pure header fields): Opus pre-skip
+    // (RFC 7845 §5.1: 48 kHz samples the decoder must drop, and §4.2:
+    // the final granule INCLUDES them, so playback duration is
+    // granule − pre-skip) and Vorbis bitrate_nominal (Vorbis I
+    // §4.2.2: the encoder's declared rate — truer than bytes/duration
+    // when the probe sees only a prefix window of the clip)
+    var preSkip = 0
+    var brDeclared = 0
+    // the FIRST packet's byte length from the lacing table (values
+    // sum; the first value < 255 terminates it, RFC 3533 §5): every
+    // id-header field read below is bounded by the PACKET end, not
+    // the buffer end — a truncated id packet must degrade to
+    // codec-only identification, never read the next page's capture
+    // pattern as channels/pre-skip/bitrate
+    var pkt0 = 0
+    locally {
+      var s = 0; var open = true
+      while (s < nseg0 && open) {
+        val v = u8(b, 27 + s)
+        pkt0 += v; if (v < 255) open = false
+        s += 1
+      }
+    }
+    val pEnd = math.min(b.length, p0 + pkt0)
     // Vorbis id packet = [0x01]"vorbis" (Vorbis I §4.2.1: the packet
     // TYPE byte precedes the magic) — type byte checked explicitly, not
     // embedded in the literal, so the offset arithmetic below (channels
@@ -834,13 +858,21 @@ object MediaProbe {
     // visibly consistent with the match
     if (p0 < b.length && u8(b, p0) == 0x01 && matches(b, p0 + 1, "vorbis")) {
       codec = "vorbis"
-      if (p0 + 16 <= b.length) {
+      if (p0 + 16 <= pEnd) {
         ch = u8(b, p0 + 11); sr = le32(b, p0 + 12).toInt
+      }
+      // [br_max, br_nom, br_min] follow the rate; only the nominal is
+      // trustworthy as a summary figure (max/min are often 0 or -1)
+      if (p0 + 24 <= pEnd) {
+        val nom = le32(b, p0 + 20)
+        if (nom > 0) brDeclared = math.min(nom / 1000L, 1 << 20).toInt
       }
     } else if (matches(b, p0, "OpusHead")) {
       // OpusHead really is the first packet byte (RFC 7845 §5.1)
       codec = "opus"
-      if (p0 + 12 <= b.length) { ch = u8(b, p0 + 9); sr = 48000 }
+      if (p0 + 12 <= pEnd) {
+        ch = u8(b, p0 + 9); sr = 48000; preSkip = le16(b, p0 + 10)
+      }
     } else if (p0 < b.length && u8(b, p0) == 0x7f &&
         matches(b, p0 + 1, "FLAC")) {
       // Ogg-FLAC mapping packet: 0x7F "FLAC" maj min nHdr(2), then a
@@ -848,9 +880,9 @@ object MediaProbe {
       // reuse the native header probe on that slice for rate/channels
       codec = "flac"
       val fo = p0 + 9
-      if (fo < b.length)
+      if (fo < pEnd)
         probeFlacHeader(java.util.Arrays.copyOfRange(b, fo,
-          math.min(b.length, fo + 46))).foreach { fi =>
+          math.min(pEnd, fo + 46))).foreach { fi =>
           sr = fi.sampleRate; ch = fi.channels
         }
     }
@@ -924,12 +956,17 @@ object MediaProbe {
     // same stream `frames` describes.
     val effGran = if (chained) chainGran else granule
     val durMs =
-      if (codec == "opus" && effGran > 0) effGran * 1000L / 48000L
+      if (codec == "opus" && effGran > 0)
+        // granule counts pre-skip samples; playback does not (§4.2).
+        // A lying pre-skip larger than the whole granule clamps to 0
+        // rather than wrapping the duration negative.
+        math.max(0L, effGran - preSkip) * 1000L / 48000L
       else if (sr > 0 && effGran > 0) effGran * 1000L / sr
       else 0L
     Some(MediaInfo("ogg", codec, sr, ch,
-      if (durMs > 0) (b.length * 8L / durMs).toInt else 0, durMs, 0, 0,
-      pkts))
+      if (brDeclared > 0) brDeclared
+      else if (durMs > 0) (b.length * 8L / durMs).toInt else 0,
+      durMs, 0, 0, pkts))
   }
 
   // ------------------------------------------------- RIFF (wav / avi)

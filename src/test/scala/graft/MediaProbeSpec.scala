@@ -657,12 +657,37 @@ class MediaProbeSpec extends SparkSpec {
 
   // ------------------------------------------------------------ ogg
 
-  test("ogg opus: codec from OpusHead, duration from last granule") {
+  test("ogg opus: codec from OpusHead, duration from last granule " +
+      "MINUS the id header's pre-skip") {
     val info = MediaProbe.probe(oggOpusFixture(96000)).get
     assert(info.container == "ogg" && info.codec == "opus")
     assert(info.channels == 2 && info.sampleRate == 48000)
-    assert(info.durationMs == 2000) // 96000 ticks at 48 kHz
+    // RFC 7845 §4.2: the granule INCLUDES the 312 pre-skip samples
+    // the decoder drops — playback is (96000 - 312) / 48 kHz
+    assert(info.durationMs == (96000 - 312) * 1000L / 48000)
     assert(info.frames == 1) // one packet completes on the audio page
+  }
+
+  test("ogg opus: pre-skip clamps and truncation degrades cleanly") {
+    def page(gran: Long, payload: Array[Byte]): Array[Byte] =
+      cat(cc("OggS"), Array[Byte](0, 2), le64(gran), le32(1), le32(0),
+        le32(0), Array[Byte](1, payload.length.toByte), payload)
+    // a lying pre-skip LARGER than the final granule must clamp the
+    // duration to 0, never wrap negative
+    val lying = cat(cc("OpusHead"), Array[Byte](1, 2), le16(60000),
+      le32(48000), le16(0), Array[Byte](0))
+    val l = MediaProbe.probe(cat(page(0, lying),
+      page(48000, Array.fill[Byte](20)(3)))).get
+    assert(l.codec == "opus" && l.durationMs == 0,
+      s"lying pre-skip must clamp: ${l.durationMs}")
+    // id packet truncated BEFORE the pre-skip field (magic + version
+    // only): still identified as opus, channels unread, and the
+    // duration falls back to the raw granule (pre-skip 0)
+    val cut = cat(cc("OpusHead"), Array[Byte](1))
+    val t = MediaProbe.probe(cat(page(0, cut),
+      page(48000, Array.fill[Byte](20)(3)))).get
+    assert(t.codec == "opus" && t.channels == 0)
+    assert(t.durationMs == 1000, s"truncated-header fallback: ${t.durationMs}")
   }
 
   test("ogg: frames counts packets completing on audio pages only " +
@@ -687,7 +712,7 @@ class MediaProbeSpec extends SparkSpec {
       page(9600, Array[Byte](45, 20), Array.fill[Byte](65)(3)))
     val info = MediaProbe.probe(clip).get
     assert(info.frames == 5, s"packet count ${info.frames}")
-    assert(info.durationMs == 9600 * 1000L / 48000)
+    assert(info.durationMs == (9600 - 312) * 1000L / 48000)
   }
 
   test("ogg: a multiplexed second stream's packets don't inflate " +
@@ -712,7 +737,7 @@ class MediaProbeSpec extends SparkSpec {
       page(0, 1, 9600, Array[Byte](20), Array.fill[Byte](20)(1)))
     val m = MediaProbe.probe(mux).get
     assert(m.frames == 3, s"mux leaked foreign packets: ${m.frames}")
-    assert(m.durationMs == 9600 * 1000L / 48000)
+    assert(m.durationMs == (9600 - 312) * 1000L / 48000)
     // chained file (a radio-dump concat): granules RESET at chain 2,
     // so both frames AND duration must describe chain 1 — not chain
     // 1+2 packets against chain 2's (shorter) last granule
@@ -725,7 +750,7 @@ class MediaProbeSpec extends SparkSpec {
       page(0, 1, 14400, Array[Byte](20), Array.fill[Byte](20)(1)))
     val c = MediaProbe.probe(cat(chain1, chain2)).get
     assert(c.frames == 3, s"chained count leaked: ${c.frames}")
-    assert(c.durationMs == 14400 * 1000L / 48000,
+    assert(c.durationMs == (14400 - 312) * 1000L / 48000,
       s"duration not chain 1's: ${c.durationMs}")
   }
 
@@ -735,6 +760,9 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.container == "ogg" && info.codec == "vorbis")
     assert(info.channels == 2 && info.sampleRate == 44100)
     assert(info.durationMs == 2000) // 88200 PCM samples at 44.1 kHz
+    // bitrate_nominal from the id header (128000 bps in the fixture),
+    // not the bytes/duration guess
+    assert(info.bitrateKbps == 128, s"declared rate: ${info.bitrateKbps}")
   }
 
   test("ogg flac: mapping packet recognized; rate/channels from the " +
@@ -995,7 +1023,7 @@ class MediaProbeSpec extends SparkSpec {
       Array.fill[Byte](30)(0x41))
     val info = MediaProbe.probe(
       cat(page(0, head), page(96000, trap))).get
-    assert(info.durationMs == 2000,
+    assert(info.durationMs == (96000 - 312) * 1000L / 48000,
       s"payload 'OggS' poisoned the granule: $info")
   }
 
@@ -1215,7 +1243,8 @@ class MediaProbeSpec extends SparkSpec {
     assert(r0.getLong(12) == 0 && r9.getLong(14) == 0 &&
       r0.getLong(15) == 0)
     val r4 = out.find(_.getLong(0) == 4).get // ogg, 24000*(1+4%4)/48k
-    assert(r4.getString(2) == "opus" && r4.getLong(6) == 500)
+    // minus the 312-sample pre-skip the id header declares (RFC 7845)
+    assert(r4.getString(2) == "opus" && r4.getLong(6) == 493)
     val r5 = out.find(_.getLong(0) == 5).get // webm, (1+5%3)*1000 ticks
     assert(r5.getString(1) == "webm" && r5.getString(2) == "V_VP9" &&
       r5.getLong(6) == 3000 && r5.getInt(7) == 256 && r5.getInt(8) == 144)
