@@ -16,15 +16,32 @@ import sys
 
 MIN_KEYS = 50
 
+
+def read_rec(path):
+    rec = json.load(open(path))
+    return rec, rec["queries"]
+
+
 src = sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
 try:
-    rec = json.load(open(src))
-    queries = rec["queries"]
-except Exception as e:  # noqa: BLE001 - any parse failure is a refusal
-    sys.exit(f"refusing: cannot read a bench record from {src}: {e}")
-if len(queries) < MIN_KEYS:
-    sys.exit(f"refusing: {src} has only {len(queries)} query keys "
-             f"(< {MIN_KEYS}) — a subset run, not a triage baseline")
+    rec, queries = read_rec(src)
+    if len(queries) < MIN_KEYS:
+        raise ValueError(f"only {len(queries)} query keys (< {MIN_KEYS})"
+                         " — a subset run, not a triage baseline")
+except Exception as e:  # noqa: BLE001 - any parse failure triggers fallback
+    # r13: Bench appends every FULL-suite run to an append-only
+    # target/bench_history.jsonl (subset runs never do), so a smoke-run
+    # clobber of bench.json no longer loses the record — take the
+    # newest history line instead of refusing outright.
+    hist = "target/bench_history.jsonl"
+    try:
+        last = [ln for ln in open(hist) if ln.strip()][-1]
+        rec = json.loads(last)
+        queries = rec["queries"]
+        assert len(queries) >= MIN_KEYS
+        src = f"{hist} (last line; {src} was unusable: {e})"
+    except Exception as e2:  # noqa: BLE001
+        sys.exit(f"refusing: {src}: {e}; history fallback {hist}: {e2}")
 out = {
     "_provenance": f"copied from {src} by scripts/refresh_bench_prev.py "
                    "(run at round start, while target/bench.json holds "
