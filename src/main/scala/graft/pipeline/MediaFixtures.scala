@@ -92,6 +92,40 @@ object MediaFixtures {
       fmt, data)
   }
 
+  /** AIFF / AIFF-C twin of [[wav]] on the same duration grid
+    * (0.25·(1+id%5) s): 16 kHz stereo s16, 4000·(1+id%5) sample
+    * frames, the rate carried as the format's 80-bit extended float.
+    * Every second aiff id ships as AIFC with the 'sowt' (byte-swapped
+    * pcm) compression fourcc, so the driver corpus walks both COMM
+    * layouts. */
+  private def aiff(id: Long): Array[Byte] = {
+    val frames = 4000L * (1 + (id % 5).toInt)
+    val sowt = (id / 7) % 2 == 0
+    val rate = 16000
+    val lg = 31 - Integer.numberOfLeadingZeros(rate)
+    val m = rate.toLong << (63 - lg)
+    val ext = cat(be16(16383 + lg), be32(m >>> 32), be32(m & 0xffffffffL))
+    val commBody = cat(be16(2), be32(frames), be16(16), ext,
+      if (sowt) cat(cc("sowt"), Array[Byte](0, 0)) // empty pstring + pad
+      else Array.empty[Byte])
+    val comm = cat(cc("COMM"), be32(commBody.length), commBody)
+    val n = (frames * 4).toInt
+    val ssnd = cat(cc("SSND"), be32(8L + n), be32(0), be32(0),
+      Array.tabulate[Byte](n)(i => ((id + i) & 0x7f).toByte))
+    val form = if (sowt) "AIFC" else "AIFF"
+    cat(cc("FORM"), be32(4L + comm.length + ssnd.length), cc(form),
+      comm, ssnd)
+  }
+
+  /** Sun AU: G.711 µ-law mono at 8 kHz, 2000·(1+id%5) one-byte
+    * samples — the same 0.25·(1+id%5) s grid; 28-byte header (24
+    * fixed + a 4-byte annotation pad). */
+  private def au(id: Long): Array[Byte] =
+    cat(cc(".snd"), be32(28), be32(2000L * (1 + (id % 5).toInt)),
+      be32(1), be32(8000), be32(1), be32(0),
+      Array.tabulate[Byte](2000 * (1 + (id % 5).toInt))(
+        i => ((id + i) & 0x7f).toByte))
+
   /** Animated GIF, 11x7 screen, `1 + id % 4` frames at 40 ms. */
   private def gif(id: Long): Array[Byte] = {
     val n = 1 + (id % 4).toInt
@@ -196,7 +230,11 @@ object MediaFixtures {
   /** One clip per id, format round-robin by `id % 7`. */
   def synth(id: Long): (Long, Array[Byte]) = (id, (id % 7) match {
     case 0 => mp3(id)
-    case 1 => wav(id)
+    case 1 => (id / 7) % 3 match { // the uncompressed-audio slot walks
+      case 1 => aiff(id)           // all three container families
+      case 2 => au(id)
+      case _ => wav(id)
+    }
     case 2 => gif(id)
     case 3 => mp4(id)
     case 4 => ogg(id)

@@ -68,7 +68,8 @@ object MediaProbe {
   def probe(bytes: Array[Byte]): Option[MediaInfo] =
     if (bytes == null || bytes.length < 8) None
     else probeMp4(bytes).orElse(probeEbml(bytes)).orElse(probeOgg(bytes))
-      .orElse(probeRiff(bytes)).orElse(probeFlacHeader(bytes))
+      .orElse(probeRiff(bytes)).orElse(probeAiff(bytes))
+      .orElse(probeAu(bytes)).orElse(probeFlacHeader(bytes))
       .orElse(probeGifHeader(bytes)).orElse(probeAdts(bytes))
       .orElse(probeMp3(bytes))
 
@@ -967,6 +968,122 @@ object MediaProbe {
       if (brDeclared > 0) brDeclared
       else if (durMs > 0) (b.length * 8L / durMs).toInt else 0,
       durMs, 0, 0, pkts))
+  }
+
+  // ---------------------------------------------- AIFF / AU (Apple / Sun)
+
+  /** 80-bit IEEE 754 extended float → nearest non-negative Int (the
+    * AIFF COMM sample-rate field — the format's one exotic encoding).
+    * Layout: sign(1) exponent(15) mantissa(64, EXPLICIT integer bit);
+    * value = m · 2^(e − 16383 − 63). Real rates are exact integers
+    * (44100 = 0x400E:0xAC44…), so the parse is pure integer shifts
+    * with round-half-up on the dropped bit; negative, ≥ 2^31, or
+    * subnormal-tiny values clamp to 0 ("unknown") — bounded output on
+    * any 10 bytes, like every other probe field. */
+  private def ext80(b: Array[Byte], o: Int): Int = {
+    if (o + 10 > b.length) return 0
+    val se = be16(b, o)
+    if ((se & 0x8000) != 0) return 0 // a negative sample rate is nonsense
+    val e = se & 0x7fff
+    val m = be64(b, o + 2) // top bit = the explicit integer bit
+    if (m == 0L) return 0
+    val shift = 16383 + 63 - e
+    if (shift < 0 || shift > 63) return 0 // >= 2^64 or vanishingly small
+    val half = if (shift > 0 && ((m >>> (shift - 1)) & 1L) == 1L) 1L else 0L
+    val r = (m >>> shift) + half
+    if (r > Int.MaxValue || r < 0) 0 else r.toInt
+  }
+
+  /** AIFF / AIFF-C probe (EA IFF 85 framing): 'FORM' size 'AIFF'|'AIFC'
+    * then even-padded big-endian chunks. COMM carries channels,
+    * numSampleFrames, sampleSize bits and the [[ext80]] sample rate;
+    * AIFC's COMM additionally names a compression fourcc ('NONE' =
+    * big-endian pcm, 'sowt' = byte-swapped little-endian pcm,
+    * 'ulaw'/'alaw' = G.711 — all decodable in this JVM via
+    * javax.sound, so identifying them here is what routes the row to
+    * the real decode stage). Duration = numSampleFrames / rate —
+    * exact container structure, no sample touched. The declared FORM
+    * size caps the walk; a lying chunk size ends it at the coherent
+    * prefix. */
+  private def probeAiff(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 12 || !matches(b, 0, "FORM")) return None
+    val kind = fourcc(b, 8)
+    if (kind != "AIFF" && kind != "AIFC") return None
+    var ch = 0; var frames = 0L; var bits = 0; var sr = 0
+    var codec = ""
+    val lim = math.min(b.length.toLong, addCap(8L, be32(b, 4)) match {
+      case n if n < 0 => b.length.toLong
+      case n => n
+    })
+    var o = 12L
+    var stop = false
+    while (!stop && o + 8 <= lim) {
+      val cid = fourcc(b, o.toInt)
+      val sz = be32(b, o.toInt + 4)
+      if (cid == "COMM" && sz >= 18 && o + 8 + 18 <= b.length) {
+        val co = o.toInt + 8
+        ch = be16(b, co)
+        frames = be32(b, co + 2)
+        bits = be16(b, co + 6)
+        sr = ext80(b, co + 8)
+        codec =
+          if (kind == "AIFC" && sz >= 22 && o + 8 + 22 <= b.length)
+            fourcc(b, co + 18) match {
+              case "NONE" => s"pcm_s${bits}be"
+              case "sowt" => s"pcm_s${bits}le"
+              case other =>
+                other.trim.toLowerCase(java.util.Locale.ROOT)
+            }
+          else s"pcm_s${bits}be"
+      }
+      if (sz < 0) stop = true
+      else o += 8L + sz + (sz & 1L) // chunks are even-padded
+    }
+    if (codec.isEmpty) return None
+    val durMs = if (sr > 0) frames * 1000L / sr else 0L
+    val kbps = // declared-rate exact figure for pcm, window-independent
+      if (sr > 0 && ch > 0 && bits > 0)
+        math.min(sr.toLong * ch * bits / 1000L, Int.MaxValue.toLong).toInt
+      else 0
+    Some(MediaInfo(kind.toLowerCase(java.util.Locale.ROOT), codec,
+      sr, ch, kbps, durMs, 0, 0, frames))
+  }
+
+  /** Sun AU / .snd probe: a fixed 24-byte big-endian header — magic,
+    * data offset, data size, encoding, sample rate, channels — is the
+    * whole container. Encoding 1 is G.711 µ-law (1 byte/sample,
+    * decodable here via javax.sound), 27 A-law, 2–5 s8..s32 pcm, 6/7
+    * ieee float/double. Duration = size / (rate·ch·bytesPerSample),
+    * exact; a declared size of 0xFFFFFFFF legally means "to EOF", and
+    * any size overrunning the buffer is clamped to the bytes actually
+    * present (probe-window truncation must shrink the answer, never
+    * invent samples). */
+  private def probeAu(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 24 || !matches(b, 0, ".snd")) return None
+    val off = be32(b, 4)
+    val size = be32(b, 8)
+    val enc = be32(b, 12)
+    val sr = be32(b, 16)
+    val ch = be32(b, 20)
+    val (codec, bytesPer) = enc match {
+      case 1L => ("ulaw", 1); case 2L => ("pcm_s8", 1)
+      case 3L => ("pcm_s16be", 2); case 4L => ("pcm_s24be", 3)
+      case 5L => ("pcm_s32be", 4); case 6L => ("pcm_f32be", 4)
+      case 7L => ("pcm_f64be", 8); case 27L => ("alaw", 1)
+      case _ => return None
+    }
+    if (sr <= 0 || sr > Int.MaxValue || ch <= 0 || ch > 64) return None
+    val start = if (off < 24 || off > b.length) 24L else off
+    val avail = b.length - start
+    val dataLen =
+      if (size == 0xffffffffL || size > avail) math.max(0L, avail)
+      else size
+    val samples = dataLen / (bytesPer.toLong * ch)
+    val durMs = samples * 1000L / sr
+    val kbps = math.min(sr * ch * bytesPer * 8L / 1000L,
+      Int.MaxValue.toLong).toInt
+    Some(MediaInfo("au", codec, sr.toInt, ch.toInt, kbps, durMs,
+      0, 0, samples))
   }
 
   // ------------------------------------------------- RIFF (wav / avi)

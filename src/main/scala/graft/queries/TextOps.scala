@@ -283,6 +283,34 @@ object TextOps {
         sum(col("syms")).as("bpe_syms"))
       .orderBy("doc_id")
 
+  /** q146: per-LANGUAGE fertility/compression audit of the learned
+    * tokenizer — the multilingual-tokenizer evaluation a data team
+    * runs before committing a vocab: `syms_per_token` (fertility —
+    * how many learned symbols the average whitespace token costs;
+    * high fertility means the language is being fragmented and will
+    * pay more context budget per word) and `chars_per_sym`
+    * (compression rate — code points covered per symbol). Exact
+    * integer tallies + [[graft.Det.dratio]] half-up quotients (the
+    * q33 cross-engine mean discipline). Same plan class as q142: the
+    * trained per-word table joins the corpus token stream un-hinted
+    * (Heaps-law side — AQE chooses), one explode pass, then a
+    * languages-bounded groupBy. */
+  private[graft] def bpeFertility(docsDf: DataFrame,
+      rounds: Int): DataFrame =
+    docsDf.select(col("lang"), explode(expr(Dedup.TokExpr)).as("w"))
+      .join(bpeVocab(docsDf, rounds), Seq("w"), "left")
+      .select(col("lang"), bpeSymCost.as("syms"),
+        length(col("w")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("syms")).as("n_syms"),
+        sum(col("chars")).as("n_chars"),
+        graft.Det.dratio(sum(col("syms")), count(lit(1)), 4)
+          .as("syms_per_token"),
+        graft.Det.dratio(sum(col("chars")), sum(col("syms")), 4)
+          .as("chars_per_sym"))
+      .orderBy("lang")
+
   /** (doc_id, syms): the token-level symbol-cost stream of `docsDf`
     * under a trained [[bpeVocab]] table — map-side explode + one
     * LEFT join, no state, so it runs unchanged on an unbounded stream
@@ -441,6 +469,13 @@ object TextOps {
     // exact q50/q126 class of leak (the pre-fix digest showed Scan
     // parquet x2 / Generate x2). Checkpointed, the packing side costs
     // one prefix-sum over the doc-count-sized totals.
+    // q146: tokenizer fertility/compression by language — see
+    // bpeFertility. The number a multilingual curation pipeline reads
+    // before mixing: a language with outsized syms_per_token is being
+    // fragmented by the learned vocab and will burn context budget.
+    "q146_bpe_fertility" -> ((s, d) =>
+      bpeFertility(Tables.load(s, d, "documents"), 3)),
+
     "q143_bpe_packing" -> ((s, d) =>
       graft.operators.PrefixAgg
         .runningSum(
@@ -1172,6 +1207,25 @@ object TextOps {
             CAST(sum(COALESCE(nsym, length(w))) AS BIGINT) AS bpe_syms
           FROM toks LEFT JOIN wl USING (w)
           GROUP BY doc_id ORDER BY doc_id""",
+
+    // fertility = the same trained table joined to a lang-carrying
+    // token stream; ratios via the shared sqlDratio half-up quotient
+    "q146_bpe_fertility" ->
+      s"""WITH $bpeTrainCtes,
+          wl AS (SELECT w, CAST(count(*) AS BIGINT) AS nsym
+                 FROM s3 GROUP BY w),
+          toks AS (SELECT lang, unnest($duckTok) AS w FROM documents)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(COALESCE(nsym, length(w))) AS BIGINT) AS n_syms,
+            CAST(sum(length(w)) AS BIGINT) AS n_chars,
+            ${graft.Det.sqlDratio(
+              "sum(COALESCE(nsym, length(w)))", "count(*)", 4)}
+              AS syms_per_token,
+            ${graft.Det.sqlDratio(
+              "sum(length(w))", "sum(COALESCE(nsym, length(w)))", 4)}
+              AS chars_per_sym
+          FROM toks LEFT JOIN wl USING (w)
+          GROUP BY lang ORDER BY lang""",
 
     // packing over the SAME encode (the q75 cumulative-window shape on
     // bpe_syms instead of the regex token proxy)

@@ -655,6 +655,79 @@ class MediaProbeSpec extends SparkSpec {
     assert(info.durationMs == 10000) // 441000 ticks at timescale 44100
   }
 
+  // ----------------------------------------------------- aiff / au
+
+  private def ext80(rate: Long): Array[Byte] = {
+    val lg = 63 - java.lang.Long.numberOfLeadingZeros(rate)
+    val m = rate << (63 - lg)
+    cat(be16(16383 + lg.toInt), be32(m >>> 32), be32(m & 0xffffffffL))
+  }
+
+  private def aiffFixture(form: String, commBody: Array[Byte],
+      extra: Array[Byte] = Array.empty): Array[Byte] = {
+    val comm = cat(cc("COMM"), be32(commBody.length), commBody)
+    cat(cc("FORM"), be32(4L + comm.length + extra.length), cc(form),
+      comm, extra)
+  }
+
+  test("aiff: COMM fields exact, 80-bit extended rate decoded by " +
+      "integer arithmetic; AIFC fourcc routes the codec name") {
+    val comm = cat(be16(2), be32(441000), be16(16), ext80(44100))
+    val i = MediaProbe.probe(aiffFixture("AIFF", comm)).get
+    assert(i.container == "aiff" && i.codec == "pcm_s16be")
+    assert(i.sampleRate == 44100 && i.channels == 2)
+    assert(i.durationMs == 10000 && i.frames == 441000)
+    assert(i.bitrateKbps == 44100 * 2 * 16 / 1000)
+    // AIFC + sowt = byte-swapped (little-endian) pcm
+    val sowt = cat(comm, cc("sowt"), Array[Byte](0, 0))
+    val c = MediaProbe.probe(aiffFixture("AIFC", sowt)).get
+    assert(c.container == "aifc" && c.codec == "pcm_s16le")
+    // AIFC + a G.711 fourcc surfaces as that codec
+    val ul = cat(be16(1), be32(8000), be16(8), ext80(8000),
+      cc("ulaw"), Array[Byte](0, 0))
+    val u = MediaProbe.probe(aiffFixture("AIFC", ul)).get
+    assert(u.codec == "ulaw" && u.durationMs == 1000)
+  }
+
+  test("aiff: lying sizes and hostile COMMs degrade, never throw") {
+    // negative-rate 80-bit float (sign bit set) clamps to unknown
+    val neg = cat(be16(2), be32(1000), be16(16),
+      cat(Array[Byte](0xC0.toByte, 0x0E), be32(0xAC440000L), be32(0)))
+    val n = MediaProbe.probe(aiffFixture("AIFF", neg)).get
+    assert(n.sampleRate == 0 && n.durationMs == 0)
+    // a COMM whose declared size overruns the buffer is skipped (no
+    // COMM parsed -> no codec -> None, not a crash)
+    val cut = cat(cc("FORM"), be32(100), cc("AIFF"),
+      cc("COMM"), be32(18), be16(2))
+    assert(MediaProbe.probe(cut).isEmpty)
+    // a lying FORM size smaller than the real chunks caps the walk
+    val comm = cat(be16(2), be32(441000), be16(16), ext80(44100))
+    val full = aiffFixture("AIFF", comm)
+    val lied = full.clone()
+    lied(7) = 2 // FORM size 2: walk ends before COMM
+    assert(MediaProbe.probe(lied).isEmpty)
+  }
+
+  test("au: header fields exact; EOF-size convention and overrunning " +
+      "declared sizes clamp to the bytes present") {
+    def au(size: Long, enc: Long, n: Int): Array[Byte] =
+      cat(cc(".snd"), be32(24), be32(size), be32(enc), be32(8000),
+        be32(1), Array.fill[Byte](n)(0x11))
+    val i = MediaProbe.probe(au(4000, 1, 4000)).get
+    assert(i.container == "au" && i.codec == "ulaw")
+    assert(i.sampleRate == 8000 && i.channels == 1)
+    assert(i.durationMs == 500 && i.frames == 4000 && i.bitrateKbps == 64)
+    // 0xFFFFFFFF = "unknown, read to EOF" (the spec's convention)
+    val eof = MediaProbe.probe(au(0xffffffffL, 1, 2000)).get
+    assert(eof.durationMs == 250 && eof.frames == 2000)
+    // declared size overrunning the buffer: clamp, never invent
+    val over = MediaProbe.probe(au(1000000, 3, 1600)).get
+    assert(over.codec == "pcm_s16be" && over.frames == 800 &&
+      over.durationMs == 100)
+    // unknown encodings are not claimed
+    assert(MediaProbe.probe(au(100, 99, 100)).isEmpty)
+  }
+
   // ------------------------------------------------------------ ogg
 
   test("ogg opus: codec from OpusHead, duration from last granule " +
@@ -1200,8 +1273,12 @@ class MediaProbeSpec extends SparkSpec {
     val out = SparkEntry.queries("q138_media_probe")(spark, sf).collect()
     assert(out.length == 100) // every format family recognized, no drops
     val byContainer = out.groupBy(_.getString(1)).view.mapValues(_.length)
-    // 100 ids round-robin over 7 families: residues 0-1 get 15, 2-6 get 14
-    assert(byContainer("mpeg-audio") == 15 && byContainer("wav") == 15 &&
+    // 100 ids round-robin over 7 slots (residues 0-1 get 15, 2-6 get
+    // 14); the uncompressed-audio slot (residue 1) further walks
+    // wav/aiff/au by (id/7)%3, and every second aiff id is AIFC
+    assert(byContainer("mpeg-audio") == 15 && byContainer("wav") == 5 &&
+      byContainer("aiff") == 3 && byContainer("aifc") == 2 &&
+      byContainer("au") == 5 &&
       byContainer("gif") == 14 && byContainer("isom") == 14 &&
       byContainer("ogg") == 14 && byContainer("webm") == 14 &&
       byContainer("adts") == 14)
@@ -1219,8 +1296,25 @@ class MediaProbeSpec extends SparkSpec {
     val r14 = out.find(_.getLong(0) == 14).get // VBRI, 2+14%9 = 7 frames
     assert(r14.getString(2) == "mp3" && r14.getLong(9) == 7 &&
       r14.getLong(6) == 7 * 1152L * 1000 / 44100)
-    val r8 = out.find(_.getLong(0) == 8).get  // wav, (1 + 8%5)*0.25 s
-    assert(r8.getString(2) == "pcm" && r8.getLong(6) == 1000)
+    val r22 = out.find(_.getLong(0) == 22).get // wav, (1 + 22%5)*0.25 s
+    assert(r22.getString(2) == "pcm" && r22.getLong(6) == 750)
+    // id 8: plain AIFF — big-endian pcm, 16000 frames at the 80-bit
+    // extended 16 kHz, stereo s16 => 1 s, 512 kbps declared
+    val r8 = out.find(_.getLong(0) == 8).get
+    assert(r8.getString(1) == "aiff" && r8.getString(2) == "pcm_s16be" &&
+      r8.getInt(3) == 16000 && r8.getInt(4) == 2 &&
+      r8.getLong(6) == 1000 && r8.getLong(9) == 16000 &&
+      r8.getInt(5) == 512)
+    // id 29: AIFC with the 'sowt' byte-swap fourcc => little-endian pcm
+    val r29 = out.find(_.getLong(0) == 29).get
+    assert(r29.getString(1) == "aifc" && r29.getString(2) == "pcm_s16le" &&
+      r29.getLong(6) == 1250, s"aifc: $r29")
+    // id 15: Sun AU G.711 mu-law mono 8 kHz, 2000 one-byte samples
+    val r15 = out.find(_.getLong(0) == 15).get
+    assert(r15.getString(1) == "au" && r15.getString(2) == "ulaw" &&
+      r15.getInt(3) == 8000 && r15.getInt(4) == 1 &&
+      r15.getLong(6) == 250 && r15.getLong(9) == 2000 &&
+      r15.getInt(5) == 64)
     val r9 = out.find(_.getLong(0) == 9).get  // gif, 1 + 9%4 = 2 frames
     assert(r9.getLong(9) == 2 && r9.getInt(7) == 11 && r9.getInt(8) == 7)
     val r3 = out.find(_.getLong(0) == 3).get  // mp4, (1 + 3%6) = 4 s

@@ -129,6 +129,26 @@ class TextSimilaritySpec extends SparkSpec {
     assert(oov.toSeq == Seq((0L, 3L + 3L + 3L + 4L)), s"got ${oov.toSeq}")
   }
 
+  test("BPE fertility: per-language symbol/char ratios hand-computed " +
+      "under the shared trained vocab") {
+    // ONE vocab trains across both languages (banana:3 bana:1 zz:2
+    // q:1): rounds merge (a,n) at 7, (an,a) at 4 — the (b,an) tie
+    // breaks to 'an' — then (an,ana) at 3 over (b,an) by the same
+    // binary order. Final costs: banana/bana/zz = 2 symbols, q = 1.
+    // lang xx: 4 tokens, 8 syms, 22 chars -> fertility 2.0,
+    // compression 22/8 = 2.75. lang yy: 3 tokens, 5 syms, 5 chars ->
+    // 5/3 half-up = 1.6667, 1.0. Exact integers + the shared dratio
+    // quotient — no float averaging.
+    val docs = Seq((0L, "banana banana banana bana", "xx"),
+      (1L, "zz zz q", "yy")).toDF("doc_id", "text", "lang")
+    val got = graft.queries.TextOps.bpeFertility(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("xx", 4L, 8L, 22L, 2.0, 2.75),
+      ("yy", 3L, 5L, 5L, 1.6667, 1.0)), s"got ${got.toSeq}")
+  }
+
   test("BPE encode: a vocabulary-exhausted trainer (pairless rounds) " +
       "still prices words by their learned symbol table") {
     // all words are single code points: round 1 finds no adjacent
