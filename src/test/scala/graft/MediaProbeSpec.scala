@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{MediaProbe, Multimodal}
+import graft.pipeline.{AudioOps, MediaProbe, Multimodal}
 import MediaProbe.MediaInfo
 import java.io.ByteArrayOutputStream
 
@@ -689,6 +689,22 @@ class MediaProbeSpec extends SparkSpec {
     assert(u.codec == "ulaw" && u.durationMs == 1000)
   }
 
+  test("aiff: 80-bit rate round-trips exactly across the realistic " +
+      "and adversarial integer range") {
+    // the fixture encoder normalizes any positive int into the
+    // explicit-integer-bit extended layout; the probe must recover it
+    // exactly — one bit of drift in the exponent arithmetic shifts
+    // every duration on the corpus
+    for (rate <- Seq(1L, 7L, 8000L, 11025L, 16000L, 22050L, 44100L,
+        48000L, 96000L, 192000L, 1234567L, Int.MaxValue.toLong)) {
+      val comm = cat(be16(1), be32(rate * 2), be16(16), ext80(rate))
+      val i = MediaProbe.probe(aiffFixture("AIFF", comm)).get
+      assert(i.sampleRate.toLong == rate,
+        s"ext80 round-trip broke at $rate: got ${i.sampleRate}")
+      assert(i.durationMs == 2000, s"duration at $rate: ${i.durationMs}")
+    }
+  }
+
   test("aiff: lying sizes and hostile COMMs degrade, never throw") {
     // negative-rate 80-bit float (sign bit set) clamps to unknown
     val neg = cat(be16(2), be32(1000), be16(16),
@@ -706,6 +722,27 @@ class MediaProbeSpec extends SparkSpec {
     val lied = full.clone()
     lied(7) = 2 // FORM size 2: walk ends before COMM
     assert(MediaProbe.probe(lied).isEmpty)
+  }
+
+  test("aiff/au really decode through the existing javax.sound path " +
+      "(the probe's routing claim, exercised)") {
+    // AIFF: 8 mono s16be samples of +0x4000 (= +0.5 full scale)
+    val pcm = Array.tabulate[Byte](16)(
+      i => if (i % 2 == 0) 0x40 else 0x00)
+    val comm = cat(be16(1), be32(8), be16(16), ext80(8000))
+    val clip = aiffFixture("AIFF",
+      comm, cat(cc("SSND"), be32(8L + 16), be32(0), be32(0), pcm))
+    val (rate, mono) = AudioOps.decodeWav(clip).get
+    assert(rate == 8000f && mono.length == 8)
+    assert(mono.forall(v => math.abs(v - 0.5) < 0.01),
+      s"aiff s16be samples decoded wrong: ${mono.toSeq}")
+    // AU: G.711 mu-law 0xFF encodes digital silence
+    val auClip = cat(cc(".snd"), be32(24), be32(100), be32(1),
+      be32(8000), be32(1), Array.fill[Byte](100)(0xff.toByte))
+    val (auRate, auMono) = AudioOps.decodeWav(auClip).get
+    assert(auRate == 8000f && auMono.length == 100)
+    assert(auMono.forall(v => math.abs(v) < 0.001),
+      s"mu-law silence decoded wrong: ${auMono.take(4).toSeq}")
   }
 
   test("au: header fields exact; EOF-size convention and overrunning " +
@@ -1232,7 +1269,15 @@ class MediaProbeSpec extends SparkSpec {
       gifFixture(2, 10), webmFixture(),
       cat(adtsFrame(60), adtsFrame(60), adtsFrame(60)),
       cat(adtsFrame(60, crc = true, blocks = 2),
-        adtsFrame(60, crc = true, blocks = 2)))
+        adtsFrame(60, crc = true, blocks = 2)),
+      // r13 families under the same truncation / bit-flip fuzz
+      aiffFixture("AIFF", cat(be16(2), be32(1000), be16(16),
+        ext80(44100)), cat(cc("SSND"), be32(8L + 16), be32(0), be32(0),
+        Array.fill[Byte](16)(0x22))),
+      aiffFixture("AIFC", cat(be16(1), be32(500), be16(16),
+        ext80(8000), cc("sowt"), Array[Byte](0, 0))),
+      cat(cc(".snd"), be32(24), be32(64), be32(1), be32(8000),
+        be32(1), Array.fill[Byte](64)(0x33)))
     fixtures.foreach { f =>
       (0 to f.length).foreach(n => MediaProbe.probe(f.take(n)))
       // bit-flipped copies exercise the validation branches
