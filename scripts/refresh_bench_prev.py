@@ -15,31 +15,49 @@ import json
 import sys
 
 MIN_KEYS = 50
+# the drift-triage baseline is ONLY meaningful at the driver's bench
+# SF: a full-suite record from another scale factor would flag (or
+# hide) every key when Bench divides current sf0.1 times by it
+EXPECTED_SF = "sf0.1"
 
 
-def read_rec(path):
-    rec = json.load(open(path))
-    return rec, rec["queries"]
+def check_rec(rec, what):
+    queries = rec["queries"]
+    if len(queries) < MIN_KEYS:
+        raise ValueError(f"{what}: only {len(queries)} query keys "
+                         f"(< {MIN_KEYS}) — a subset run, not a "
+                         "triage baseline")
+    sf = str(rec.get("sf", ""))
+    if not sf.rstrip("/").endswith(EXPECTED_SF):
+        raise ValueError(f"{what}: recorded at sf={sf!r}, not "
+                         f"{EXPECTED_SF} — wrong-scale baseline")
+    return queries
 
 
 src = sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
 try:
-    rec, queries = read_rec(src)
-    if len(queries) < MIN_KEYS:
-        raise ValueError(f"only {len(queries)} query keys (< {MIN_KEYS})"
-                         " — a subset run, not a triage baseline")
+    rec = json.load(open(src))
+    queries = check_rec(rec, src)
 except Exception as e:  # noqa: BLE001 - any parse failure triggers fallback
     # r13: Bench appends every FULL-suite run to an append-only
     # target/bench_history.jsonl (subset runs never do), so a smoke-run
     # clobber of bench.json no longer loses the record — take the
-    # newest history line instead of refusing outright.
+    # newest USABLE history line (full suite AND the right SF) instead
+    # of refusing outright.
     hist = "target/bench_history.jsonl"
     try:
-        last = [ln for ln in open(hist) if ln.strip()][-1]
-        rec = json.loads(last)
-        queries = rec["queries"]
-        assert len(queries) >= MIN_KEYS
-        src = f"{hist} (last line; {src} was unusable: {e})"
+        rec = None
+        for ln in reversed([ln for ln in open(hist) if ln.strip()]):
+            cand = json.loads(ln)
+            try:
+                queries = check_rec(cand, "history line")
+                rec = cand
+                break
+            except ValueError:
+                continue
+        if rec is None:
+            raise ValueError("no full-suite line at the expected SF")
+        src = f"{hist} (newest usable line; {src} was unusable: {e})"
     except Exception as e2:  # noqa: BLE001
         sys.exit(f"refusing: {src}: {e}; history fallback {hist}: {e2}")
 out = {

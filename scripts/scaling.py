@@ -45,6 +45,21 @@ def main(pa, pb, min_b=0.4, max_ratio=None):
     med = sorted(x[0] for x in rows)[len(rows) // 2] if rows else 0
     print(f"median ratio: {med:.2f} (10x data step)")
     if max_ratio is not None:
+        # A query that ERRORS or times out at the larger SF vanishes
+        # from that record's "queries" (Bench reports it under
+        # "errors" instead) — exactly the superlinear blow-up this
+        # gate exists to catch, so a keyset mismatch is a FAILURE,
+        # not a silent drop. An empty comparison is vacuous: fail it.
+        missing = sorted(set(qa) ^ set(qb))
+        if missing:
+            print(f"GATE FAIL: query keysets differ (ran with "
+                  f"different SPARK_GRAFT_ONLY, or a query died at "
+                  f"one SF): {missing}")
+            sys.exit(1)
+        if not rows:
+            print("GATE FAIL: no comparable queries above the time "
+                  "floor — the gate checked nothing")
+            sys.exit(1)
         if bad:
             print(f"GATE FAIL: ratio > {max_ratio} for {bad}")
             sys.exit(1)

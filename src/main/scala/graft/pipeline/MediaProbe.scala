@@ -857,24 +857,29 @@ object MediaProbe {
     // embedded in the literal, so the offset arithmetic below (channels
     // at p0+11, rate at p0+12, both relative to the type byte) is
     // visibly consistent with the match
-    if (p0 < b.length && u8(b, p0) == 0x01 && matches(b, p0 + 1, "vorbis")) {
+    if (p0 + 7 <= pEnd && u8(b, p0) == 0x01 &&
+        matches(b, p0 + 1, "vorbis")) {
       codec = "vorbis"
       if (p0 + 16 <= pEnd) {
         ch = u8(b, p0 + 11); sr = le32(b, p0 + 12).toInt
       }
       // [br_max, br_nom, br_min] follow the rate; only the nominal is
-      // trustworthy as a summary figure (max/min are often 0 or -1)
+      // trustworthy as a summary figure — and these are SIGNED fields
+      // whose "unset" sentinel is -1 (0xFFFFFFFF), so the unsigned
+      // read must reject the high-bit range, not min-clamp it into a
+      // fictitious ~1 Gbps declared rate
       if (p0 + 24 <= pEnd) {
         val nom = le32(b, p0 + 20)
-        if (nom > 0) brDeclared = math.min(nom / 1000L, 1 << 20).toInt
+        if (nom > 0 && nom < 0x80000000L)
+          brDeclared = math.min(nom / 1000L, 1 << 20).toInt
       }
-    } else if (matches(b, p0, "OpusHead")) {
+    } else if (p0 + 8 <= pEnd && matches(b, p0, "OpusHead")) {
       // OpusHead really is the first packet byte (RFC 7845 §5.1)
       codec = "opus"
       if (p0 + 12 <= pEnd) {
         ch = u8(b, p0 + 9); sr = 48000; preSkip = le16(b, p0 + 10)
       }
-    } else if (p0 < b.length && u8(b, p0) == 0x7f &&
+    } else if (p0 + 5 <= pEnd && u8(b, p0) == 0x7f &&
         matches(b, p0 + 1, "FLAC")) {
       // Ogg-FLAC mapping packet: 0x7F "FLAC" maj min nHdr(2), then a
       // VERBATIM native-FLAC prefix ("fLaC" + STREAMINFO) at p0+9 —
@@ -1016,31 +1021,41 @@ object MediaProbe {
       case n => n
     })
     var o = 12L
-    var stop = false
-    while (!stop && o + 8 <= lim) {
+    while (o + 8 <= lim) {
       val cid = fourcc(b, o.toInt)
       val sz = be32(b, o.toInt + 4)
       if (cid == "COMM" && sz >= 18 && o + 8 + 18 <= b.length) {
         val co = o.toInt + 8
-        ch = be16(b, co)
-        frames = be32(b, co + 2)
-        bits = be16(b, co + 6)
-        sr = ext80(b, co + 8)
-        codec =
-          if (kind == "AIFC" && sz >= 22 && o + 8 + 22 <= b.length)
-            fourcc(b, co + 18) match {
-              case "NONE" => s"pcm_s${bits}be"
-              case "sowt" => s"pcm_s${bits}le"
-              case other =>
-                other.trim.toLowerCase(java.util.Locale.ROOT)
-            }
-          else s"pcm_s${bits}be"
+        // field sanity mirrors probeAu: a hostile COMM (0 or 65535
+        // channels, 0-bit samples) must not mint a codec name
+        val c0 = be16(b, co)
+        val b0 = be16(b, co + 6)
+        if (c0 >= 1 && c0 <= 64 && b0 >= 1 && b0 <= 64) {
+          ch = c0
+          frames = be32(b, co + 2)
+          bits = b0
+          sr = ext80(b, co + 8)
+          codec =
+            if (kind == "AIFC" && sz >= 22 && o + 8 + 22 <= b.length)
+              fourcc(b, co + 18) match {
+                case "NONE" => s"pcm_s${bits}be"
+                case "sowt" => s"pcm_s${bits}le"
+                case other =>
+                  other.trim.toLowerCase(java.util.Locale.ROOT)
+              }
+            else s"pcm_s${bits}be"
+        }
       }
-      if (sz < 0) stop = true
-      else o += 8L + sz + (sz & 1L) // chunks are even-padded
+      // be32 is unsigned, so sz >= 0 always: the walk terminates by o
+      // overshooting lim (a lying size jumps past it — the coherent
+      // prefix stands)
+      o += 8L + sz + (sz & 1L) // chunks are even-padded
     }
     if (codec.isEmpty) return None
-    val durMs = if (sr > 0) frames * 1000L / sr else 0L
+    // probeMp3's hostile-tag clamp: u32 frames over a 1 Hz ext80 rate
+    // would otherwise declare a ~136-year duration
+    val durMs =
+      if (sr > 0) math.min(frames * 1000L / sr, 0xffffffffL) else 0L
     val kbps = // declared-rate exact figure for pcm, window-independent
       if (sr > 0 && ch > 0 && bits > 0)
         math.min(sr.toLong * ch * bits / 1000L, Int.MaxValue.toLong).toInt
@@ -1073,7 +1088,11 @@ object MediaProbe {
       case _ => return None
     }
     if (sr <= 0 || sr > Int.MaxValue || ch <= 0 || ch > 64) return None
-    val start = if (off < 24 || off > b.length) 24L else off
+    // offset below the fixed header is malformed -> treat as 24; an
+    // offset BEYOND the buffer means the audio bytes are outside this
+    // probe window -> zero samples ("clamp, never invent"), not a
+    // silent re-base onto annotation/junk bytes
+    val start = if (off < 24) 24L else math.min(off, b.length.toLong)
     val avail = b.length - start
     val dataLen =
       if (size == 0xffffffffL || size > avail) math.max(0L, avail)

@@ -705,6 +705,32 @@ class MediaProbeSpec extends SparkSpec {
     }
   }
 
+  test("ogg: a signed -1 Vorbis bitrate_nominal is 'unset', not a " +
+      "gigabit declared rate; a 1-byte first packet claims no codec") {
+    def page(gran: Long, payload: Array[Byte], tail: Array[Byte] = Array.empty)
+        : Array[Byte] =
+      cat(cc("OggS"), Array[Byte](0, 2), le64(gran), le32(1), le32(0),
+        le32(0), Array[Byte](1, payload.length.toByte), payload, tail)
+    // id header with br_nom = 0xFFFFFFFF (the spec's signed unset):
+    // must fall back to the bytes/duration estimate, never min-clamp
+    // the unsigned read into ~1048576 kbps
+    val head = cat(Array[Byte](0x01), cc("vorbis"), le32(0),
+      Array[Byte](2), le32(44100), le32(0), le32(0xffffffffL),
+      le32(0), Array[Byte](0xb8.toByte, 0x01))
+    val v = MediaProbe.probe(cat(page(0, head),
+      page(88200, Array.fill[Byte](20)(3)))).get
+    assert(v.codec == "vorbis" && v.bitrateKbps < 1000,
+      s"unset br_nom leaked: ${v.bitrateKbps}")
+    // first packet = ONE byte (0x01), with "vorbis..." sitting in the
+    // SECOND packet of the same page: the magic straddles the packet
+    // boundary and must not identify
+    val cut = MediaProbe.probe(cat(
+      page(0, Array[Byte](0x01), cat(cc("vorbis"),
+        Array.fill[Byte](24)(0))),
+      page(88200, Array.fill[Byte](20)(3))))
+    assert(cut.isEmpty, s"cross-packet magic claimed a codec: $cut")
+  }
+
   test("aiff: lying sizes and hostile COMMs degrade, never throw") {
     // negative-rate 80-bit float (sign bit set) clamps to unknown
     val neg = cat(be16(2), be32(1000), be16(16),
@@ -722,6 +748,17 @@ class MediaProbeSpec extends SparkSpec {
     val lied = full.clone()
     lied(7) = 2 // FORM size 2: walk ends before COMM
     assert(MediaProbe.probe(lied).isEmpty)
+    // hostile COMM fields: 0 channels / 0-bit samples mint no codec
+    assert(MediaProbe.probe(aiffFixture("AIFF",
+      cat(be16(0), be32(1000), be16(16), ext80(44100)))).isEmpty)
+    assert(MediaProbe.probe(aiffFixture("AIFF",
+      cat(be16(2), be32(1000), be16(0), ext80(44100)))).isEmpty)
+    // u32 frames over a 1 Hz rate: duration clamps (probeMp3's
+    // hostile-tag convention), never a ~136-year figure
+    val huge = MediaProbe.probe(aiffFixture("AIFF",
+      cat(be16(1), be32(0xffffffffL), be16(16), ext80(1)))).get
+    assert(huge.durationMs == 0xffffffffL,
+      s"hostile duration unclamped: ${huge.durationMs}")
   }
 
   test("aiff/au really decode through the existing javax.sound path " +
@@ -763,6 +800,14 @@ class MediaProbeSpec extends SparkSpec {
       over.durationMs == 100)
     // unknown encodings are not claimed
     assert(MediaProbe.probe(au(100, 99, 100)).isEmpty)
+    // a data offset BEYOND the buffer: the audio lives outside this
+    // probe window — zero samples, never a duration computed from
+    // annotation/junk bytes
+    val far = cat(cc(".snd"), be32(0x7fffff00L), be32(4000), be32(1),
+      be32(8000), be32(1), Array.fill[Byte](4000)(0x11))
+    val f = MediaProbe.probe(far).get
+    assert(f.frames == 0 && f.durationMs == 0,
+      s"lying offset invented samples: $f")
   }
 
   // ------------------------------------------------------------ ogg
