@@ -136,7 +136,9 @@ class PlanSpec extends SparkSpec {
     // IDENTICAL, because the join key/semantics never depended on the
     // strategy. A forced hint would make this test impossible: the
     // broadcast would survive the threshold and OOM at scale instead.
-    val keys = Seq("q142_bpe_encode", "q61_tfidf")
+    // q146 shares q142's un-hinted vocab join and must degrade the
+    // same way (its only broadcastable join IS the vocab join)
+    val keys = Seq("q142_bpe_encode", "q146_bpe_fertility", "q61_tfidf")
     val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     val baseline = keys.map(k =>
@@ -151,7 +153,7 @@ class PlanSpec extends SparkSpec {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case o => o
       }).toString
-      if (k == "q142_bpe_encode")
+      if (k == "q142_bpe_encode" || k == "q146_bpe_fertility")
         assert(!p.contains("BroadcastHashJoin"),
           s"$k must shuffle-join the vocab with broadcast disabled:\n$p")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
