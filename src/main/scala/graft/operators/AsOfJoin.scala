@@ -45,13 +45,23 @@ object AsOfJoin {
       col(rightTs).cast("timestamp").as("__rt"),
       struct(rCols.map(col): _*).as("__r"))
 
-    // Final xxhash64(__r) term: two right rows with the same (key, ts)
+    // Final tie-break term: two right rows with the same (key, ts)
     // would otherwise be ordered arbitrarily, making the carried payload
-    // depend on partitioning/run. Hashing the payload struct gives a
-    // stable total order (left rows hash a NULL struct to a constant, and
-    // their relative order never matters — they carry no payload).
+    // depend on partitioning/run. Hashing the payload gives a stable
+    // total order (left rows hash NULL fields to a constant, and their
+    // relative order never matters — they carry no payload). Only the
+    // HASHABLE payload fields participate: xxhash64 on a MapType is
+    // banned since Spark 3.0, so hashing the whole struct would fail
+    // ANALYSIS for any caller with a map payload column. Rows
+    // differing only inside a map (none of the repo's callers) still
+    // order arbitrarily — every other payload stays deterministic.
+    val hashableR = rCols.filter(c =>
+      Skew.hashableType(right.schema(c).dataType))
+    val tieBreak =
+      if (hashableR.isEmpty) lit(0L)
+      else xxhash64(hashableR.map(c => col("__r").getField(c)): _*)
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t"), col("__is_left"), xxhash64(col("__r")))
+      .orderBy(col("__t"), col("__is_left"), tieBreak)
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val unioned = l2.union(r2)

@@ -28,16 +28,16 @@ object Bucketing {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // the catalog lowercases managed-table directories — clean up the
-    // path Spark actually uses, not the identifier as typed
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-        .getPath, table.toLowerCase(java.util.Locale.ROOT))
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(loc)
-    }
+    // path Spark actually uses, not the identifier as typed. Through
+    // the Hadoop FileSystem API, not java.io.File: a non-local
+    // warehouse (hdfs://, s3a://) would make a File-based rm silently
+    // no-op and the subsequent saveAsTable fail on the stale location
+    // (and java.net.URI chokes on paths with spaces).
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.format("parquet")
       .bucketBy(buckets, key, moreKeys: _*)
       .sortBy(key, moreKeys: _*)

@@ -66,9 +66,27 @@ object ConnectedComponents {
     // NON-eager truncation: the checkpoint materializes when the
     // potential probe below runs its aggregate, so each BSP round costs
     // ONE driver-blocking action (probe + truncate fused), not two.
+    //
+    // The reliable path additionally PERSISTS before checkpointing:
+    // RDD.checkpoint's write job otherwise RECOMPUTES the round from
+    // lineage after the probe job already computed it (the
+    // persist-or-compute-twice contract in RDD.checkpoint's own docs)
+    // — 2x work per BSP round, hours of duplicated compute on the
+    // multi-hour 100 TB loop this flag exists for. The cache is
+    // dropped right after each probe: by then the round's rows live in
+    // the checkpoint files and every later read goes there.
+    // (localCheckpoint needs none of this — it persists internally.)
+    var pending: List[DataFrame] = Nil
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+      if (reliable) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pending = df :: pending
+        df.checkpoint(eager = false)
+      } else df.localCheckpoint(eager = false)
+    def releaseCaches(): Unit = {
+      pending.foreach(_.unpersist(blocking = false))
+      pending = Nil
+    }
 
     val sym = truncate(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -95,6 +113,7 @@ object ConnectedComponents {
         .head().getDecimal(0))
 
     var prevSum = lblSum(labels)
+    releaseCaches() // sym + initial labels are checkpointed now
     if (prevSum.isEmpty) // no edges -> no nodes -> no clusters
       return (labels.select(col("node"), col("lbl").as("cluster_id")), 0)
 
@@ -136,6 +155,7 @@ object ConnectedComponents {
               .as("lbl"))
       val next = truncate(stepped)
       val s = lblSum(next)
+      releaseCaches() // the round is in its checkpoint files now
       labels = next
       converged = s == prevSum
       prevSum = s

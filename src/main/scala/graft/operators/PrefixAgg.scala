@@ -44,7 +44,17 @@ object PrefixAgg {
   /** Adds `outCol` = running SUM of `valueCol` in `orderCol` order.
     * `inclusive = false` sums strictly-preceding rows only (empty sum
     * = 0) — the "tokens before this document" shape. `orderCol` must be
-    * integral. */
+    * integral.
+    *
+    * CONTRACT NOTE (deliberate, not a drop-in SQL equivalence): an
+    * empty or all-NULL prefix yields 0, never NULL — the coalesce in
+    * the combine makes the exclusive first row 0 (the q75/q143
+    * billing shape: zero tokens before the first document) and, by
+    * the same token, makes NULL-valued rows contribute 0. The bare
+    * `sum(v) OVER (ORDER BY k)` window instead stays NULL until the
+    * first non-null input; callers who need THAT semantics on a
+    * nullable valueCol should pre-filter or post-mask NULL rows —
+    * every current caller feeds non-null values and wants the 0. */
   def runningSum(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String, blockSize: Long = 1L << 16,
       inclusive: Boolean = true): DataFrame =

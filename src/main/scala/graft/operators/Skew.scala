@@ -26,33 +26,56 @@ object Skew {
     * Results are identical to the direct aggregation (asserted in
     * SkewSpec); only the shuffle distribution changes.
     *
-    * The salt is derived from ROW CONTENT (xxhash64 over the key and
-    * aggregate-input columns plus the seed — not every column, which
-    * would crash on unhashable MapType payload columns and pay a
-    * full-row hash for nothing), never from a non-deterministic
+    * The salt is derived from ROW CONTENT — xxhash64 over EVERY
+    * hashable column plus the seed — never from a non-deterministic
     * expression like monotonically_increasing_id: when a lost shuffle
     * partition forces a map-task recompute, content-hash salts
     * reproduce exactly, so reducers that already fetched the first
     * attempt's output agree with the retry (the SPARK-23207 failure
-    * class). The trade-off is that rows identical on (keys, inputs)
-    * share a salt — aggregation stays correct (phase 2 merges all
-    * salts), only duplicate-heavy hot keys spread across fewer than
-    * saltBuckets reducers. */
+    * class). It must be EVERY hashable column, not just keys +
+    * aggregate inputs: a count-only spec's input is lit(1), and
+    * keys-plus-constant hashes to ONE salt per key — the hot key
+    * would still serialize onto a single reducer, the exact
+    * degeneration this operator exists to prevent; the non-key
+    * payload columns (timestamps, ids) are what actually vary inside
+    * a hot key. MapType-bearing columns are excluded (Spark bans
+    * hashing maps since 3.0). The residual trade-off: rows identical
+    * in EVERY hashable column share a salt — aggregation stays
+    * correct (phase 2 merges all salts), only fully-duplicate hot
+    * rows spread across fewer than saltBuckets reducers. */
+  /** Can xxhash64 take this type? MapType is banned anywhere in the
+    * tree (Spark 3.0+). Shared with AsOfJoin's tie-break hash. */
+  private[graft] def hashableType(
+      t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case st: org.apache.spark.sql.types.StructType =>
+      st.fields.forall(f => hashableType(f.dataType))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      hashableType(at.elementType)
+    case _ => true
+  }
+
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       specs: Seq[AggSpec], seed: Long = 42L): DataFrame = {
+    val saltSrc = df.schema.fields
+      .filter(f => hashableType(f.dataType)).map(f => col(f.name)).toSeq
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(
-        (keys.map(col) ++ specs.map(_.input) :+ lit(seed)): _*),
-        lit(saltBuckets)))
-    val phase1 = salted
-      .groupBy((keys.map(col) :+ col("__salt")): _*)
-      .agg(aggExprs(specs, phase1 = true).head,
-        aggExprs(specs, phase1 = true).tail: _*)
-    phase1
+      pmod(xxhash64((saltSrc :+ lit(seed)): _*), lit(saltBuckets)))
+    saltedPhase1(salted, keys, specs)
       .groupBy(keys.map(col): _*)
       .agg(aggExprs(specs, phase1 = false).head,
         aggExprs(specs, phase1 = false).tail: _*)
   }
+
+  /** Phase 1 alone (per-(keys, salt) partial aggregates) — factored
+    * out so tests can observe the SPREAD (distinct salts per hot key),
+    * the property the operator exists for. */
+  private[graft] def saltedPhase1(salted: DataFrame, keys: Seq[String],
+      specs: Seq[AggSpec]): DataFrame =
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(aggExprs(specs, phase1 = true).head,
+        aggExprs(specs, phase1 = true).tail: _*)
 
   private def aggExprs(specs: Seq[AggSpec], phase1: Boolean): Seq[Column] =
     specs.map { s =>

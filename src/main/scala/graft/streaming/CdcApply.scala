@@ -97,8 +97,11 @@ object CdcApply {
   /** Read the materialized view directly from the applying query's
     * state store (Spark's state data source) — the serving-layer read
     * path: no stream stop, no sink reconstruction, a plain batch
-    * DataFrame (doc_id, text) of the LIVE keys (tombstoned keys are
-    * absent because delete clears the state). At 100 TB this is the
+    * DataFrame (doc_id, text) of the LIVE keys. Tombstoned keys ARE
+    * in the state (since the r10 LWW change a delete stores a
+    * live=false Doc with its seq retained, so a late out-of-order
+    * write can still lose to it — state is O(keys ever seen)); this
+    * read hides them via the live filter. At 100 TB this is the
     * point of CDC maintenance: the view is queryable in place, from
     * the same checkpoint the stream commits to, partition-parallel
     * over the store's shards. Tombstones (kept for LWW against late

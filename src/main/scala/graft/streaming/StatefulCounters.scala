@@ -104,7 +104,14 @@ object StatefulCounters {
   def runningCounts(spark: SparkSession,
       events: DataFrame): Dataset[(Long, Long)] = {
     import spark.implicits._
-    events.select(col("user_id")).as[Long]
+    // the events schema is NULLABLE (ntzSchema): a NULL user_id would
+    // kill the typed encoder ("Null value appeared in non-nullable
+    // field") and terminate the stream. Batch per-user counts group
+    // NULL keys away from every oracle the twins compare against, so
+    // dropping them IS the batch semantics, not a shortcut — the
+    // q136/EventTime null-domain pin, applied to the typed twins.
+    events.select(col("user_id")).filter(col("user_id").isNotNull)
+      .as[Long]
       .groupByKey(identity)
       .transformWithState(new RunningCountProcessor,
         TimeMode.None(), OutputMode.Update())
@@ -116,6 +123,7 @@ object StatefulCounters {
       events: DataFrame): Dataset[(Long, Long, Long)] = {
     import spark.implicits._
     events.select(col("user_id"), col("event_type"))
+      .filter(col("user_id").isNotNull) // nullable schema: see runningCounts
       .as[(Long, String)]
       .groupByKey(_._1)
       .transformWithState(new TypeMixProcessor,
@@ -131,6 +139,11 @@ object StatefulCounters {
     import spark.implicits._
     events.select(col("user_id"), expr("unix_micros(ts)"),
         col("event_id"), col("event_type"))
+      // nullable schema: a NULL user_id/ts/event_id breaks the tuple
+      // encoder (see runningCounts); an unordered NULL ts has no place
+      // in a transition sequence either way
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .transformWithState(new TransitionProcessor,

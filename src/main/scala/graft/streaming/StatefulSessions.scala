@@ -87,6 +87,10 @@ object StatefulSessions {
       watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
     events.select(col("user_id"), col("ts"))
+      // nullable events schema: a NULL user_id kills the Ev encoder
+      // and a NULL ts has no event-time to sessionize on (batch q31
+      // groups them out of every session too)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .dropDuplicates("user_id", "ts")
       .as[Ev]

@@ -128,6 +128,12 @@ object StreamingWindows {
   def slidingDistinct(spark: SparkSession, dir: String,
       delay: String = "7 days", maxFilesPerTrigger: Int = 0): DataFrame =
     eventsStream(spark, dir, maxFilesPerTrigger)
+      // batch q109 counts users via countDistinct, which SKIPS NULL —
+      // without this filter a NULL user_id would survive
+      // dropDuplicates as its own key and count(lit(1)) would add a
+      // phantom user to every served day (silent batch divergence on
+      // the nullable schema)
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), explode(expr(
         """sequence(date_trunc('DAY', ts),
                     date_trunc('DAY', ts) + interval 6 days,

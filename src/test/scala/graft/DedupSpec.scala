@@ -159,10 +159,18 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     try {
+      val before = spark.sparkContext.getPersistentRDDs.size
       val cc = graft.operators.ConnectedComponents
         .run(edges, "a_id", "b_id", reliable = true)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+      // the r13 persist-before-checkpoint fix (stops the checkpoint
+      // write from recomputing each round) must also RELEASE every
+      // round's cache once the checkpoint files hold the data — a
+      // leaked cache per BSP round would fill executor storage over a
+      // multi-hour 100 TB loop
+      assert(spark.sparkContext.getPersistentRDDs.size <= before,
+        "reliable CC leaked per-round caches")
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 

@@ -111,6 +111,29 @@ class UtilOpsSpec extends SparkSpec {
       assert(math.abs(q - dq) < 1e-6)  // double sum order differs by salt
     }
   }
+
+  test("saltedAgg: count-only specs SPREAD a hot key (payload-content " +
+      "salt, not keys+constant), and MapType payloads don't crash") {
+    import org.apache.spark.sql.functions.{lit, map, col}
+    // ONE hot key, payload varying per row, plus a map column the salt
+    // must skip (hashing MapType is banned): phase 1 must land the hot
+    // key on MULTIPLE salts — the r13 fix; keys+lit(1) hashed to ONE
+    // salt per key and the mitigation silently no-opped for count
+    val hot = spark.range(0, 1000)
+      .select(lit("viral").as("k"), col("id").as("payload"),
+        map(lit("a"), col("id")).as("props"))
+    val out = Skew.saltedAgg(hot, Seq("k"), saltBuckets = 8,
+      Seq(Skew.count("cnt"))).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1000L)
+    // observable spread: the operator's own phase 1 must carry the hot
+    // key on MULTIPLE (key, salt) partials — keys+lit(1) salting gave 1
+    val spread = Skew.saltedPhase1(
+      hot.withColumn("__salt", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          col("k"), col("payload"), lit(42L)), lit(8))),
+      Seq("k"), Seq(Skew.count("cnt"))).count()
+    assert(spread > 1, s"hot key still landed on $spread salt bucket(s)")
+  }
   test("sidecar canon pins the cross-language value contract") {
     // these strings are the CONTRACT with scripts/check.py's canon():
     // a change on either side makes every sidecar read as drift, so
