@@ -88,10 +88,28 @@ object ConnectedComponents {
       pending = Nil
     }
 
-    val sym = truncate(
+    // sym is the per-round join input for the WHOLE loop, and — unlike
+    // the per-round labels — its non-eager reliable checkpoint never
+    // materializes: RDD.doCheckpoint only checkpoints the TOPMOST
+    // marked RDD of each job (checkpointAllMarkedAncestors defaults to
+    // false), and sym is always an ancestor of the round's labels
+    // checkpoint. So on the reliable path sym's cache IS its only
+    // protection from per-round lineage recompute: it stays persisted
+    // for the loop's lifetime and is released only on exit (every
+    // path, including the non-convergence throw). localCheckpoint
+    // needs none of this — its storage level is set at mark time and
+    // the blocks cache on first use regardless.
+    val symSrc =
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct())
+        .distinct()
+    val sym =
+      if (reliable) {
+        symSrc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        symSrc
+      } else symSrc.localCheckpoint(eager = false)
+    def releaseSym(): Unit =
+      if (reliable) symSrc.unpersist(blocking = false)
 
     // initial labels already fold in the first neighbor-min round:
     // lbl(v) = min(v, min over neighbors) is one aggregate over the
@@ -113,13 +131,15 @@ object ConnectedComponents {
         .head().getDecimal(0))
 
     var prevSum = lblSum(labels)
-    releaseCaches() // sym + initial labels are checkpointed now
-    if (prevSum.isEmpty) // no edges -> no nodes -> no clusters
+    releaseCaches() // initial labels are in their checkpoint files now
+    if (prevSum.isEmpty) { // no edges -> no nodes -> no clusters
+      releaseSym()
       return (labels.select(col("node"), col("lbl").as("cluster_id")), 0)
+    }
 
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    try while (!converged && i < maxIter) {
       val nbrLabels = sym
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("lbl"))
@@ -160,7 +180,7 @@ object ConnectedComponents {
       converged = s == prevSum
       prevSum = s
       i += 1
-    }
+    } finally releaseSym()
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter iterations; " +

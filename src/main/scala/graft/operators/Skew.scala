@@ -32,16 +32,20 @@ object Skew {
     * partition forces a map-task recompute, content-hash salts
     * reproduce exactly, so reducers that already fetched the first
     * attempt's output agree with the retry (the SPARK-23207 failure
-    * class). It must be EVERY hashable column, not just keys +
-    * aggregate inputs: a count-only spec's input is lit(1), and
-    * keys-plus-constant hashes to ONE salt per key — the hot key
-    * would still serialize onto a single reducer, the exact
-    * degeneration this operator exists to prevent; the non-key
-    * payload columns (timestamps, ids) are what actually vary inside
-    * a hot key. MapType-bearing columns are excluded (Spark bans
+    * class). The salt SOURCE is chosen by what the specs consume
+    * (r14, refining the r13 fix): when at least one aggregate input
+    * is a live (non-literal, hashable) expression, the salt hashes
+    * keys + those inputs only — hashing every column per row is a
+    * real CPU cost on wide rows with large binary payloads (media
+    * content bytes), and the aggregate inputs are exactly the values
+    * that vary inside a hot key for the aggregates being computed.
+    * Only the degenerate count-only case (every input foldable —
+    * keys+lit(1) would hash to ONE salt per key, silently no-opping
+    * the mitigation) falls back to hashing every hashable column.
+    * MapType-bearing columns are excluded everywhere (Spark bans
     * hashing maps since 3.0). The residual trade-off: rows identical
-    * in EVERY hashable column share a salt — aggregation stays
-    * correct (phase 2 merges all salts), only fully-duplicate hot
+    * in every salted column share a salt — aggregation stays
+    * correct (phase 2 merges all salts), only such duplicate hot
     * rows spread across fewer than saltBuckets reducers. */
   /** Can xxhash64 take this type? MapType is banned anywhere in the
     * tree (Spark 3.0+). Shared with AsOfJoin's tie-break hash. */
@@ -55,10 +59,33 @@ object Skew {
     case _ => true
   }
 
+  /** Is `c` constant with respect to `df` — i.e. does it reference no
+    * columns? Probed by resolving against a zero-column frame (Spark
+    * 4's Column is plan-free, so there is no public foldability
+    * check). Column-free non-deterministic expressions (rand()) also
+    * resolve and are thus treated as constant — correct here: hashing
+    * one into the salt would break retry determinism (SPARK-23207). */
+  private def isConstant(df: DataFrame, c: Column): Boolean =
+    try { df.sparkSession.emptyDataFrame.select(c).schema; true }
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  /** The salt's input columns per the policy above — factored out so
+    * tests can pin the choice (keys+inputs vs all-columns fallback). */
+  private[graft] def saltSource(df: DataFrame, keys: Seq[String],
+      specs: Seq[AggSpec]): Seq[Column] = {
+    val live = specs.map(_.input).filterNot(c => isConstant(df, c))
+    val hashableLive =
+      if (live.isEmpty) Nil
+      else df.select(live: _*).schema.fields.map(_.dataType).toSeq
+        .zip(live).collect { case (t, c) if hashableType(t) => c }
+    if (hashableLive.nonEmpty) keys.map(col) ++ hashableLive
+    else df.schema.fields
+      .filter(f => hashableType(f.dataType)).map(f => col(f.name)).toSeq
+  }
+
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       specs: Seq[AggSpec], seed: Long = 42L): DataFrame = {
-    val saltSrc = df.schema.fields
-      .filter(f => hashableType(f.dataType)).map(f => col(f.name)).toSeq
+    val saltSrc = saltSource(df, keys, specs)
     val salted = df.withColumn("__salt",
       pmod(xxhash64((saltSrc :+ lit(seed)): _*), lit(saltBuckets)))
     saltedPhase1(salted, keys, specs)

@@ -844,8 +844,15 @@ object MediaProbe {
     // pattern as channels/pre-skip/bitrate
     var pkt0 = 0
     locally {
+      // the lacing walk itself must be buffer-bounded: the entry guard
+      // only promises 28 bytes, and nseg0 can be up to 255 — a window
+      // truncated INSIDE the segment table (trailing 0xFF lacing
+      // values) must not read past the buffer. A truncated table means
+      // the packet length is unknowable; the reads below then degrade
+      // via the pEnd bound (p0 past the buffer fails every field
+      // check), honoring the bounded-output-on-any-input contract.
       var s = 0; var open = true
-      while (s < nseg0 && open) {
+      while (s < nseg0 && open && 27 + s < b.length) {
         val v = u8(b, 27 + s)
         pkt0 += v; if (v < 255) open = false
         s += 1

@@ -298,6 +298,11 @@ object TextOps {
   private[graft] def bpeFertility(docsDf: DataFrame,
       rounds: Int): DataFrame =
     docsDf.select(col("lang"), explode(expr(Dedup.TokExpr)).as("w"))
+      // training excludes empty tokens, so fertility's denominator
+      // must too: a whitespace-only doc otherwise contributes phantom
+      // zero-cost tokens that deflate its language's syms_per_token
+      // (r13 ADVICE; the oracle's toks CTE carries the same filter)
+      .filter(length(col("w")) > 0)
       .join(bpeVocab(docsDf, rounds), Seq("w"), "left")
       .select(col("lang"), bpeSymCost.as("syms"),
         length(col("w")).cast("long").as("chars"))
@@ -1214,7 +1219,8 @@ object TextOps {
       s"""WITH $bpeTrainCtes,
           wl AS (SELECT w, CAST(count(*) AS BIGINT) AS nsym
                  FROM s3 GROUP BY w),
-          toks AS (SELECT lang, unnest($duckTok) AS w FROM documents)
+          toks AS (SELECT lang, w FROM (SELECT lang, unnest($duckTok)
+                     AS w FROM documents) WHERE length(w) > 0)
           SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
             CAST(sum(COALESCE(nsym, length(w))) AS BIGINT) AS n_syms,
             CAST(sum(length(w)) AS BIGINT) AS n_chars,

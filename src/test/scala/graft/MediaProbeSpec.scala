@@ -845,6 +845,23 @@ class MediaProbeSpec extends SparkSpec {
     assert(t.durationMs == 1000, s"truncated-header fallback: ${t.durationMs}")
   }
 
+  test("ogg: a window truncated INSIDE the segment table (trailing " +
+      "0xFF lacing values) must not throw — r13 ADVICE") {
+    // exactly 28 bytes: header through nseg0=2, ONE lacing byte 0xFF
+    // present, the second missing. The lacing walk was bounded only by
+    // nseg0 (u8 has no bounds check) → AIOOBE through the flatMap.
+    val cut = cat(cc("OggS"), Array[Byte](0, 2), le64(0), le32(1),
+      le32(0), le32(0), Array[Byte](2, -1))
+    assert(cut.length == 28)
+    assert(MediaProbe.probe(cut).forall(_.codec.nonEmpty),
+      "truncated segment table must degrade, not throw")
+    // the same shape with MANY trailing 0xFF values and a longer tail
+    // that still ends inside the table
+    val cut2 = cat(cc("OggS"), Array[Byte](0, -1), le64(0), le32(1),
+      le32(0), le32(0), Array.fill[Byte](100)(-1))
+    MediaProbe.probe(cut2) // must not throw
+  }
+
   test("ogg: frames counts packets completing on audio pages only " +
       "(granule-0 header pages and continued-packet pages excluded)") {
     def page(gran: Long, lacing: Array[Byte],

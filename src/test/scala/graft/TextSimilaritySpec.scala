@@ -139,8 +139,13 @@ class TextSimilaritySpec extends SparkSpec {
     // compression 22/8 = 2.75. lang yy: 3 tokens, 5 syms, 5 chars ->
     // 5/3 half-up = 1.6667, 1.0. Exact integers + the shared dratio
     // quotient — no float averaging.
+    // doc 2 is whitespace-only: trim+split yields ONE empty token,
+    // which training already excludes — fertility must exclude it from
+    // n_tokens too (r13 ADVICE: phantom zero-cost tokens deflated
+    // syms_per_token), so lang xx still counts 4 tokens, not 5
     val docs = Seq((0L, "banana banana banana bana", "xx"),
-      (1L, "zz zz q", "yy")).toDF("doc_id", "text", "lang")
+      (1L, "zz zz q", "yy"), (2L, "  \t \n ", "xx"))
+      .toDF("doc_id", "text", "lang")
     val got = graft.queries.TextOps.bpeFertility(docs, 3).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4), r.getDouble(5)))

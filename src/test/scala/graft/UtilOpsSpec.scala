@@ -134,6 +134,32 @@ class UtilOpsSpec extends SparkSpec {
       Seq("k"), Seq(Skew.count("cnt"))).count()
     assert(spread > 1, s"hot key still landed on $spread salt bucket(s)")
   }
+
+  test("saltedAgg salt source: keys+inputs when any input is live, " +
+      "all-hashable-columns only for the count-only degenerate case") {
+    import org.apache.spark.sql.functions.{lit, map, col}
+    // wide row: a large binary payload the salt must NOT hash when a
+    // live aggregate input exists (the r14 ADVICE CPU regression), and
+    // a map column that is never hashable either way
+    val df = spark.range(0, 10).select(
+      lit("k").as("k"), col("id").as("v"),
+      lit(Array.fill[Byte](64)(7)).as("blob"),
+      map(lit("a"), col("id")).as("props"))
+    val live = Skew.saltSource(df, Seq("k"), Seq(Skew.sum("s", col("v"))))
+    assert(live.map(_.toString) == Seq(col("k"), col("v")).map(_.toString),
+      s"live-input salt must be keys+inputs, got $live")
+    val degenerate = Skew.saltSource(df, Seq("k"), Seq(Skew.count("c")))
+    assert(degenerate.map(_.toString) ==
+      Seq(col("k"), col("v"), col("blob")).map(_.toString),
+      s"count-only salt must fall back to all hashable columns " +
+        s"(map excluded), got $degenerate")
+    // a live but UNHASHABLE input (count over the map column) must not
+    // crash the salt — it falls back to the all-columns path
+    val mapCount = Skew.saltSource(df, Seq("k"),
+      Seq(Skew.AggSpec("c", col("props"), "count")))
+    assert(mapCount.map(_.toString) ==
+      Seq(col("k"), col("v"), col("blob")).map(_.toString))
+  }
   test("sidecar canon pins the cross-language value contract") {
     // these strings are the CONTRACT with scripts/check.py's canon():
     // a change on either side makes every sidecar read as drift, so
