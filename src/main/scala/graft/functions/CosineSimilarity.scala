@@ -159,7 +159,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) =>
         SortedIntersectCount(exprs.head, exprs(1))),
     ("jl_project", classOf[JlProject],
-      (exprs: Seq[Expression]) => JlProject(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => JlProject(exprs.head, exprs(1))),
+    ("dhash64", classOf[DHash64],
+      (exprs: Seq[Expression]) =>
+        DHash64(exprs.head, exprs(1), exprs(2), exprs(3))))
 
   /** Idempotently register graft's native expressions on a session, so
     * `expr("cosine_sim(a, b)")` etc. resolve (SQL + DataFrame surfaces).

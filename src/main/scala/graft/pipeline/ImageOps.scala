@@ -289,6 +289,17 @@ object ImageOps {
     bos.toByteArray
   }
 
+  /** Lossless PNG encode (unlike [[jpegEncode]]): the 8-bit RGB
+    * roundtrip through ImageIO is bit-exact, so a decode of the result
+    * reproduces the input pixels — what the dHash fixtures rely on to
+    * exercise the REAL decode path while the oracle replays the known
+    * raw pixel formula. */
+  def pngEncode(rec: ImageRecord): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(toBufferedImage(rec), "png", bos)
+    bos.toByteArray
+  }
+
   def toBufferedImage(rec: ImageRecord): BufferedImage = {
     val img = new BufferedImage(rec.width, rec.height,
       BufferedImage.TYPE_INT_RGB)

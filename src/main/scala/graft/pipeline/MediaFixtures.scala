@@ -227,6 +227,43 @@ object MediaFixtures {
       info, trk, cues)
   }
 
+  /** REAL animated GIF via the ImageIO writer-sequence API (unlike
+    * [[gif]], whose frames are structural filler): one
+    * GraphicControlExtension per frame carrying `delayCs`. Frames must
+    * be palette-safe for losslessness — the GIF writer QUANTIZES past
+    * 256 colors, so callers feed grayscale frames (<= 256 colors by
+    * construction) when decoded pixels must reproduce the input
+    * exactly (the q149 video near-dup fixture contract). */
+  def animatedGif(frames: Seq[java.awt.image.BufferedImage],
+      delayCs: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { img =>
+      val meta = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromRenderedImage(img),
+        writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    baos.toByteArray
+  }
+
   /** One clip per id, format round-robin by `id % 7`. */
   def synth(id: Long): (Long, Array[Byte]) = (id, (id % 7) match {
     case 0 => mp3(id)

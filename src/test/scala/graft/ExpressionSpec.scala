@@ -389,7 +389,7 @@ class ExpressionSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1).toSet == Set("cosine_sim",
       "simhash64", "simhash_md5", "hash60", "mix61", "shingles3",
       "minhash_bands", "pair_combos", "bloom_might_contain",
-      "sorted_intersect_count", "jl_project"))
+      "sorted_intersect_count", "jl_project", "dhash64"))
   }
 
   test("sorted_intersect_count: equals size(array_intersect) on sorted sets") {

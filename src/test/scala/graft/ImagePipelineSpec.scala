@@ -101,6 +101,123 @@ class ImagePipelineSpec extends SparkSpec {
     assert(maxErr <= 24, s"q95 roundtrip error too large: $maxErr")
   }
 
+  // ------------------------------------------------ dHash (q147/q148)
+
+  test("dhash64: hand-computed grids, channel paths, null degradation") {
+    import graft.functions.DHash64
+    // 9x8 single-channel image, one pixel per cell: increasing rows
+    // make every horizontal comparison true -> all 64 bits -> -1L;
+    // decreasing rows -> 0L
+    val inc = Array.tabulate[Byte](72)(p => (p % 9 * 10).toByte)
+    assert(DHash64.hash(inc, 9, 8, 1) == -1L)
+    val dec = Array.tabulate[Byte](72)(p => (80 - p % 9 * 10).toByte)
+    assert(DHash64.hash(dec, 9, 8, 1) == 0L)
+    // 3-channel gray mean: replicate inc into BGR -> same hash; and a
+    // 4-channel image ignores the extra channel
+    val inc3 = inc.flatMap(b => Array(b, b, b))
+    assert(DHash64.hash(inc3, 9, 8, 3) == -1L)
+    val inc4 = inc.flatMap(b => Array(b, b, b, 99.toByte))
+    assert(DHash64.hash(inc4, 9, 8, 4) == -1L)
+    // shape degradation: null, undersized grid, byte-count mismatch
+    assert(DHash64.hash(null, 9, 8, 1) == null)
+    assert(DHash64.hash(inc, 8, 9, 1) == null)  // w < 9
+    assert(DHash64.hash(inc, 9, 7, 1) == null)  // h < 8
+    assert(DHash64.hash(inc, 9, 8, 3) == null)  // 72 != 9*8*3
+    // the SQL surface agrees with the direct call and yields NULL (not
+    // a task kill) on the invalid row
+    graft.functions.GraftFunctions.register(spark)
+    val out = Seq((inc, 9, 8, 1), (inc, 9, 7, 1))
+      .toDF("d", "w", "h", "c")
+      .selectExpr("dhash64(d, w, h, c) AS hsh").collect()
+    assert(out(0).getLong(0) == -1L && out(1).isNullAt(0))
+  }
+
+  test("dhash robustness: jpeg-q95 re-encode and area-resize keep the " +
+      "hash within a small Hamming distance; brightness shift exact") {
+    import graft.functions.DHash64
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def hashOf(r: ImageRecord): Long =
+      DHash64.hash(r.data, r.width, r.height, r.nChannels).longValue()
+    // smooth low-frequency fixtures (the realistic photo class): a
+    // diagonal gradient + per-image phase, 32x32x3
+    def smooth(seed: Int): ImageRecord = {
+      val w = 32; val h = 32
+      val data = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3)
+        data((y * w + x) * 3 + ch) =
+          ((math.sin((x + 2 * y) * 0.21 + seed) * 100 + 120).toInt &
+            0xff).toByte
+      ImageRecord(s"mem://smooth/$seed", h, w, 3, 16, data)
+    }
+    for (seed <- 0 until 8) {
+      val img = smooth(seed)
+      val h0 = hashOf(img)
+      // jpeg q95 re-encode (the crawl's most common duplicate source)
+      val re = ImageOps.decodeEncoded("mem://re",
+        ImageOps.jpegEncode(img)).get
+      assert(ham(h0, hashOf(re)) <= 3,
+        s"seed $seed: jpeg re-encode moved the hash ${ham(h0, hashOf(re))} bits")
+      // 2x upscale and 2x downscale copies (area interpolation)
+      val up = ImageOps.resizeArea(img, 64, 64)
+      assert(ham(h0, hashOf(up)) <= 3,
+        s"seed $seed: 2x upscale moved the hash ${ham(h0, hashOf(up))} bits")
+      val down = ImageOps.resizeArea(img, 16, 16)
+      assert(ham(h0, hashOf(down)) <= 6,
+        s"seed $seed: 2x downscale moved the hash ${ham(h0, hashOf(down))} bits")
+      // global brightness shift leaves gradient SIGNS untouched where
+      // no clamp saturates: +20 on a mid-range image is hash-EXACT
+      val bright = ImageOps.colorJitter(img, alpha = 1.0, beta = 20.0)
+      assert(hashOf(bright) == h0, s"seed $seed: brightness changed the hash")
+    }
+  }
+
+  test("q147/q148 fixture: planted near-dups found, banded plan equals " +
+      "exact all-pairs semantics") {
+    import graft.queries.ImageDedup
+    val rows = ImageDedup.hashesOf(spark).collect()
+    assert(rows.length == 120 && rows.forall(!_.isNullAt(1)),
+      "every fixture image must decode and hash")
+    val hs = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted pair (i-1, i) for i % 3 == 2 is within Hamming 2
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val planted = (0L until 120L).filter(_ % 3 == 2).map(i => (i - 1, i))
+    assert(planted.forall { case (a, b) => ham(hs(a), hs(b)) <= 2 },
+      "a planted near-dup drifted past Hamming 2")
+    // the banded plan reproduces exact all-pairs <= 3 (pigeonhole
+    // recall over 4x16 bands) — the same cross-check the DuckDB
+    // oracle runs, here as a pure Scala reference
+    val exact = (for {
+      a <- 0L until 120L; b <- (a + 1) until 120L
+      if ham(hs(a), hs(b)) <= 3
+    } yield (a, b, ham(hs(a), hs(b)).toLong)).toSet
+    val banded = SparkEntry.queries("q148_image_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == exact,
+      s"banded pairs != exact pairs: ${banded.size} vs ${exact.size}")
+    assert(exact.size == 40, s"fixture should plant 40 pairs, got ${exact.size}")
+  }
+
+  test("q149 video near-dup: trimmed+brightness-shifted GIF copies " +
+      "found by frame-signature containment, distinct clips not") {
+    // planted: clip c % 4 == 1 is clip c-1 with +15 brightness and the
+    // last frame trimmed -> every signature of the copy appears in the
+    // original (brightness shift is hash-exact, GIF grayscale roundtrip
+    // lossless) -> containment 10000 bp, shared = the copy's frame count
+    val rows = SparkEntry.queries("q149_video_neardup")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val expected = (0L until 24L).filter(_ % 4 == 1).map { c =>
+      val nFrames = (4 + (c - 1) % 3) - 1 // trimmed copy's frame count
+      (c - 1, c) -> (nFrames, 10000L)
+    }.toMap
+    assert(rows == expected,
+      s"got ${rows.toSeq.sortBy(_._1)}; expected ${expected.toSeq.sortBy(_._1)}")
+    // sanity: the corpus really decodes all frames (the trimmed copy
+    // has one fewer signature than its source)
+    val sigs = graft.queries.ImageDedup.clipCorpus(spark)
+    assert(sigs.count() == 24)
+  }
+
   test("tensor CHW conversion + ImageNet normalize") {
     val s = solid(2, 2, (255, 0, 128))
     val t = ImageOps.toTensorCHW(s)
