@@ -1,0 +1,126 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable quantile-sketch buffer: logarithmic value buckets with
+  * exact Long counts. Bucket i (i = ceil(log_b(x)) for x > 0, base
+  * b = (1+gamma)/(1-gamma)) covers (b^(i-1), b^i]; zeros and negative
+  * values keep their own tallies (negatives in a mirrored bucket map
+  * over -x), so the sketch is total over every double a pipeline can
+  * throw at it. Non-finite inputs are counted but excluded from bucket
+  * state (tracked so totals still reconcile — a NaN-poisoned metric
+  * column must not silently shrink n).
+  */
+final class QSketchBuf extends Serializable {
+  val pos = mutable.HashMap.empty[Int, Long]
+  val neg = mutable.HashMap.empty[Int, Long]
+  var zeros = 0L
+  var nonFinite = 0L
+
+  def n: Long = pos.valuesIterator.sum + neg.valuesIterator.sum + zeros
+}
+
+/** Mergeable RELATIVE-ERROR quantile sketch — the DDSketch construction
+  * (Masson, Rim, Lee: "DDSketch: A Fast and Fully-Mergeable Quantile
+  * Sketch with Relative-Error Guarantees", VLDB 2019), the one sketch
+  * family the engine previously delegated to a builtin
+  * (percentile_approx). Values land in log-base-b buckets with
+  * b = (1+gamma)/(1-gamma); the bucket estimate 2*b^i/(b+1) is within
+  * relative error gamma of EVERY value in the bucket, so any reported
+  * quantile v satisfies |v - x_q| <= gamma * x_q for the true quantile
+  * value x_q — a guarantee that (unlike rank-error sketches) does not
+  * degrade in the distribution tails a monitoring pipeline actually
+  * watches (p99 latencies, price outliers).
+  *
+  * Why THIS sketch completes the story beside HLL/Misra-Gries/CMS/
+  * minhash: its merge is a bin-wise count SUM — exactly commutative,
+  * associative, and deterministic (property-tested BIT-EXACT, which no
+  * compaction-based sketch like KLL/t-digest can offer), so partials
+  * tree-aggregate across 1000 executors, merge across days of stored
+  * sketches, and the streaming twin reproduces the batch result
+  * exactly on the wire. State is O(log(max/min)/gamma) buckets
+  * regardless of n — ~920 buckets spanning 9 decades at gamma 0.01.
+  *
+  * Output: one estimate per requested quantile (same order). Empty
+  * input (or all-non-finite) yields NaNs — the SQL-visible "no data"
+  * marker that cannot be confused with a real 0.0 price.
+  */
+class QuantileSketch(gamma: Double, quantiles: Seq[Double])
+    extends Aggregator[Double, QSketchBuf, Seq[Double]] {
+  require(gamma > 0 && gamma < 1, s"gamma in (0,1), got $gamma")
+  require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+    s"quantiles in [0,1], got $quantiles")
+
+  private val base = (1 + gamma) / (1 - gamma)
+  private val lnBase = math.log(base)
+
+  private def bucketOf(x: Double): Int =
+    math.ceil(math.log(x) / lnBase).toInt
+
+  private def estimateOf(i: Int): Double =
+    2.0 * math.pow(base, i) / (base + 1)
+
+  override def zero: QSketchBuf = new QSketchBuf
+
+  override def reduce(b: QSketchBuf, x: Double): QSketchBuf = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+      b.nonFinite += 1
+    else if (x == 0.0) b.zeros += 1
+    else if (x > 0) {
+      val i = bucketOf(x)
+      b.pos.update(i, b.pos.getOrElse(i, 0L) + 1)
+    } else {
+      val i = bucketOf(-x)
+      b.neg.update(i, b.neg.getOrElse(i, 0L) + 1)
+    }
+    b
+  }
+
+  override def merge(a: QSketchBuf, b: QSketchBuf): QSketchBuf = {
+    b.pos.foreach { case (i, c) => a.pos.update(i, a.pos.getOrElse(i, 0L) + c) }
+    b.neg.foreach { case (i, c) => a.neg.update(i, a.neg.getOrElse(i, 0L) + c) }
+    a.zeros += b.zeros
+    a.nonFinite += b.nonFinite
+    a
+  }
+
+  override def finish(b: QSketchBuf): Seq[Double] = {
+    val n = b.n
+    if (n == 0) return quantiles.map(_ => Double.NaN)
+    // ascending value order: most-negative first (neg buckets by
+    // DESCENDING index — larger |x| is smaller x), then zeros, then
+    // positive buckets ascending
+    val negSorted = b.neg.toIndexedSeq.sortBy(-_._1)
+    val posSorted = b.pos.toIndexedSeq.sortBy(_._1)
+    quantiles.map { q =>
+      // type-1 quantile: the value at 0-based rank floor(q * (n - 1))
+      val rank = math.floor(q * (n - 1)).toLong
+      var cum = 0L
+      var out = Double.NaN
+      var done = false
+      val it = negSorted.iterator
+      while (!done && it.hasNext) {
+        val (i, c) = it.next(); cum += c
+        if (cum > rank) { out = -estimateOf(i); done = true }
+      }
+      if (!done) {
+        cum += b.zeros
+        if (cum > rank) { out = 0.0; done = true }
+      }
+      val it2 = posSorted.iterator
+      while (!done && it2.hasNext) {
+        val (i, c) = it2.next(); cum += c
+        if (cum > rank) { out = estimateOf(i); done = true }
+      }
+      out
+    }
+  }
+
+  override def bufferEncoder: Encoder[QSketchBuf] = Encoders.kryo[QSketchBuf]
+  override def outputEncoder: Encoder[Seq[Double]] =
+    ExpressionEncoder[Seq[Double]]()
+}

@@ -270,16 +270,27 @@ object Relational {
         .orderBy("lang")
     }),
 
-    // q56: approximate quantiles via the t-digest-style sketch — no
-    // DuckDB twin (rows-only); tolerance vs exact asserted in ScalaTest
-    "q56_approx_quantile" -> ((s, d) =>
+    // q56: approximate quantiles via the engine's OWN mergeable
+    // relative-error sketch (graft.functions.QuantileSketch, the
+    // DDSketch construction — r14, re-based off the percentile_approx
+    // builtin so every sketch family has an own mergeable
+    // implementation beside HLL/MG/CMS/minhash). Still no DuckDB twin
+    // (rows-only by contract — DuckDB has no DDSketch); the gamma
+    // guarantee vs exact q46 is asserted in ScalaTest at all three
+    // SFs, and the sketch itself is DETERMINISTIC (bin-count merges),
+    // so the rows are stable across partitionings — unlike the
+    // compaction builtin this replaces.
+    "q56_approx_quantile" -> ((s, d) => {
+      val qs = udaf(new graft.functions.QuantileSketch(0.01, Seq(0.5, 0.9)),
+        org.apache.spark.sql.Encoders.scalaDouble)
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("percentile_approx(l_extendedprice, 0.5, 10000)")
-          .as("p50_approx"),
-          expr("percentile_approx(l_extendedprice, 0.9, 10000)")
-            .as("p90_approx"))
-        .orderBy("l_returnflag")),
+        .agg(qs(col("l_extendedprice")).as("qq"))
+        .select(col("l_returnflag"),
+          round(element_at(col("qq"), 1), 4).as("p50_approx"),
+          round(element_at(col("qq"), 2), 4).as("p90_approx"))
+        .orderBy("l_returnflag")
+    }),
 
     // q57: correlation / stddev / variance — computed from EXACT
     // integer moment sums, not the built-in double aggregates. Det

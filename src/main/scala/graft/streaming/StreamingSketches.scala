@@ -27,4 +27,27 @@ object StreamingSketches {
       .agg(mg(col("term")).as("sketch"))
       .select(explode(col("sketch")).as(Seq("term", "est")))
   }
+
+  /** Per-key quantile monitoring on the wire: the mergeable
+    * relative-error sketch (graft.functions.QuantileSketch — the batch
+    * q56 aggregate) maintained incrementally across micro-batches.
+    * O(log(max/min)/gamma) bucket counters per key NO MATTER how long
+    * the stream runs, and because the sketch's merge is a
+    * deterministic bin-count sum, the streamed result equals the batch
+    * sketch over the same rows EXACTLY — not merely within tolerance
+    * (parity pinned in StreamingSpec). Run in complete/update mode;
+    * emits one estimate column per requested quantile. */
+  def quantileMonitor(rows: DataFrame, keyCol: String, valCol: String,
+      gamma: Double = 0.01,
+      quantiles: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val qs = udaf(new graft.functions.QuantileSketch(gamma, quantiles),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val est = rows
+      .groupBy(col(keyCol))
+      .agg(qs(col(valCol)).as("qq"))
+    quantiles.zipWithIndex.foldLeft(est) { case (df, (q, i)) =>
+      df.withColumn(s"p${math.round(q * 100)}",
+        element_at(col("qq"), i + 1))
+    }.drop("qq")
+  }
 }

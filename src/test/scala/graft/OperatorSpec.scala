@@ -117,17 +117,26 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("approx quantiles within 2% of exact percentiles") {
-    val approx = SparkEntry.queries("q56_approx_quantile")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
-      .toMap
-    val exact = SparkEntry.queries("q46_percentiles")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
-      .toMap
-    exact.foreach { case (k, (p50, p90)) =>
-      val (a50, a90) = approx(k)
-      assert(math.abs(a50 - p50) / p50 < 0.02, s"$k p50: $a50 vs $p50")
-      assert(math.abs(a90 - p90) / p90 < 0.02, s"$k p90: $a90 vs $p90")
+  test("approx quantiles (own DDSketch) within 2% of exact " +
+      "percentiles at all three SFs") {
+    // gamma = 0.01 guarantees 1% of the type-1 quantile VALUE; 2%
+    // absorbs q46's linear interpolation between adjacent order
+    // statistics. All three SFs per the r13 verdict task — the sketch
+    // replaces the percentile_approx builtin, so its guarantee is
+    // checked at every scale the fixtures ship.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val approx = SparkEntry.queries("q56_approx_quantile")(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+      val exact = SparkEntry.queries("q46_percentiles")(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+      exact.foreach { case (k, (p50, p90)) =>
+        val (a50, a90) = approx(k)
+        assert(math.abs(a50 - p50) / p50 < 0.02, s"$dir $k p50: $a50 vs $p50")
+        assert(math.abs(a90 - p90) / p90 < 0.02, s"$dir $k p90: $a90 vs $p90")
+      }
     }
   }
 

@@ -708,6 +708,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile monitor reproduces the batch sketch " +
+      "EXACTLY across micro-batches (deterministic bin merges)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the DDSketch merge is a bin-count SUM, so unlike MG (guarantee
+    // parity) or any compaction sketch (tolerance parity), the wire
+    // result must equal the batch aggregate BIT-FOR-BIT however the
+    // rows are cut into micro-batches
+    val rows = Tables.load(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice")
+      .as[(String, Double)].collect()
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamingSketches.quantileMonitor(
+        in.toDF().toDF("flag", "price"), "flag", "price"),
+      "quant_stream", mode = "complete")
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { g =>
+        in.addData(g.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("quant_stream").collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+      val batch = graft.streaming.StreamingSketches.quantileMonitor(
+          Tables.load(spark, sf, "lineitem")
+            .select($"l_returnflag".as("flag"),
+              $"l_extendedprice".as("price")),
+          "flag", "price")
+        .collect().map(r => r.getString(0) -> (r.getDouble(1),
+          r.getDouble(2))).toMap
+      assert(streamed == batch,
+        s"wire sketch != batch sketch:\n  got   $streamed\n  batch $batch")
+      // and the batch q56 rows are this same sketch (rounded): the
+      // twin monitors exactly what the batch inventory reports
+      val q56 = SparkEntry.queries("q56_approx_quantile")(spark, sf)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1),
+          r.getDouble(2))).toMap
+      streamed.foreach { case (k, (p50, p90)) =>
+        val (b50, b90) = q56(k)
+        // q56 rounds to 4 decimals; the raw twin value must sit within
+        // that rounding step of it
+        assert(math.abs(p50 - b50) < 1e-4 && math.abs(p90 - b90) < 1e-4,
+          s"$k: twin ($p50, $p90) vs q56 ($b50, $b90)")
+      }
+    } finally q.stop()
+  }
+
   test("stateful sessions merge across MULTI-batch boundaries") {
     // VERDICT r8 item 7: the single-file parity test never exercises
     // cross-micro-batch state. Stage the events as THREE time-ordered

@@ -90,6 +90,56 @@ class UtilOpsSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch: BIT-EXACT merge laws (commutative, " +
+      "associative, partition-invariant) and the gamma guarantee") {
+    val agg = new graft.functions.QuantileSketch(0.01, Seq(0.1, 0.5, 0.9))
+    val rnd = new scala.util.Random(42)
+    // lognormal-ish positive values + zeros + negatives + non-finite
+    val xs = Vector.fill(5000)(math.exp(rnd.nextGaussian() * 2)) ++
+      Vector.fill(37)(0.0) ++ Vector.fill(23)(-rnd.nextDouble() * 50) ++
+      Vector(Double.NaN, Double.PositiveInfinity)
+    def sketch(v: Seq[Double]) =
+      v.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    def fin(b: graft.functions.QSketchBuf) = agg.finish(b)
+    // commutativity + associativity, BIT-exact (bin-count sums — the
+    // property no compaction sketch offers): any split, any order,
+    // identical estimates
+    val whole = fin(sketch(xs))
+    for (seed <- 1 to 5) {
+      val r2 = new scala.util.Random(seed)
+      val shuffled = r2.shuffle(xs)
+      val k = 1 + r2.nextInt(xs.size - 1)
+      val (l, r) = shuffled.splitAt(k)
+      assert(fin(agg.merge(sketch(l), sketch(r))) == whole,
+        s"seed $seed: merged != whole")
+      assert(fin(agg.merge(sketch(r), sketch(l))) == whole,
+        s"seed $seed: merge not commutative")
+      val thirds = shuffled.grouped((xs.size + 2) / 3).toSeq
+      val ab_c = agg.merge(agg.merge(sketch(thirds(0)), sketch(thirds(1))),
+        sketch(thirds(2)))
+      val a_bc = agg.merge(sketch(thirds(0)),
+        agg.merge(sketch(thirds(1)), sketch(thirds(2))))
+      assert(fin(ab_c) == fin(a_bc), s"seed $seed: merge not associative")
+    }
+    // relative-error guarantee vs the exact type-1 quantiles over the
+    // finite inputs (non-finite rows are tallied in nonFinite for
+    // reconciliation but excluded from n, so ranks align exactly)
+    val finite = xs.filter(x => !x.isNaN && !x.isInfinite).sorted
+    val est = whole
+    Seq(0.1, 0.5, 0.9).zip(est).foreach { case (q, e) =>
+      val ex = finite((q * (finite.size - 1)).floor.toInt)
+      assert(math.abs(e - ex) <= 0.0101 * math.abs(ex) + 1e-9,
+        s"q=$q: est $e vs exact $ex")
+    }
+    // empty input -> NaN markers, zero-only input -> exact 0.0
+    assert(fin(agg.zero).forall(_.isNaN))
+    assert(fin(sketch(Seq(0.0, 0.0))) == Seq(0.0, 0.0, 0.0))
+    // all-negative input: mirrored buckets order most-negative first
+    val negs = fin(sketch(Seq(-100.0, -10.0, -1.0)))
+    assert(negs(0) < negs(2) && negs(0) < -90,
+      s"negative ordering broken: $negs")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.load(spark, sf, "lineitem")
     val direct = li.groupBy("l_returnflag")
