@@ -1359,6 +1359,47 @@ class MediaProbeSpec extends SparkSpec {
     }
   }
 
+  test("concatenated-corpus scanner order: a clip followed by ANY " +
+      "other family's full bytes keeps its own classification") {
+    // the r12 ADTS/mp3 lesson generalized to every family pair:
+    // misclassification shows up BETWEEN probes, not within one. A
+    // probe window over a concatenated archive (tar, multi-file dump)
+    // sees clip A's bytes at offset 0 with clip B's complete bytes —
+    // including B's magic — in the tail; the classification must be
+    // A's for every ordered pair, whatever the probe dispatch order
+    // or window-scan reach (probeAdts/probeMp3 scan 64 KB windows and
+    // would otherwise steal a tail's sync run).
+    val fams: Seq[(String, Array[Byte])] = Seq(
+      "mp3" -> mp3Stream(3),
+      "adts" -> cat(adtsFrame(60), adtsFrame(60), adtsFrame(60)),
+      "wav" -> wavFixture(),
+      "avi" -> aviFixture(),
+      "flac" -> flacFixture(),
+      "gif" -> gifFixture(2, 10),
+      "webm" -> webmFixture(),
+      "mp4" -> mp4Fixture(),
+      "ogg" -> oggVorbisFixture(88200),
+      "aiff" -> aiffFixture("AIFF", cat(be16(2), be32(1000), be16(16),
+        ext80(44100))),
+      "aifc" -> aiffFixture("AIFC", cat(be16(1), be32(500), be16(16),
+        ext80(8000), cc("sowt"), Array[Byte](0, 0))),
+      "au" -> cat(cc(".snd"), be32(24), be32(64), be32(1), be32(8000),
+        be32(1), Array.fill[Byte](64)(0x33)))
+    val solos = fams.map { case (label, bytes) =>
+      val s = MediaProbe.probe(bytes).getOrElse(
+        fail(s"$label solo did not probe"))
+      (label, bytes, s)
+    }
+    for ((la, a, sa) <- solos; (lb, b, _) <- solos if lb != la) {
+      val info = MediaProbe.probe(cat(a, b))
+      assert(info.nonEmpty, s"$la followed by $lb did not probe")
+      assert(info.get.container == sa.container &&
+        info.get.codec == sa.codec,
+        s"$la followed by $lb stolen: ${info.get.container}/" +
+          s"${info.get.codec} (expected ${sa.container}/${sa.codec})")
+    }
+  }
+
   // -------------------------------------------------- spark plumbing
 
   test("every MediaFixtures id probes with a recognized container " +

@@ -287,6 +287,20 @@ class PlanSpec extends SparkSpec {
       s"probe must stay an equi-join on the packed block key:\n$p")
   }
 
+  test("q148/q149 pixel near-dup candidates stay equi-joins on hash " +
+      "keys (never all-pairs)") {
+    // q148: banded self-join on (band, value); q149: signature-set
+    // join on the frame dHash — both must plan as hash/sort-merge
+    // equi-joins, the q68/q35 LSH shape; a BNLJ or cartesian would be
+    // the all-pairs scan these operators exist to avoid
+    for (k <- Seq("q148_image_neardup", "q149_video_neardup")) {
+      val p = finalPlan(k)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$k candidate stage must stay an equi-join:\n$p")
+    }
+  }
+
   test("q131 sparse cosine probes via broadcast, never a term shuffle " +
       "of the corpus against itself") {
     val p = finalPlan("q131_sparse_cosine")
