@@ -61,8 +61,21 @@ class QuantileSketch(gamma: Double, quantiles: Seq[Double])
   private def bucketOf(x: Double): Int =
     math.ceil(math.log(x) / lnBase).toInt
 
-  private def estimateOf(i: Int): Double =
-    2.0 * math.pow(base, i) / (base + 1)
+  /** Bucket midpoint 2*b^i/(b+1) — within gamma of every bucket
+    * member — CLAMPED at the representable edges: for the topmost
+    * bucket b^i itself overflows to Infinity although every member is
+    * a finite double (<= MaxValue), and symmetric underflow to 0.0
+    * would report a nonzero value as exactly zero. The clamps keep
+    * estimates finite and nonzero; in those edge buckets (and the
+    * subnormal range, where pow has few significand bits) the
+    * relative error degrades from gamma to ~2*gamma — members span
+    * (b^(i-1), MaxValue], and MaxValue/b^(i-1) <= b = 1 + ~2*gamma. */
+  private def estimateOf(i: Int): Double = {
+    val e = 2.0 * math.pow(base, i) / (base + 1)
+    if (e.isInfinity) Double.MaxValue
+    else if (e == 0.0) Double.MinPositiveValue
+    else e
+  }
 
   override def zero: QSketchBuf = new QSketchBuf
 

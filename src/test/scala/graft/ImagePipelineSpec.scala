@@ -197,6 +197,52 @@ class ImagePipelineSpec extends SparkSpec {
     assert(exact.size == 40, s"fixture should plant 40 pairs, got ${exact.size}")
   }
 
+  test("cross-CODEC video near-dup: the same content as GIF and " +
+      "AVI/MJPEG matches frame-by-frame within the q148 band threshold") {
+    // q149 composes EXACT frame-hash keys (lossless GIF twins); this
+    // pins the documented fuzzy path for cross-codec copies: the same
+    // smooth frames muxed as grayscale GIF and as JPEG-compressed
+    // AVI/MJPEG must hash within Hamming 3 per frame — i.e. banding
+    // each frame hash (q148's 4x16 bands, pigeonhole recall 1 at <= 3)
+    // would bucket the two codecs' frames together with zero extra
+    // machinery
+    import graft.functions.DHash64
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def smoothFrame(f: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) {
+        val v = (math.sin((x + 2 * y) * 0.21 + f * 1.7) * 100 + 120).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val frames = (0 until 3).map(smoothFrame)
+    val gifClip = graft.pipeline.MediaFixtures.animatedGif(frames, 10)
+    val aviClip = aviMjpeg(frames, scale = 1, rate = 10)
+    def frameHashes(bytes: Array[Byte]): Seq[(Long, Long)] = {
+      val media = Multimodal.asMediaFrame(
+        Seq((1L, bytes)).toDF("id", "b"), "id", "video", "b")
+      Multimodal.sampleVideoFrames(spark, media, everyMs = 100,
+          maxFrames = 4)
+        .orderBy("frame_ts_ms").collect().toSeq.map { r =>
+          val d = ImageOps.decodeEncoded("f",
+            r.getAs[Array[Byte]](2)).get
+          (r.getLong(1),
+            DHash64.hash(d.data, d.width, d.height, d.nChannels)
+              .longValue())
+        }
+    }
+    val g = frameHashes(gifClip)
+    val a = frameHashes(aviClip)
+    assert(g.length == 3 && a.length == 3,
+      s"frame sampling: gif ${g.length}, avi ${a.length}")
+    g.zip(a).foreach { case ((ts, hg), (_, ha)) =>
+      assert(ham(hg, ha) <= 3,
+        s"frame at ${ts}ms drifted ${ham(hg, ha)} bits across codecs")
+    }
+  }
+
   test("q149 video near-dup: trimmed+brightness-shifted GIF copies " +
       "found by frame-signature containment, distinct clips not") {
     // planted: clip c % 4 == 1 is clip c-1 with +15 brightness and the

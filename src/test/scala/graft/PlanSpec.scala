@@ -256,6 +256,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected only the orderBy exchange, got:\n$p")
   }
 
+  test("q147 dhash is map-only: one exchange (presentation sort)") {
+    // the hash's scale story is one codegen'd map pass per image —
+    // decode + dhash64 must not move a row until the final orderBy
+    val p = finalPlan("q147_image_dhash")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the orderBy exchange, got:\n$p")
+    assert(p.contains("dhash64"), s"native dhash64 expression missing:\n$p")
+  }
+
   test("q109's distinct collapse is the only full-data pass") {
     // the max-day bound must come from the collapsed (user, day) frame
     // via exchange/stage reuse — a second events scan would mean the

@@ -138,6 +138,22 @@ class UtilOpsSpec extends SparkSpec {
     val negs = fin(sketch(Seq(-100.0, -10.0, -1.0)))
     assert(negs(0) < negs(2) && negs(0) < -90,
       s"negative ordering broken: $negs")
+    // structural state bound: bucket indices are ceil(ln|x|/ln b), and
+    // finite doubles live in e^±745, so even an ADVERSARIAL value
+    // range (min subnormal to max double, both signs) cannot exceed
+    // ~2*745/ln(b) buckets — no collapsing logic needed for the bound,
+    // which keeps the merge laws bit-exact
+    val extreme = sketch(Seq(Double.MinPositiveValue, Double.MaxValue,
+      1e-300, 1e300, -1e-300, -1e300, 4.9e-324, 1.7976931348623157e308))
+    val maxBuckets = (2 * 745 / math.log(1.01 / 0.99)).toInt + 4
+    assert(extreme.pos.size + extreme.neg.size <= maxBuckets,
+      s"state exceeded the structural bound: ${extreme.pos.size} + " +
+        s"${extreme.neg.size} > $maxBuckets")
+    // and the estimates at the extremes still honor the guarantee
+    val ext = fin(extreme)
+    assert(ext.last <= 1.7976931348623157e308 * 1.0101 &&
+      ext.last >= 1.7976931348623157e308 * 0.98,
+      s"extreme-range p90 broke the bound: ${ext.last}")
   }
 
   test("salted aggregation equals direct aggregation") {
