@@ -48,9 +48,15 @@ final class QSketchBuf extends Serializable {
   * Output: one estimate per requested quantile (same order). Empty
   * input (or all-non-finite) yields NaNs — the SQL-visible "no data"
   * marker that cannot be confused with a real 0.0 price.
+  *
+  * The input type is BOXED (java.lang.Double) with NULLs SKIPPED in
+  * reduce — percentile_approx semantics. With a primitive Double
+  * input encoder a NULL metric value would decode as 0.0 and silently
+  * poison the low quantiles (the r14 ADVICE finding); call sites bind
+  * with Encoders.DOUBLE (nullable), never Encoders.scalaDouble.
   */
 class QuantileSketch(gamma: Double, quantiles: Seq[Double])
-    extends Aggregator[Double, QSketchBuf, Seq[Double]] {
+    extends Aggregator[java.lang.Double, QSketchBuf, Seq[Double]] {
   require(gamma > 0 && gamma < 1, s"gamma in (0,1), got $gamma")
   require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
     s"quantiles in [0,1], got $quantiles")
@@ -79,7 +85,9 @@ class QuantileSketch(gamma: Double, quantiles: Seq[Double])
 
   override def zero: QSketchBuf = new QSketchBuf
 
-  override def reduce(b: QSketchBuf, x: Double): QSketchBuf = {
+  override def reduce(b: QSketchBuf, boxed: java.lang.Double): QSketchBuf = {
+    if (boxed == null) return b // NULL is absence, not a value
+    val x = boxed.doubleValue()
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
       b.nonFinite += 1
     else if (x == 0.0) b.zeros += 1

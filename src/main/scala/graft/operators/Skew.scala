@@ -33,20 +33,31 @@ object Skew {
     * reproduce exactly, so reducers that already fetched the first
     * attempt's output agree with the retry (the SPARK-23207 failure
     * class). The salt SOURCE is chosen by what the specs consume
-    * (r14, refining the r13 fix): when at least one aggregate input
-    * is a live (non-literal, hashable) expression, the salt hashes
-    * keys + those inputs only — hashing every column per row is a
-    * real CPU cost on wide rows with large binary payloads (media
-    * content bytes), and the aggregate inputs are exactly the values
-    * that vary inside a hot key for the aggregates being computed.
-    * Only the degenerate count-only case (every input foldable —
-    * keys+lit(1) would hash to ONE salt per key, silently no-opping
-    * the mitigation) falls back to hashing every hashable column.
+    * (r14, refining the r13 fix; tightened r15 per ADVICE): when at
+    * least one aggregate input is ADMISSIBLE — live (non-literal),
+    * DETERMINISTIC (a non-deterministic input like v + rand() hashed
+    * into the salt would itself break the retry agreement the
+    * content-hash rule exists for), referencing at least one NON-KEY
+    * column (an expression over key columns alone is constant within
+    * a hot key: hashing it yields one salt per key and silently
+    * no-ops the mitigation — min/max OVER A KEY is the real case),
+    * and hashable — the salt hashes keys + those inputs only:
+    * hashing every column per row is a real CPU cost on wide rows
+    * with large binary payloads (media content bytes), and the
+    * aggregate inputs are exactly the values that vary inside a hot
+    * key for the aggregates being computed. When NO input is
+    * admissible (count-only, key-subsumed, or non-deterministic
+    * specs), the salt falls back to every hashable column.
     * MapType-bearing columns are excluded everywhere (Spark bans
-    * hashing maps since 3.0). The residual trade-off: rows identical
+    * hashing maps since 3.0). Residual trade-offs: rows identical
     * in every salted column share a salt — aggregation stays
     * correct (phase 2 merges all salts), only such duplicate hot
-    * rows spread across fewer than saltBuckets reducers. */
+    * rows spread across fewer than saltBuckets reducers; and a
+    * LOW-CARDINALITY admissible input (min over a status column)
+    * spreads a hot key over only #distinct-values buckets — callers
+    * aggregating low-cardinality inputs on known-hot keys should
+    * pass explicit high-cardinality `saltCols` (timestamps, ids)
+    * instead of relying on the inferred source. */
   /** Can xxhash64 take this type? MapType is banned anywhere in the
     * tree (Spark 3.0+). Shared with AsOfJoin's tie-break hash. */
   private[graft] def hashableType(
@@ -69,11 +80,27 @@ object Skew {
     try { df.sparkSession.emptyDataFrame.select(c).schema; true }
     catch { case scala.util.control.NonFatal(_) => false }
 
+  /** Is `c` admissible to the inferred salt (policy above):
+    * deterministic AND referencing at least one non-key column. Probed
+    * on the ANALYZED single-column plan — Spark 4's Column is
+    * plan-free, so determinism/references are only visible after
+    * resolution against `df`. Key-name comparison follows Spark's
+    * default case-insensitive resolution. Unresolvable columns are
+    * inadmissible (the aggregation itself will surface the error). */
+  private def saltAdmissible(df: DataFrame, keys: Seq[String],
+      c: Column): Boolean =
+    try {
+      val e = df.select(c).queryExecution.analyzed.expressions.head
+      e.deterministic && e.references.exists(a =>
+        !keys.exists(_.equalsIgnoreCase(a.name)))
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** The salt's input columns per the policy above — factored out so
     * tests can pin the choice (keys+inputs vs all-columns fallback). */
   private[graft] def saltSource(df: DataFrame, keys: Seq[String],
       specs: Seq[AggSpec]): Seq[Column] = {
     val live = specs.map(_.input).filterNot(c => isConstant(df, c))
+      .filter(c => saltAdmissible(df, keys, c))
     val hashableLive =
       if (live.isEmpty) Nil
       else df.select(live: _*).schema.fields.map(_.dataType).toSeq
@@ -83,9 +110,18 @@ object Skew {
       .filter(f => hashableType(f.dataType)).map(f => col(f.name)).toSeq
   }
 
+  /** `saltCols`, when non-empty, REPLACES the inferred salt source
+    * with keys ++ saltCols — the documented escape hatch for hot keys
+    * whose admissible aggregate inputs are low-cardinality (the salt
+    * then spreads over the caller's high-cardinality payload columns
+    * instead). Callers own determinism there: pass plain deterministic
+    * columns, never rand()-bearing expressions (SPARK-23207). */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
-      specs: Seq[AggSpec], seed: Long = 42L): DataFrame = {
-    val saltSrc = saltSource(df, keys, specs)
+      specs: Seq[AggSpec], seed: Long = 42L,
+      saltCols: Seq[Column] = Nil): DataFrame = {
+    val saltSrc =
+      if (saltCols.nonEmpty) keys.map(col) ++ saltCols
+      else saltSource(df, keys, specs)
     val salted = df.withColumn("__salt",
       pmod(xxhash64((saltSrc :+ lit(seed)): _*), lit(saltBuckets)))
     saltedPhase1(salted, keys, specs)

@@ -281,8 +281,10 @@ object Relational {
     // so the rows are stable across partitionings — unlike the
     // compaction builtin this replaces.
     "q56_approx_quantile" -> ((s, d) => {
+      // boxed input encoder: NULL metric values are SKIPPED, not
+      // decoded as 0.0 (r15, the r14 ADVICE null finding)
       val qs = udaf(new graft.functions.QuantileSketch(0.01, Seq(0.5, 0.9)),
-        org.apache.spark.sql.Encoders.scalaDouble)
+        org.apache.spark.sql.Encoders.DOUBLE)
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(qs(col("l_extendedprice")).as("qq"))

@@ -36,18 +36,34 @@ object StreamingSketches {
     * deterministic bin-count sum, the streamed result equals the batch
     * sketch over the same rows EXACTLY — not merely within tolerance
     * (parity pinned in StreamingSpec). Run in complete/update mode;
-    * emits one estimate column per requested quantile. */
+    * emits one estimate column per requested quantile, named from the
+    * FULL quantile value (p50, p99_5 — rounding to whole percents
+    * collided 0.995 with 1.0 and silently dropped an estimate, the
+    * r14 ADVICE finding; NULL metric values are skipped via the boxed
+    * input encoder). Duplicate quantiles are rejected up front. */
   def quantileMonitor(rows: DataFrame, keyCol: String, valCol: String,
       gamma: Double = 0.01,
       quantiles: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val names = quantiles.map(quantileColName)
+    require(names.distinct == names,
+      s"duplicate quantiles requested: $quantiles")
     val qs = udaf(new graft.functions.QuantileSketch(gamma, quantiles),
-      org.apache.spark.sql.Encoders.scalaDouble)
+      org.apache.spark.sql.Encoders.DOUBLE)
     val est = rows
       .groupBy(col(keyCol))
       .agg(qs(col(valCol)).as("qq"))
-    quantiles.zipWithIndex.foldLeft(est) { case (df, (q, i)) =>
-      df.withColumn(s"p${math.round(q * 100)}",
-        element_at(col("qq"), i + 1))
+    names.zipWithIndex.foldLeft(est) { case (df, (n, i)) =>
+      df.withColumn(n, element_at(col("qq"), i + 1))
     }.drop("qq")
+  }
+
+  /** Lossless quantile -> column name: percent from the shortest
+    * decimal repr (never binary-double residue — 0.9 * 100 is
+    * 90.00000000000001 in doubles), '.' -> '_' for SQL-identifier
+    * safety. 0.5 -> p50, 0.995 -> p99_5, 0.5499 -> p54_99. */
+  private[graft] def quantileColName(q: Double): String = {
+    val pct = (BigDecimal(q.toString) * 100)
+      .underlying.stripTrailingZeros.toPlainString
+    s"p${pct.replace(".", "_").replace("-", "m")}"
   }
 }

@@ -226,6 +226,80 @@ class UtilOpsSpec extends SparkSpec {
     assert(mapCount.map(_.toString) ==
       Seq(col("k"), col("v"), col("blob")).map(_.toString))
   }
+
+  test("saltedAgg salt admissibility (r15, the r14 ADVICE findings): " +
+      "key-subsumed and non-deterministic live inputs fall back") {
+    import org.apache.spark.sql.functions.{col, lit, rand}
+    val df = spark.range(0, 100).select(
+      lit("k").as("k"), col("id").as("v"),
+      lit(Array.fill[Byte](8)(7)).as("blob"))
+    val all = Seq(col("k"), col("v"), col("blob")).map(_.toString)
+    // min over a KEY column is live but constant WITHIN a hot key —
+    // hashing it would yield one salt per key (silent no-op)
+    assert(Skew.saltSource(df, Seq("k"), Seq(Skew.min("m", col("k"))))
+      .map(_.toString) == all, "key-subsumed input must fall back")
+    // ...including expressions over key columns only
+    assert(Skew.saltSource(df, Seq("k"),
+        Seq(Skew.max("m", org.apache.spark.sql.functions.upper(col("k")))))
+      .map(_.toString) == all, "key-derived expression must fall back")
+    // a non-deterministic column-bearing input must never reach the
+    // salt (SPARK-23207 retry agreement)
+    assert(Skew.saltSource(df, Seq("k"),
+        Seq(Skew.sum("s", col("v") + rand(7))))
+      .map(_.toString) == all, "non-deterministic input must fall back")
+    // mixed: the inadmissible input is dropped, the admissible one
+    // still carries the salt (no blob hashing)
+    assert(Skew.saltSource(df, Seq("k"),
+        Seq(Skew.sum("s", col("v") + rand(7)), Skew.max("m", col("v"))))
+      .map(_.toString) == Seq(col("k"), col("v")).map(_.toString))
+    // the explicit saltCols escape hatch replaces inference and stays
+    // result-identical to the direct aggregation
+    val out = Skew.saltedAgg(df, Seq("k"), saltBuckets = 8,
+      Seq(Skew.min("m", col("k")), Skew.count("n")),
+      saltCols = Seq(col("v"))).collect()
+    assert(out.length == 1 && out.head.getString(1) == "k" &&
+      out.head.getLong(2) == 100L)
+  }
+
+  test("quantile sketch skips NULL inputs (boxed encoder) and " +
+      "quantileMonitor names collide-free columns") {
+    import org.apache.spark.sql.functions.{col, when}
+    import graft.streaming.StreamingSketches.quantileColName
+    // name derivation: full-value percent, never whole-percent rounding
+    assert(quantileColName(0.5) == "p50")
+    assert(quantileColName(0.995) == "p99_5")
+    assert(quantileColName(1.0) == "p100")
+    assert(quantileColName(0.5499) == "p54_99")
+    assert(quantileColName(0.0) == "p0")
+    // with full-value names only a literal duplicate can collide —
+    // and that is rejected up front (0.995 vs 0.9951 used to BOTH
+    // round to p100/p99 silently; now they get distinct names)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingSketches.quantileMonitor(
+        spark.range(1).selectExpr("'a' AS k", "1.0 AS v"), "k", "v",
+        quantiles = Seq(0.995, 0.995))
+    }
+    // NULL metric values are ABSENT, not 0.0: estimates and the
+    // requested 0.995/1.0 pair both survive
+    val vals = spark.range(0, 1000).select(
+      org.apache.spark.sql.functions.lit("g").as("k"),
+      when(col("id") % 10 === 0, null)
+        .otherwise(col("id").cast("double") + 1000).as("v"))
+    val row = graft.streaming.StreamingSketches.quantileMonitor(
+      vals, "k", "v", quantiles = Seq(0.5, 0.995, 1.0)).collect().head
+    val (p50, p99_5, p100) = (row.getAs[Double]("p50"),
+      row.getAs[Double]("p99_5"), row.getAs[Double]("p100"))
+    // with nulls-as-0.0 the low tail would sit at ~0; all estimates
+    // must stay within gamma of the non-null value range
+    assert(p50 > 1400 && p50 < 1600, s"p50 $p50 poisoned by nulls?")
+    assert(p99_5 > 1960 && p99_5 <= p100 * 1.0001,
+      s"p99_5 $p99_5 vs p100 $p100")
+    assert(p100 > 1970 && p100 < 2020, s"p100 $p100")
+    // and the direct reduce contract: null leaves the buffer untouched
+    val agg = new graft.functions.QuantileSketch(0.01, Seq(0.5))
+    val b = agg.reduce(agg.reduce(agg.zero, 5.0), null)
+    assert(b.n == 1L)
+  }
   test("sidecar canon pins the cross-language value contract") {
     // these strings are the CONTRACT with scripts/check.py's canon():
     // a change on either side makes every sidecar read as drift, so
