@@ -21,11 +21,11 @@ object SparkEntry {
     Relational.queries ++ Windows.queries ++ Scalars.queries ++
       EventTime.queries ++ TextOps.queries ++ TextOps.mixQueries ++
       Similarity.queries ++ Dedup.queries ++ Pipeline.queries ++
-      ImageDedup.queries ++ Analytics.queries
+      ImageDedup.queries ++ AudioDedup.queries ++ Analytics.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ Scalars.oracle ++
       EventTime.oracle ++ TextOps.oracle ++ Similarity.oracle ++
       Dedup.oracle ++ Pipeline.oracle ++ ImageDedup.oracle ++
-      Analytics.oracle
+      AudioDedup.oracle ++ Analytics.oracle
 }

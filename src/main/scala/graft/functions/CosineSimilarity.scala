@@ -162,7 +162,9 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => JlProject(exprs.head, exprs(1))),
     ("dhash64", classOf[DHash64],
       (exprs: Seq[Expression]) =>
-        DHash64(exprs.head, exprs(1), exprs(2), exprs(3))))
+        DHash64(exprs.head, exprs(1), exprs(2), exprs(3))),
+    ("audiofp64", classOf[AudioFp64],
+      (exprs: Seq[Expression]) => AudioFp64(exprs.head)))
 
   /** Idempotently register graft's native expressions on a session, so
     * `expr("cosine_sim(a, b)")` etc. resolve (SQL + DataFrame surfaces).

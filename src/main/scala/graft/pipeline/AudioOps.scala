@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import java.io.ByteArrayInputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
-import javax.sound.sampled.{AudioFormat, AudioSystem}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream,
+  AudioSystem}
 
 /** Real audio decode for WAV/PCM byte streams — javax.sound.sampled ships
   * in the JDK, so no external codec is required. Compressed codecs
@@ -47,6 +48,42 @@ object AudioOps {
       }
       Some((fmt.getSampleRate, mono))
     } catch { case _: Exception => None }
+
+  /** REAL PCM16 mono encode through the JDK's own writers — WAV
+    * (little-endian) or AIFF (big-endian), the decodeWav-readable
+    * containers. The audio fixtures' encode half of the
+    * encode->decode roundtrip (the ImageOps.pngEncode discipline):
+    * PCM16 is lossless, so decodeWav(encodePcm16(s)) * 32768 == s
+    * exactly (spec-pinned), which is what lets the q150 oracle replay
+    * the sample formula in integer SQL. Samples must be within
+    * [-32768, 32767]; out-of-range values are a caller bug — require,
+    * don't clip (a silent clip would break the oracle's replay). */
+  def encodePcm16(samples: Array[Int], rate: Float,
+      aiff: Boolean = false): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      require(s >= -32768 && s <= 32767, s"sample $s out of PCM16 range")
+      if (aiff) { // big-endian
+        data(2 * i) = (s >> 8).toByte
+        data(2 * i + 1) = s.toByte
+      } else { // little-endian
+        data(2 * i) = s.toByte
+        data(2 * i + 1) = (s >> 8).toByte
+      }
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+      1, 2, rate, aiff)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt,
+      samples.length)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais,
+      if (aiff) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE,
+      out)
+    out.toByteArray
+  }
 
   /** Per-segment RMS energies: the signal split into `nSeg` equal time
     * segments, one root-mean-square value per segment. The standard

@@ -171,30 +171,54 @@ class ImagePipelineSpec extends SparkSpec {
     }
   }
 
-  test("q147/q148 fixture: planted near-dups found, banded plan equals " +
-      "exact all-pairs semantics") {
+  test("q147/q148 fixture: planted near-dups found, capped banded plan " +
+      "equals the stop-bucket reference, hot flat cluster dropped") {
     import graft.queries.ImageDedup
-    val rows = ImageDedup.hashesOf(spark).collect()
-    assert(rows.length == 120 && rows.forall(!_.isNullAt(1)),
-      "every fixture image must decode and hash")
+    val rows = ImageDedup.hashesOf(spark, sf).collect()
+    assert(rows.length == 140 && rows.forall(!_.isNullAt(1)),
+      "every fixture image (120 formula + 20 flat) must decode and hash")
     val hs = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the planted flat cluster all dHashes to exactly 0 — the
+    // degenerate class whose band buckets the cap must drop
+    assert((120L until 140L).forall(hs(_) == 0L),
+      "flat images must hash to 0")
     // every planted pair (i-1, i) for i % 3 == 2 is within Hamming 2
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val planted = (0L until 120L).filter(_ % 3 == 2).map(i => (i - 1, i))
     assert(planted.forall { case (a, b) => ham(hs(a), hs(b)) <= 2 },
       "a planted near-dup drifted past Hamming 2")
-    // the banded plan reproduces exact all-pairs <= 3 (pigeonhole
-    // recall over 4x16 bands) — the same cross-check the DuckDB
-    // oracle runs, here as a pure Scala reference
-    val exact = (for {
-      a <- 0L until 120L; b <- (a + 1) until 120L
-      if ham(hs(a), hs(b)) <= 3
+    // pure-Scala reference of the CAPPED banded semantics (what the
+    // DuckDB oracle also mirrors): a pair is reported iff Hamming <= 3
+    // AND some shared 16-bit band's bucket is under the cap
+    val cap = graft.operators.HashBands.BandBucketCap
+    val bucket = hs.toSeq
+      .flatMap { case (i, h) =>
+        (0 until 4).map(bk => (bk, (h >> (bk * 16)) & 0xffffL) -> i) }
+      .groupMap(_._1)(_._2)
+    val okBuckets = bucket.filter(_._2.size <= cap).keySet
+    val ids = hs.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b && ham(hs(a), hs(b)) <= 3
+      if (0 until 4).exists { bk =>
+        val (ba, bb) = ((hs(a) >> (bk * 16)) & 0xffffL,
+          (hs(b) >> (bk * 16)) & 0xffffL)
+        ba == bb && okBuckets((bk, ba))
+      }
     } yield (a, b, ham(hs(a), hs(b)).toLong)).toSet
     val banded = SparkEntry.queries("q148_image_neardup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(banded == exact,
-      s"banded pairs != exact pairs: ${banded.size} vs ${exact.size}")
-    assert(exact.size == 40, s"fixture should plant 40 pairs, got ${exact.size}")
+    assert(banded == expected,
+      s"capped banded pairs != reference: ${banded.size} vs ${expected.size}")
+    assert(expected.size == 40,
+      s"fixture should keep the 40 formula pairs, got ${expected.size}")
+    // the cap is EXERCISED, not just present: uncapped banding would
+    // have emitted the flat cluster's 190 quadratic exact-dup pairs
+    assert(banded.forall { case (a, b, _) => a < 120 && b < 120 },
+      "a flat-cluster pair leaked past the bucket cap")
+    val uncappedFlatPairs = (for {
+      a <- 120L until 140L; b <- (a + 1) until 140L
+    } yield (a, b)).size
+    assert(uncappedFlatPairs == 190)
   }
 
   test("cross-CODEC video near-dup: the same content as GIF and " +
@@ -244,11 +268,15 @@ class ImagePipelineSpec extends SparkSpec {
   }
 
   test("q149 video near-dup: trimmed+brightness-shifted GIF copies " +
-      "found by frame-signature containment, distinct clips not") {
+      "found by frame-signature containment, shared black frame capped") {
     // planted: clip c % 4 == 1 is clip c-1 with +15 brightness and the
-    // last frame trimmed -> every signature of the copy appears in the
-    // original (brightness shift is hash-exact, GIF grayscale roundtrip
-    // lossless) -> containment 10000 bp, shared = the copy's frame count
+    // last frame trimmed -> every FORMULA signature of the copy appears
+    // in the original (brightness shift is hash-exact, GIF grayscale
+    // roundtrip lossless) -> containment 10000 bp, shared = the copy's
+    // formula frame count. The black OPENING frame every clip shares
+    // (sig 0, df 24 > SigDfCap) must be dropped by the cap — without
+    // it every clip pair would share a signature (276 quadratic
+    // candidates at fixture scale, the near-universal-frame blowup).
     val rows = SparkEntry.queries("q149_video_neardup")(spark, sf)
       .collect().map(r => ((r.getLong(0), r.getLong(1)),
         (r.getLong(2), r.getLong(3)))).toMap
@@ -260,7 +288,7 @@ class ImagePipelineSpec extends SparkSpec {
       s"got ${rows.toSeq.sortBy(_._1)}; expected ${expected.toSeq.sortBy(_._1)}")
     // sanity: the corpus really decodes all frames (the trimmed copy
     // has one fewer signature than its source)
-    val sigs = graft.queries.ImageDedup.clipCorpus(spark)
+    val sigs = graft.queries.ImageDedup.clipCorpus(spark, sf)
     assert(sigs.count() == 24)
   }
 

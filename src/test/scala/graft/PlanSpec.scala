@@ -296,13 +296,16 @@ class PlanSpec extends SparkSpec {
       s"probe must stay an equi-join on the packed block key:\n$p")
   }
 
-  test("q148/q149 pixel near-dup candidates stay equi-joins on hash " +
-      "keys (never all-pairs)") {
-    // q148: banded self-join on (band, value); q149: signature-set
-    // join on the frame dHash — both must plan as hash/sort-merge
-    // equi-joins, the q68/q35 LSH shape; a BNLJ or cartesian would be
-    // the all-pairs scan these operators exist to avoid
-    for (k <- Seq("q148_image_neardup", "q149_video_neardup")) {
+  test("q148/q149/q151 media near-dup candidates stay equi-joins on " +
+      "hash keys (never all-pairs)") {
+    // q148/q151: capped band-bucket grouping + in-group pair_combos,
+    // then hash equi-joins back to the hashes for Hamming verify;
+    // q149: capped signature-set grouping on the frame dHash — all
+    // must plan as hash/sort-merge equi-joins, the q68/q35 LSH shape;
+    // a BNLJ or cartesian would be the all-pairs scan these operators
+    // exist to avoid
+    for (k <- Seq("q148_image_neardup", "q149_video_neardup",
+        "q151_audio_neardup")) {
       val p = finalPlan(k)
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"),
