@@ -302,8 +302,10 @@ class ExpressionSpec extends SparkSpec {
           org.apache.spark.sql.Encoders.scalaLong))
       val row = Seq((Seq(1f, 2f, 0.5f), Seq(0.5f, 1f, 2f),
           Seq("alpha", "beta", "gamma", "delta"),
-          Seq(1L, 4L, 9L), Seq(4L, 9L, 12L)))
-        .toDF("a", "b", "tok", "xs", "ys")
+          Seq(1L, 4L, 9L), Seq(4L, 9L, 12L),
+          Array.tabulate[Byte](72)(p => (p % 9 * 10).toByte),
+          Seq.tabulate(130)(i => (i % 7) / 32768.0)))
+        .toDF("a", "b", "tok", "xs", "ys", "img", "smp")
         .selectExpr(
           "cosine_sim(a, b) AS c1",
           "simhash64(tok) AS c2",
@@ -314,11 +316,16 @@ class ExpressionSpec extends SparkSpec {
           "size(minhash_bands(tok)) AS c7",
           "size(pair_combos(xs)) AS c8",
           "sorted_intersect_count(xs, ys) AS c9",
-          "size(jl_project(a, 4)) AS c10")
+          "size(jl_project(a, 4)) AS c10",
+          "dhash64(img, 9, 8, 1) AS c11",
+          "audiofp64(smp) AS c12")
         .collect().head
       assert(!row.anyNull && row.getAs[Long]("c9") == 2L) // {4, 9}
       assert(row.getAs[Int]("c6") == 2 && row.getAs[Int]("c8") == 3)
       assert(row.getAs[Int]("c10") == 4)
+      // increasing 9x8 rows -> all 64 gradient bits (ImagePipelineSpec's
+      // hand computation, here under CODEGEN_ONLY)
+      assert(row.getAs[Long]("c11") == -1L)
       // the bloom probe expression, against real aggregate-built bytes
       spark.range(0, 50).createOrReplaceTempView("cg_keys")
       val hits = spark.sql(
@@ -350,8 +357,10 @@ class ExpressionSpec extends SparkSpec {
       GraftFunctions.register(spark)
       Seq((Seq(1f, 2f, 0.5f), Seq(0.5f, 1f, 2f),
           Seq("alpha", "beta", "gamma", "delta"),
-          Seq(1L, 4L, 9L), Seq(4L, 9L, 12L)))
-        .toDF("a", "b", "tok", "xs", "ys")
+          Seq(1L, 4L, 9L), Seq(4L, 9L, 12L),
+          Array.tabulate[Byte](72)(p => (71 - p).toByte),
+          Seq.tabulate(131)(i => (i % 11) / 32768.0)))
+        .toDF("a", "b", "tok", "xs", "ys", "img", "smp")
         .selectExpr(
           "cosine_sim(a, b) AS c1",
           "simhash64(tok) AS c2",
@@ -363,7 +372,9 @@ class ExpressionSpec extends SparkSpec {
           "pair_combos(xs) AS c8",
           "sorted_intersect_count(xs, ys) AS c9",
           "jl_project(a, 4) AS c10",
-          "cosine_sim(jl_project(a, 4), jl_project(b, 4)) AS c11")
+          "cosine_sim(jl_project(a, 4), jl_project(b, 4)) AS c11",
+          "dhash64(img, 9, 8, 1) AS c12",
+          "audiofp64(smp) AS c13")
         .collect().head
     }
     try {
@@ -389,7 +400,7 @@ class ExpressionSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1).toSet == Set("cosine_sim",
       "simhash64", "simhash_md5", "hash60", "mix61", "shingles3",
       "minhash_bands", "pair_combos", "bloom_might_contain",
-      "sorted_intersect_count", "jl_project", "dhash64"))
+      "sorted_intersect_count", "jl_project", "dhash64", "audiofp64"))
   }
 
   test("sorted_intersect_count: equals size(array_intersect) on sorted sets") {

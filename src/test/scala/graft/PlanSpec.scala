@@ -265,6 +265,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dhash64"), s"native dhash64 expression missing:\n$p")
   }
 
+  test("q150 audio fingerprint is map-only: one exchange " +
+      "(presentation sort)") {
+    // decode + audiofp64 must not move a row until the final orderBy —
+    // the q147 discipline on the audio family
+    val p = finalPlan("q150_audio_fp")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the orderBy exchange, got:\n$p")
+    assert(p.contains("audiofp64"), s"native audiofp64 missing:\n$p")
+  }
+
+  test("q148/q151 banded pairs read the MATERIALIZED hash state, not " +
+      "a re-run of the decode pass per consumer") {
+    // HashBands feeds three consumers (band grouping + both verify
+    // joins) from one Materialize-truncated (id, hash) table — the
+    // barrier surfaces as ExistingRDD scans; without it each consumer
+    // re-ran scan -> decode -> hash (3x the corpus read at 100 TB)
+    for (k <- Seq("q148_image_neardup", "q151_audio_neardup")) {
+      val p = finalPlan(k)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$k hash state not materialized:\n$p")
+    }
+  }
+
   test("q109's distinct collapse is the only full-data pass") {
     // the max-day bound must come from the collapsed (user, day) frame
     // via exchange/stage reuse — a second events scan would mean the
