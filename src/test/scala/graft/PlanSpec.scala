@@ -288,6 +288,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q149's corpus decode pass runs ONCE via exchange reuse") {
+    // grouped feeds two consumers (sizes + shared) and sizes joins
+    // twice — all of them must recompute from grouped's shuffle
+    // exchange, not re-run the Range -> GIF encode -> frame decode ->
+    // dhash pass per consumer (the r15 self-review question; the
+    // HashBands analog needs an explicit Materialize because its
+    // re-reads sit BELOW any exchange, q149's sit above one)
+    val digest = graft.Explain.operatorDigest(
+      SparkEntry.queries("q149_video_neardup")(spark, sf))
+    assert(digest.contains("Range x1"),
+      s"expected exactly one corpus generation pass, got: $digest")
+    assert(digest.contains("ReusedExchange"),
+      s"expected exchange reuse above the decode pass, got: $digest")
+  }
+
   test("q109's distinct collapse is the only full-data pass") {
     // the max-day bound must come from the collapsed (user, day) frame
     // via exchange/stage reuse — a second events scan would mean the

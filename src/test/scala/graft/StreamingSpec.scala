@@ -1528,6 +1528,94 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming media near-dup probe equals the capped-band reference " +
+      "across micro-batch cuts; degenerate arrivals stay capped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the image fixture's hashes: 120 formula images (every 3rd a
+    // near-dup of its predecessor) + 20 flat images all at dHash 0
+    val hs = graft.queries.ImageDedup.hashesOf(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // corpus = the bases + the WHOLE flat cluster (its buckets are
+    // over-cap); arrivals = the planted near-dup copies + one fresh
+    // flat image (the degenerate arrival the cap must silence)
+    val arrivals = (0L until 120L).filter(_ % 3 == 2)
+      .map(i => i -> hs(i)) :+ (999L -> 0L)
+    val corpusIds = hs.keySet -- arrivals.map(_._1)
+    val corpus = corpusIds.toSeq.sorted.map(i => (i, hs(i))).toDF("id", "h")
+    val postings = graft.streaming.StreamingMediaDedup.bandPostings(
+      corpus, "id", "h")
+    // pure-Scala reference of the contract (the AudioDedupSpec style):
+    // pair (a, b) iff Hamming <= 3 AND some shared band's CORPUS
+    // bucket is under the cap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val cap = graft.operators.HashBands.BandBucketCap
+    val bucketDf = corpusIds.toSeq
+      .flatMap(i =>
+        (0 until 4).map(bk => (bk, (hs(i) >> (bk * 16)) & 0xffffL)))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val expected = (for {
+      (a, hav) <- arrivals; b <- corpusIds
+      if ham(hav, hs(b)) <= 3
+      if (0 until 4).exists { bk =>
+        val (ba, bb) = ((hav >> (bk * 16)) & 0xffffL,
+          (hs(b) >> (bk * 16)) & 0xffffL)
+        ba == bb && bucketDf.getOrElse((bk, ba), 0) <= cap
+      }
+    } yield (a, b, ham(hav, hs(b)).toLong)).toSet
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamingWindows.runToMemory(
+      graft.streaming.StreamingMediaDedup.nearDupNew(
+        in.toDF().toDF("id", "h"), "id", "h", postings), "mneardup")
+    try {
+      // two micro-batches: the pair set must not depend on the cut
+      val (b1, b2) = arrivals.splitAt(arrivals.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val rows = spark.table("mneardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // the canonical-witness dedup: EXACTLY one row per matching pair
+      assert(rows.length == rows.toSet.size,
+        "a pair surfaced from more than one band")
+      assert(rows.toSet == expected,
+        s"stream pairs != reference: ${rows.length} vs ${expected.size}")
+      // every planted copy found its base; the flat arrival found
+      // nothing (its corpus bucket is over-cap — the batch semantics)
+      assert((0L until 120L).filter(_ % 3 == 2).forall(i =>
+        rows.exists(p => p._1 == i && p._2 == i - 1)),
+        "a planted near-dup arrival missed its base")
+      assert(!rows.exists(_._1 == 999L), "a capped bucket leaked a pair")
+    } finally { q.stop(); postings.unpersist() }
+  }
+
+  test("media near-dup probe, batch backfill path: gain-shifted audio " +
+      "arrivals match their source exactly; silence stays capped") {
+    import spark.implicits._
+    // same operator, batch frame in (the RAG-chunking same-code
+    // precedent): audio fingerprints, arrivals = the planted gain-x2
+    // copies (t % 4 == 1) + one silent track
+    val fs = graft.queries.AudioDedup.fingerprintsOf(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val arrIds = (0L until 120L).filter(_ % 4 == 1)
+    val corpus = (fs.keySet -- arrIds).toSeq.sorted.map(i => (i, fs(i)))
+      .toDF("id", "h")
+    val postings = graft.streaming.StreamingMediaDedup.bandPostings(
+      corpus, "id", "h")
+    try {
+      val arr = (arrIds.map(i => (i, fs(i))) :+ (888L -> 0L)).toDF("id", "h")
+      val got = graft.streaming.StreamingMediaDedup.nearDupNew(
+        arr, "id", "h", postings).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == got.toSet.size)
+      assert(arrIds.forall(i =>
+        got.exists(p => p._1 == i && p._2 == i - 1 && p._3 == 0L)),
+        "a gain-shifted arrival missed its source")
+      assert(!got.exists(_._1 == 888L),
+        "the silent cluster's bucket leaked past the cap")
+    } finally postings.unpersist()
+  }
+
   test("session window: streaming parity with batch sessionization") {
     // session windows require watermark + append/update; update mode may
     // emit intermediate merged sessions, so compare the final state per
