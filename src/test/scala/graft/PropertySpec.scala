@@ -580,4 +580,67 @@ class PropertySpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("cappedBandPairs equals the stop-bucket reference on random " +
+      "64-bit corpora (negative hashes, band boundaries, hot cluster)") {
+    // the fixture corpora (ImagePipelineSpec / AudioDedupSpec) exercise
+    // the planned classes; this drives the SAME reference over random
+    // hashes so sign bits in the top band, accidental band collisions,
+    // and flip-cancellation edge cases get coverage too. Fixed seeds —
+    // a failure reproduces, never flakes.
+    val cap = graft.operators.HashBands.BandBucketCap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (seed <- Seq(0xA11CE5EEDL, 20260816L)) {
+      val rnd = new scala.util.Random(seed)
+      val base = Seq.fill(60)(rnd.nextLong())
+      // planted near-dups: <= 3 random bit flips of the first 20 bases
+      // (repeated flips may cancel — hamming is <= 3 either way, so
+      // banding must find every planted pair: pigeonhole recall 1)
+      val nears = base.take(20).map { h =>
+        (0 until 1 + rnd.nextInt(3)).foldLeft(h)((x, _) =>
+          x ^ (1L << rnd.nextInt(64)))
+      }
+      // hot cluster: cap + 4 IDENTICAL hashes — every band bucket
+      // over-cap, the whole cluster must vanish from the pair set.
+      // One fixed NEGATIVE value (sign bit set — the arithmetic-shift
+      // band edge), not derived from base so the planted pairs'
+      // buckets stay independent of the cluster
+      val hot = Seq.fill(cap + 4)(0x8000DEAD0000BEEFL)
+      val all = (base ++ nears ++ hot).zipWithIndex
+        .map { case (h, i) => (i.toLong, h) }
+      val hs = all.toMap
+      val bucketDf = all
+        .flatMap { case (_, h) =>
+          (0 until 4).map(bk => (bk, (h >> (bk * 16)) & 0xffffL)) }
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val ids = all.map(_._1)
+      val expected = (for {
+        a <- ids; b <- ids if a < b && ham(hs(a), hs(b)) <= 3
+        if (0 until 4).exists { bk =>
+          val (ba, bb) = ((hs(a) >> (bk * 16)) & 0xffffL,
+            (hs(b) >> (bk * 16)) & 0xffffL)
+          ba == bb && bucketDf((bk, ba)) <= cap
+        }
+      } yield (a, b, ham(hs(a), hs(b)).toLong)).toSet
+      val got = graft.operators.HashBands
+        .cappedBandPairs(all.toDF("id", "h"), "id", "h")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == got.toSet.size, s"seed $seed: duplicate pair")
+      assert(got.toSet == expected,
+        s"seed $seed: ${got.length} vs ${expected.size}")
+      // every planted pair found (the hot cluster can't cap them out:
+      // its hash is distinct from every base with probability 1 at
+      // these sizes, verified by the reference equality above); no
+      // hot-cluster member appears anywhere
+      val hotIds = (all.size - (cap + 4)).toLong until all.size.toLong
+      assert(got.forall { case (a, b, _) =>
+        !hotIds.contains(a) && !hotIds.contains(b) },
+        s"seed $seed: a hot-cluster pair leaked")
+      (0 until 20).foreach { i =>
+        val (a, b) = (i.toLong, (60 + i).toLong)
+        assert(expected.exists(p => p._1 == a && p._2 == b),
+          s"seed $seed: planted pair $i missing from the reference")
+      }
+    }
+  }
 }
