@@ -28,6 +28,53 @@ object TextOps {
   private val PunctKeepClass = "[\\w \\t\\n\\x0B\\f\\r]"
   private val BpeTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
 
+  /** The three PII surface patterns (q152), ONE definition each feeding
+    * both engines (the PunctKeepClass discipline: ordinary Scala
+    * strings → single-backslash escapes, which is simultaneously the
+    * Java-regex form Spark compiles and the exact bytes a DuckDB
+    * single-quoted literal hands RE2). Only the portable subset is
+    * used — character classes, bounded quantifiers, grouping — no
+    * lookaround/backrefs (RE2 has neither), no \d/\b (dialect-
+    * divergent width/word semantics), so leftmost-first greedy
+    * matching is bit-identical across engines. */
+  private[graft] val EmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private[graft] val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII detection + redaction (the CCNet/RefinedWeb-class scrub every
+    * release-grade training pipeline runs before anything else sees
+    * the text): adds `email_n`/`phone_n`/`ip_n` — match counts over
+    * the RAW text — and `clean`, the text with every match replaced by
+    * a typed placeholder. All four columns are built-in codegen'd
+    * regexp expressions over one row at a time: the operator is a pure
+    * map, adds zero shuffles to whatever plan it lands in, and streams
+    * as-is (stateless — no twin needed).
+    *
+    * Semantics, pinned deliberately:
+    *  - counts come from the raw text, not the partially-redacted
+    *    intermediate — they are detector output, independent of
+    *    replacement order;
+    *  - replacement applies email → ip → phone, so a digit-host
+    *    address like `a@1.2.3.4` (NOT an email under the alpha-TLD
+    *    class) still loses its IP: `a@<IP>` — recall over precision;
+    *  - matching is syntactic by design: `999.999.999.999` redacts as
+    *    an IP even though no such address exists. A scrubber that
+    *    second-guesses octet ranges trades recall for nothing — the
+    *    placeholder is cheap, a leaked identifier is not;
+    *  - placeholders contain no digits or `@`, so one pattern's
+    *    rewrite can never manufacture a later pattern's match. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("email_n", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("phone_n", regexp_count(col(textCol), lit(PhoneRe)))
+      .withColumn("ip_n", regexp_count(col(textCol), lit(IpRe)))
+      .withColumn("clean",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            IpRe, "<IP>"),
+          PhoneRe, "<PHONE>"))
+
   /** (doc_id, w1, w2): the document's consecutive token bigrams —
     * shared by the LM scorer, q85's dice ranking and q127's
     * importance weighting. */
@@ -1024,8 +1071,51 @@ object TextOps {
                    CASE WHEN boiler IS NULL THEN struct(p, chunk) END)),
                  x -> x.chunk)""")).as("clean_text"))
         .orderBy("doc_id")
+    }),
+
+    // q152: PII scrub over the deterministic injected corpus (the q147
+    // formula-corpus discipline: the fixture text carries zero '@' and
+    // zero digits, so injected spans are the ONLY signal and every raw
+    // document doubles as a false-positive control). Injection is pure
+    // integer/CASE arithmetic on doc_id — email with rotating TLD and
+    // a trailing-dot boundary case every 4th doc, phone on odd ids, IP
+    // on multiples of 7, position alternating prefix/suffix, and every
+    // 5th doc left untouched — replayed verbatim by the oracle. The
+    // scrub itself ([[piiScrub]]) is one codegen'd map pass; the only
+    // exchange is the presentation sort (PlanSpec pin).
+    "q152_pii_scrub" -> ((s, d) => {
+      val inj = Tables.load(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, col("text"))
+          .when(col("doc_id") % 2 === 0,
+            concat(piiSpan, lit(" "), col("text")))
+          .otherwise(concat(col("text"), lit(" "), piiSpan)).as("txt"))
+      piiScrub(inj, "txt")
+        .select(col("doc_id"), col("email_n").cast("long"),
+          col("phone_n").cast("long"), col("ip_n").cast("long"),
+          md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("clean_len"))
+        .orderBy("doc_id")
     })
   )
+
+  /** The q152 injected-PII span: concat_ws drops the NULL-valued CASE
+    * branches in BOTH engines, so absent pieces vanish instead of
+    * nulling the whole span. Kept as a Column so the query reads like
+    * its oracle. */
+  private def piiSpan =
+    concat_ws(" ",
+      concat(lit("reach user"), col("doc_id").cast("string"),
+        lit("@example."),
+        expr("CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' " +
+          "ELSE 'net' END"),
+        expr("CASE WHEN doc_id % 4 = 1 THEN '.' ELSE '' END")),
+      expr("CASE WHEN doc_id % 2 = 1 THEN concat('tel +1-', " +
+        "cast(200 + doc_id % 700 AS string), '-', " +
+        "lpad(cast(doc_id % 10000 AS string), 4, '0')) END"),
+      expr("CASE WHEN doc_id % 7 = 0 THEN concat('host 10.', " +
+        "cast(doc_id % 256 AS string), '.', " +
+        "cast((doc_id * 7) % 256 AS string), '.', " +
+        "cast((doc_id * 13) % 256 AS string)) END"))
 
   /** Mixture construction and corpus forensics (q106–q108) — a second
     * map only because `queries` is already defined above; SparkEntry
@@ -1181,6 +1271,51 @@ object TextOps {
     "q32_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
          FROM documents GROUP BY 1 ORDER BY h""",
+
+    // the Spark-side regex constants interpolate UNCHANGED into the
+    // DuckDB literals (single-backslash bytes are the RE2 form too);
+    // counts replay via len(regexp_extract_all(...)) — DuckDB's
+    // non-overlapping leftmost scan, the regexp_count semantics — and
+    // replacement needs the explicit 'g' flag (DuckDB defaults to
+    // first-match-only where Spark replaces all)
+    "q152_pii_scrub" ->
+      s"""WITH inj AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN text
+                   WHEN doc_id % 2 = 0 THEN pii || ' ' || text
+                   ELSE text || ' ' || pii END AS txt
+            FROM (
+              SELECT doc_id, text,
+                concat_ws(' ',
+                  'reach user' || CAST(doc_id AS VARCHAR) || '@example.' ||
+                    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                      ELSE 'net' END ||
+                    CASE WHEN doc_id % 4 = 1 THEN '.' ELSE '' END,
+                  CASE WHEN doc_id % 2 = 1 THEN
+                    'tel +1-' || CAST(200 + doc_id % 700 AS VARCHAR) || '-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
+                  CASE WHEN doc_id % 7 = 0 THEN
+                    'host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                    CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+                    CAST((doc_id * 13) % 256 AS VARCHAR) END) AS pii
+              FROM documents)),
+          scrub AS (
+            SELECT doc_id,
+              len(regexp_extract_all(txt, '$EmailRe')) AS email_n,
+              len(regexp_extract_all(txt, '$PhoneRe')) AS phone_n,
+              len(regexp_extract_all(txt, '$IpRe')) AS ip_n,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(txt, '$EmailRe', '<EMAIL>', 'g'),
+                  '$IpRe', '<IP>', 'g'),
+                '$PhoneRe', '<PHONE>', 'g') AS clean
+            FROM inj)
+          SELECT doc_id, CAST(email_n AS BIGINT) AS email_n,
+            CAST(phone_n AS BIGINT) AS phone_n,
+            CAST(ip_n AS BIGINT) AS ip_n,
+            md5(clean) AS clean_md5,
+            CAST(length(clean) AS BIGINT) AS clean_len
+          FROM scrub ORDER BY doc_id""",
 
     // word-frequency table -> char symbols -> 3 unrolled merge rounds;
     // the greedy application is pairwise-relational on both engines,

@@ -21,6 +21,36 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == 0, "deltas must cancel")
   }
 
+  test("pii scrub: hand-built detection, redaction and boundary cases") {
+    val cases = Seq(
+      // (input, email_n, phone_n, ip_n, clean)
+      ("mail a@b.co and c.d+x@e-f.org today", 2L, 0L, 0L,
+        "mail <EMAIL> and <EMAIL> today"),
+      // adjacent PII, no separator: both found, both redacted
+      ("a@b.co+1-234-5678", 1L, 1L, 0L, "<EMAIL><PHONE>"),
+      // trailing dot stays outside the match (greedy backtrack ends
+      // the host at the last alpha TLD)
+      ("write x@y.com.", 1L, 0L, 0L, "write <EMAIL>."),
+      // dotted run: leftmost 4 octets match, the 5th survives
+      ("path 1.2.3.4.5 end", 0L, 0L, 1L, "path <IP>.5 end"),
+      // syntactic over-redaction is the documented contract
+      ("999.999.999.999", 0L, 0L, 1L, "<IP>"),
+      // digit-host "email" is NOT an email (alpha TLD class) but its
+      // IP still redacts — recall over precision
+      ("ping a@1.2.3.4 now", 0L, 0L, 1L, "ping a@<IP> now"),
+      // natural text: zero counts, byte-identical passthrough
+      ("no pii here at all", 0L, 0L, 0L, "no pii here at all"))
+    val got = queries.TextOps.piiScrub(
+        cases.map(_._1).toDF("txt"), "txt")
+      .select("txt", "email_n", "phone_n", "ip_n", "clean").collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1).toLong, r.getInt(2).toLong, r.getInt(3).toLong,
+          r.getString(4)))).toMap
+    cases.foreach { case (in, e, p, i, clean) =>
+      assert(got(in) == ((e, p, i, clean)), s"case: $in")
+    }
+  }
+
   test("prefix sum matches scanLeft for any block size") {
     // the two-phase blocked running total must equal the sequential
     // fold, and must be invariant to the block decomposition

@@ -265,6 +265,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dhash64"), s"native dhash64 expression missing:\n$p")
   }
 
+  test("q152 pii scrub is map-only: one exchange (presentation sort)") {
+    // the scrub's scale story is one codegen'd regexp map pass over
+    // the corpus — injection, detection and redaction must not move a
+    // row until the final orderBy
+    val p = finalPlan("q152_pii_scrub")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the orderBy exchange, got:\n$p")
+    // regexp_count lowers to size(regexp_extract_all(...)) — the
+    // replace chain adds 3 more regexp sites, all inside one
+    // WholeStageCodegen span
+    assert("regexp_extract_all".r.findAllIn(p).size >= 3,
+      s"codegen'd regexp detectors missing:\n$p")
+  }
+
   test("q150 audio fingerprint is map-only: one exchange " +
       "(presentation sort)") {
     // decode + audiofp64 must not move a row until the final orderBy —
