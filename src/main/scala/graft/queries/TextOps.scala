@@ -1083,20 +1083,26 @@ object TextOps {
     // 5th doc left untouched — replayed verbatim by the oracle. The
     // scrub itself ([[piiScrub]]) is one codegen'd map pass; the only
     // exchange is the presentation sort (PlanSpec pin).
-    "q152_pii_scrub" -> ((s, d) => {
-      val inj = Tables.load(s, d, "documents").select(col("doc_id"),
-        when(col("doc_id") % 5 === 0, col("text"))
-          .when(col("doc_id") % 2 === 0,
-            concat(piiSpan, lit(" "), col("text")))
-          .otherwise(concat(col("text"), lit(" "), piiSpan)).as("txt"))
-      piiScrub(inj, "txt")
-        .select(col("doc_id"), col("email_n").cast("long"),
-          col("phone_n").cast("long"), col("ip_n").cast("long"),
-          md5(col("clean")).as("clean_md5"),
-          length(col("clean")).cast("long").as("clean_len"))
-        .orderBy("doc_id")
-    })
+    "q152_pii_scrub" -> ((s, d) =>
+      piiScrubbed(Tables.load(s, d, "documents")).orderBy("doc_id"))
   )
+
+  /** q152's whole body minus the presentation sort, factored so the
+    * streaming parity test runs the IDENTICAL builder on an unbounded
+    * docs stream (the ragChunksOf precedent — map-only, so the batch
+    * code IS the twin). */
+  private[graft] def piiScrubbed(documents: DataFrame): DataFrame = {
+    val inj = documents.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, col("text"))
+        .when(col("doc_id") % 2 === 0,
+          concat(piiSpan, lit(" "), col("text")))
+        .otherwise(concat(col("text"), lit(" "), piiSpan)).as("txt"))
+    piiScrub(inj, "txt")
+      .select(col("doc_id"), col("email_n").cast("long"),
+        col("phone_n").cast("long"), col("ip_n").cast("long"),
+        md5(col("clean")).as("clean_md5"),
+        length(col("clean")).cast("long").as("clean_len"))
+  }
 
   /** The q152 injected-PII span: concat_ws drops the NULL-valued CASE
     * branches in BOTH engines, so absent pieces vanish instead of

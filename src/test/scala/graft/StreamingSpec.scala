@@ -537,6 +537,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PII scrub equals batch q152 exactly") {
+    // piiScrub is a pure codegen'd map (counts + redaction per row, no
+    // aggregation, no watermark), so the BATCH builder — injection
+    // included — runs unchanged on the unbounded docs stream: same
+    // code path, same rows, the ragChunksOf parity discipline
+    val scrubbed = graft.queries.TextOps.piiScrubbed(
+      graft.streaming.StreamingDedup.docsStream(spark, sf))
+    val q = StreamingWindows.runToMemory(scrubbed, "piiscrub")
+    try {
+      val got = spark.table("piiscrub").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getLong(5))).toSet
+      val batch = SparkEntry.queries("q152_pii_scrub")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getLong(5))).toSet
+      assert(batch.exists(_._2 > 0), "fixture must inject emails")
+      assert(got == batch,
+        s"streaming ${got.size} vs batch ${batch.size} scrubbed docs")
+    } finally q.stop()
+  }
+
   test("transformWithState running counts converge to batch counts") {
     import org.apache.spark.sql.functions.col
     // the Spark 4 arbitrary-state API needs the RocksDB provider
