@@ -643,4 +643,94 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: media natives (dhash64, audiofp64) equal " +
+      "independent driver-side references on random inputs") {
+    // the fixture corpora exercise hand-planned shapes; this drives
+    // the two media hash natives over RANDOM dimensions/lengths —
+    // non-divisible grid partitions, c=1 vs c=3, shape-invalid rows,
+    // sub-minimum lengths — against references written in a different
+    // style (per-cell filtering, index groupBy), so a formula bug
+    // shared with a fixture constant still gets caught. Also pins the
+    // two laws the near-dup families lean on: positive-INTEGER-gain
+    // invariance of audiofp64 on grid-exact samples, and NULL (never
+    // throw) degradation for every invalid shape.
+    graft.functions.GraftFunctions.register(spark)
+
+    // dhash64: random (w, h, c) with random bytes; ~1 in 5 rows get a
+    // deliberately wrong buffer length and must return NULL
+    val imgGen = for {
+      w <- Gen.choose(1, 20); h <- Gen.choose(1, 16)
+      c <- Gen.oneOf(1, 3); bad <- Gen.choose(0, 4)
+      data <- Gen.listOfN(w * h * c + (if (bad == 0) 1 else 0),
+        Gen.choose(-128, 127).map(_.toByte))
+    } yield (w, h, c, data.toArray)
+    val imgIn = Seq.newBuilder[(Int, Int, Int, Array[Byte])]
+    forSamples(imgGen, 40)(imgIn += _)
+    val imgRows = imgIn.result()
+    val imgGot = imgRows.toDF("w", "h", "c", "data")
+      .selectExpr("dhash64(data, w, h, c)")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    imgRows.zip(imgGot).foreach { case ((w, h, c, data), got) =>
+      val expect: Option[Long] =
+        if (w < 9 || h < 8 || w.toLong * h * c != data.length) None
+        else {
+          // reference in a different style: per-pixel grayscale table,
+          // then per-cell mean via coordinate filtering
+          val gray = for (y <- 0 until h; x <- 0 until w) yield {
+            val base = (y * w + x) * c
+            if (c >= 3) ((data(base) & 0xff) + (data(base + 1) & 0xff) +
+              (data(base + 2) & 0xff)) / 3
+            else data(base) & 0xff
+          }
+          def cellMean(tx: Int, ty: Int): Long = {
+            val vs = for {
+              y <- 0 until h if y * 8 / h == ty
+              x <- 0 until w if x * 9 / w == tx
+            } yield gray(y * w + x).toLong
+            vs.sum / vs.size
+          }
+          Some((for {
+            ty <- 0 until 8; tx <- 0 until 8
+            if cellMean(tx + 1, ty) > cellMean(tx, ty)
+          } yield 1L << (ty * 8 + tx)).foldLeft(0L)(_ | _))
+        }
+      assert(got == expect, s"dhash64(w=$w,h=$h,c=$c) = $got")
+    }
+
+    // audiofp64: random lengths spanning the 65-sample minimum, values
+    // on the exact PCM16 grid (k/32768 — what decodeWav emits)
+    val sndGen = for {
+      n <- Gen.choose(0, 180)
+      ks <- Gen.listOfN(n, Gen.choose(-8192, 8191))
+    } yield ks
+    val sndIn = Seq.newBuilder[List[Int]]
+    forSamples(sndGen, 40)(sndIn += _)
+    val sndRows = sndIn.result()
+    val sndDf = sndRows.map(ks => Tuple1(ks.map(_ / 32768.0)))
+      .toDF("s")
+    val sndGot = sndDf
+      .selectExpr("audiofp64(s)", "audiofp64(transform(s, x -> x * 3))")
+      .collect().map(r => (
+        if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    sndRows.zip(sndGot).foreach { case (ks, (got, gained)) =>
+      val expect: Option[Long] =
+        if (ks.size < 65) None
+        else {
+          // reference via index groupBy instead of the running loop
+          val energy = ks.indices.groupBy(i => i.toLong * 65 / ks.size)
+            .map { case (wi, is) =>
+              wi -> is.map(i => math.abs(ks(i).toLong)).sum }
+          Some((0 until 64)
+            .filter(w => energy(w + 1L) > energy(w.toLong))
+            .foldLeft(0L)((h, w) => h | (1L << w)))
+        }
+      assert(got == expect, s"audiofp64(n=${ks.size}) = $got")
+      // integer gain x3 keeps every energy-delta sign: k/32768 * 3
+      // round-trips exactly through round(v * 32768) = 3k
+      assert(gained == expect,
+        s"audiofp64 not invariant under x3 gain (n=${ks.size})")
+    }
+  }
 }
