@@ -19,7 +19,12 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   *
   * For every left row, attaches the latest right row with
   * `rightTs <= leftTs` on the same key (left outer: nulls when no such
-  * row). The built-in composition (operators.AsOfJoin) tags both sides,
+  * row). Keys should be integral/string/date-like: FLOAT/DOUBLE keys
+  * are subject to the ±0.0/NaN partitioning hazard every custom node
+  * has — the optimizer's NormalizeFloatingNumbers rule only rewrites
+  * the join keys of nodes it KNOWS (built-in Join/Window/Aggregate),
+  * so hash(-0.0) != hash(0.0) could split one semantic key across
+  * partitions here. The built-in composition (operators.AsOfJoin) tags both sides,
   * unions, and runs a carry-forward window — correct, but it shuffles
   * the UNION of both inputs on the key and sorts left and right rows
   * together through one window operator. This operator instead declares
