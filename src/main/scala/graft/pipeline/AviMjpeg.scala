@@ -37,6 +37,9 @@ import javax.imageio.ImageIO
   */
 object AviMjpeg {
 
+  // in-memory streams only — never the per-image temp-file cache
+  ImageIoTuning.ensure()
+
   private def u16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
 

@@ -33,6 +33,9 @@ import javax.imageio.metadata.IIOMetadataNode
   */
 object GifFrames {
 
+  // in-memory streams only — never the per-image temp-file cache
+  ImageIoTuning.ensure()
+
   private def isGif(bytes: Array[Byte]): Boolean =
     bytes.length > 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == '8' &&

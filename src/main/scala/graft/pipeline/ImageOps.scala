@@ -19,6 +19,9 @@ case class ImageRecord(origin: String, height: Int, width: Int,
   */
 object ImageOps {
 
+  // in-memory streams only — never the per-image temp-file cache
+  ImageIoTuning.ensure()
+
   @inline private def clampByte(v: Double): Byte =
     math.max(0, math.min(255, math.round(v))).toByte
 

@@ -12,6 +12,9 @@ import java.io.ByteArrayOutputStream
   */
 object MediaFixtures {
 
+  // in-memory streams only — never the per-image temp-file cache
+  ImageIoTuning.ensure()
+
   private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
   private def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
     (v >> 8).toByte, v.toByte)

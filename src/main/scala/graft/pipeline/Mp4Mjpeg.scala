@@ -42,6 +42,9 @@ import javax.imageio.ImageIO
   */
 object Mp4Mjpeg {
 
+  // in-memory streams only — never the per-image temp-file cache
+  ImageIoTuning.ensure()
+
   // byte readers shared with MediaProbe (one definition per hardening
   // class — the RiffWav precedent); the box WALK itself is deliberately
   // separate: the probe accumulates metadata summaries and skips
