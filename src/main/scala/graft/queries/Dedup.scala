@@ -244,6 +244,12 @@ object Dedup {
     * phrase" holds by construction, not by two hand-synchronized
     * copies of the aggregation. */
   def topTrigram(dd: DataFrame): DataFrame =
+    // NOT widened (r15 measurement): this builder is consumed as a
+    // 1-row broadcast, often several times per query (q118/q122/q123
+    // re-derive it per consumer), and a widen exchange inside each
+    // broadcast build cost far more in per-stage overhead than the
+    // single-task shingle pass it parallelized (q118 1.22 → 2.39 s,
+    // q123 1.07 → 2.34 s at sf0.1/local[32] — reverted)
     shingledOf(dd)
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .agg(max(struct(col("df"), col("sh"))).as("t"))

@@ -39,7 +39,13 @@ object Relational {
   private def valueCume(df: DataFrame, flag: String,
       value: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    df.filter(col(value).isNotNull)
+    // widen by the VALUE column (r15): the domain-shrinking partial
+    // aggregate is the corpus-sized pass here, and on a single-row-
+    // group fixture scan it ran one-task. hash(x) ⊆ {flag, x} keeps
+    // the groupBy exchange-free on top of the spread; at scale the
+    // scan has real splits and widen no-ops.
+    graft.operators.Parallelism
+      .widen(df.filter(col(value).isNotNull), col(value))
       .groupBy(col(flag), col(value).as("x"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("run", sum("cnt").over(W.partitionBy(flag)
@@ -156,9 +162,14 @@ object Relational {
 
     // q12: non-equi range join (date interval, BNLJ with bounded sides)
     "q12_range_join" -> ((s, d) => {
-      val l = t(s, d, "lineitem").filter(
-        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      // widen (r15): the probe side's join + count-distinct expand ran
+      // on the month-slice scan's one task; the shipdate range still
+      // pushes to the scan below the repartition
+      val l = graft.operators.Parallelism.widen(
+        t(s, d, "lineitem").filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp")),
+        col("l_orderkey"))
       val o = t(s, d, "orders").filter(
         col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-02-01").cast("timestamp"))
@@ -178,9 +189,12 @@ object Relational {
     // filter. Identical result; this is the shape that survives a 100x
     // scale-up where BNLJ does not.
     "q12_range_join_bucketed" -> ((s, d) => {
-      val l = t(s, d, "lineitem").filter(
-        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      // widen (r15): same rationale as the naive twin above
+      val l = graft.operators.Parallelism.widen(
+        t(s, d, "lineitem").filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp")),
+        col("l_orderkey"))
         .withColumn("bk",
           expr("floor(datediff(l_shipdate, date'1970-01-01') / 7)"))
       val o = t(s, d, "orders").filter(
@@ -309,7 +323,12 @@ object Relational {
     // rescales by /100, var by /10^4).
     "q57_stats" -> ((s, d) => {
       val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-      val b = t(s, d, "lineitem").select(col("l_returnflag"),
+      // widen (r15): the eight exact-moment decimal sums ran on the
+      // single-row-group scan's one task (measured: the whole 2.0 s
+      // wall was one 1.9 s single-core stage)
+      val b = graft.operators.Parallelism
+        .widen(t(s, d, "lineitem"), col("l_orderkey"))
+        .select(col("l_returnflag"),
         expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)")
           .as("qx"),
         expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
@@ -355,7 +374,10 @@ object Relational {
     // partial aggregation on a handful of bin keys: the profiling
     // shape that stays O(bins) no matter the row count.
     "q78_histogram" -> ((s, d) =>
-      t(s, d, "lineitem")
+      // widen (r15): the q13 rationale — partial aggregation is the
+      // whole query and the fixture scan is one task
+      graft.operators.Parallelism
+        .widen(t(s, d, "lineitem"), col("l_orderkey"))
         .groupBy(expr("cast(floor(l_extendedprice / 5000) as bigint)")
           .as("bin"))
         .agg(count(lit(1)).as("n"),
@@ -761,8 +783,15 @@ object Relational {
   )
 
   private def q13(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
+    // widen (r15): six decimal-sum partial aggregates are the whole
+    // cost of this query, and the single-row-group fixture scan ran
+    // them one-task (measured 1.9 s of 2.5 s wall on one core of 32).
+    // The shipdate filter still pushes through the repartition to the
+    // scan (PlanSpec pins PushedFilters); at scale widen no-ops.
+    graft.operators.Parallelism.widen(
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp")),
+      col("l_orderkey"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         Det.dsum(col("l_quantity")).as("sum_qty"),

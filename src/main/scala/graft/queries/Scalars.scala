@@ -47,8 +47,14 @@ object Scalars {
         .orderBy("o_orderkey")),
 
     // q25: math + conditional functions
+    // widen (r15): the 11-expression math projection is evaluated
+    // twice over the corpus (once by the orderBy's range-bounds
+    // sampling pass, once for real), both on the single-row-group
+    // scan's one task — measured 0.78 s + 1.29 s of the 2.5 s wall.
+    // The spread parallelizes both passes; at scale it no-ops.
     "q25_math_cond" -> ((s, d) =>
-      t(s, d, "lineitem").select(
+      graft.operators.Parallelism
+        .widen(t(s, d, "lineitem"), col("l_orderkey")).select(
         col("l_orderkey"), col("l_linenumber"),
         round(abs(col("l_discount") - 0.05), 4).as("abs_d"),
         // round() on sqrt: irrational for non-square inputs, so the
@@ -73,6 +79,10 @@ object Scalars {
     // a column NAMED for the claim instead of silently shrinking the
     // Spark-side domain and reading as an engine bug.
     "q26_json_fns" -> ((s, d) => {
+      // NOT widened (r15 measurement): the spread exchange carries the
+      // fat props JSON strings, and the single-task scan+shuffle-write
+      // cost as much as the parse it parallelized (1.1 → 1.5 s) —
+      // widen pays only when per-row work dwarfs the carried bytes
       val ev = t(s, d, "events")
       // k domain pinned to INTEGER-literal JSON strings before the
       // cast (mirrored in the oracle): a float-formatted k ('69.0',

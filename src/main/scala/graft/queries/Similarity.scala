@@ -68,12 +68,32 @@ object Similarity {
     * the final per-vector fold all run exchange-free on top of it.
     * At 10⁹ vectors this is one all-to-all of the exploded dims and
     * nothing else; the serial AQE stage chain of the naive form (an
-    * exchange per grouping) was also the local-latency killer. Kept
-    * keyless-numbered-free on purpose (unlike the shingle pipelines):
-    * every downstream op is a per-vector aggregate, so AQE coalescing
-    * tiny post-shuffle partitions is pure win, and at scale it sizes
-    * them by bytes. */
-  private def pqDistanceTerms(s: SparkSession, d: String): DataFrame = {
+    * exchange per grouping) was also the local-latency killer.
+    *
+    * The repartition is NUMBERED (r15; it was keyless-numbered-free
+    * through r14): AQE's byte-based coalescing saw the ~MB exploded
+    * stream and folded it to ONE post-shuffle partition, so the
+    * decimal-heavy join+aggregate chain above it — the most expensive
+    * per-row arithmetic in the whole inventory, 512 DECIMAL(38,20)
+    * terms per vector — ran single-task at every core count
+    * (measured: the two consumer stages each ~2.0 s on one core of 32
+    * at sf0.1). The jaccardPairsOf/docsetsOf precedent applies
+    * verbatim: a user-numbered hash repartition is exempt from AQE
+    * coalescing, and the work above it is CPU-bound row expansion,
+    * not byte movement, so partition count must track cores, not
+    * bytes. At scale numShufflePartitions is the cluster-sized knob
+    * (2-3x total cores — GraftSession's documented contract), which
+    * is exactly the parallelism this stage wants.
+    *
+    * `wide` is per-consumer: q99 aggregates the FULL corpus fan-out
+    * above this exchange (CPU-bound — wants cores), while q116
+    * semi-join-restricts to the probe's inverted list first, so its
+    * post-exchange work is list-sized at any corpus size and AQE's
+    * byte-based sizing is the right call there (measured: the
+    * numbered form cost q116 +0.4 s of empty-task overhead at
+    * sf0.1/local[32] while saving q99 3.4 s). */
+  private def pqDistanceTerms(s: SparkSession, d: String,
+      wide: Boolean): DataFrame = {
     val lf = emb(s, d)
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), expr("pos div 16").as("sub"), col("pos"),
@@ -81,7 +101,9 @@ object Similarity {
     val init = lf.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("sub"), col("pos"),
         col("v").as("cv"))
-    lf.repartition(col("vec_id"))
+    (if (wide) lf.repartition(s.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
+     else lf.repartition(col("vec_id")))
       .join(broadcast(init), Seq("sub", "pos"))
       .groupBy("vec_id", "sub", "c_id")
       .agg(sum(expr("cast((v - cv) * (v - cv) as decimal(38,20))"))
@@ -158,7 +180,19 @@ object Similarity {
     * centroids never shuffle. */
   private[graft] def lloydAssignments(s: SparkSession, d: String,
       iters: Int): DataFrame = {
-    val el = graft.operators.Materialize.truncate(microEl(emb(s, d)))
+    // Parallelism.widen BEFORE the checkpoint (r15): the micro-unit
+    // stream inherits the scan's partition count, and a single-row-
+    // group fixture file plans as ONE partition — localCheckpoint
+    // PRESERVES that layout, so every downstream Lloyd round (the
+    // broadcast join + the two aggregates, the heaviest stages of the
+    // whole query) ran serially on one core however many the session
+    // had. Hash(vec_id) is the one partitioning every consumer wants:
+    // it satisfies the (vec_id, c_id) partial agg and the per-vector
+    // argmax without further exchanges. At scale the scan has
+    // thousands of splits and widen is a no-op. Measured (sf0.1,
+    // local[32]): q50 3.9 s → see OPTIMIZATION_r15.md.
+    val el = graft.operators.Materialize.truncate(
+      graft.operators.Parallelism.widen(microEl(emb(s, d)), col("vec_id")))
     var cent = graft.operators.Materialize.truncate(
       el.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("pos"), col("vi").as("si")))
@@ -597,7 +631,7 @@ object Similarity {
     // picks the same code in every engine/run; everything else is
     // map-side + vec-keyed partial aggs.
     "q99_pq_codes" -> ((s, d) => {
-      pqDistanceTerms(s, d)
+      pqDistanceTerms(s, d, wide = true)
         .groupBy("vec_id", "sub")
         .agg(min(struct(col("d2"), col("c_id"))).as("m"))
         .groupBy("vec_id")
@@ -627,7 +661,7 @@ object Similarity {
     // same exchange, not a second scan→explode→join chain.
     "q116_ivf_pq" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), bucketExpr.as("bucket"))
-      val d2t = pqDistanceTerms(s, d)
+      val d2t = pqDistanceTerms(s, d, wide = false)
       // index build = q99's code assignment (exact decimal argmin),
       // restricted to the probe's inverted list up front: everything
       // below the semi join stays on the one vec_id exchange
@@ -718,10 +752,15 @@ object Similarity {
       // ids) or shuffle `el` against it. Scan twice, shuffle never;
       // quantization cannot drift between the two passes because both
       // are the same deterministic microEl expression.
+      // both micro-unit streams widen before their checkpoints (the
+      // lloydAssignments rationale: a single-row-group scan pins every
+      // training/assignment round to one core otherwise)
       val elS = graft.operators.Materialize.truncate(
-        sampledTrainingInput(s, d))
+        graft.operators.Parallelism.widen(
+          sampledTrainingInput(s, d), col("vec_id")))
       val cent = lloydCentroids(elS, 3)
-      val el = graft.operators.Materialize.truncate(microEl(e))
+      val el = graft.operators.Materialize.truncate(
+        graft.operators.Parallelism.widen(microEl(e), col("vec_id")))
       val lists = graft.operators.Materialize.truncate(assignTo(el, cent))
       val bestC = lists.filter(col("vec_id") === 0).select("c_id")
       val probe = e.filter(col("vec_id") === 0)
@@ -759,7 +798,9 @@ object Similarity {
     // the price.
     "q140_multiprobe_learned" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val el = graft.operators.Materialize.truncate(microEl(e))
+      // widen before the checkpoint (the lloydAssignments rationale)
+      val el = graft.operators.Materialize.truncate(
+        graft.operators.Parallelism.widen(microEl(e), col("vec_id")))
       val cent = lloydCentroids(el, 3)
       val lists = graft.operators.Materialize.truncate(assignTo(el, cent))
       val pr = el.filter(col("vec_id") === 0)

@@ -100,6 +100,13 @@ object TextOps {
     * invisible at round(·,4). Shared by q97 and q126's perplexity
     * bucketing. */
   private def bigramLogProb(s: SparkSession, d: String): DataFrame = {
+    // NOT widened (r15 measurement): the three consumers (bigram
+    // stream, model counts, scoring join) column-prune this head
+    // differently, so a spread exchange is NOT reused across them —
+    // the scan + tokenize + token-array shuffle ran once per consumer
+    // and q97 went 1.5 → 3.9 s at sf0.1/local[32]. The single-task
+    // explode passes are the cheaper evil here; at scale the scan has
+    // real splits and the question is moot.
     val bg = bigramsOf(docs(s, d))
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
     val uni = docs(s, d).select(explode(col("tok")).as("w"))
@@ -210,6 +217,13 @@ object TextOps {
       .select(explode(expr(Dedup.TokExpr)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("wf"))
+    // NOT widened (r15 measurement): spreading the symbol stream to
+    // session parallelism made every per-round window stage a 32-task
+    // stage over ~10k rows/task, and the trainer's 9+ serial stages
+    // paid fixed per-task overhead that exceeded the single-task
+    // compute (q142 1.92 → 3.19 s, q143 2.99 → 3.99 s at sf0.1 —
+    // reverted; the trainer's cost is its serial round structure, not
+    // map parallelism, at fixture scale)
     var syms = graft.operators.Materialize.truncate(
       words.select(col("w"), col("wf"),
         posexplode(expr(
@@ -584,6 +598,11 @@ object TextOps {
     // jaccard >= 0.5, keep the lowest doc_id of each pair). Every stage
     // is SQL-expressible, so the whole composition has a DuckDB oracle.
     "q45_curation" -> ((s, d) => {
+      // NOT widened (r15 measurement): fd's two consumers prune this
+      // head differently (the documented right trade), so a spread
+      // exchange duplicates the text+tok shuffle under each — measured
+      // dead flat (4.46 → 4.30 s, within host noise) for +2 Exchange;
+      // the shingle side already spreads inside jaccardPairsOf
       val q = docs(s, d)
         .withColumn("nt", size(col("tok")))
         .withColumn("pr",
@@ -922,6 +941,8 @@ object TextOps {
     // Per-doc sums in DECIMAL(28,12); ranking on the rounded mean with
     // doc_id tie-break (the q34 convention).
     "q127_dsir_weights" -> ((s, d) => {
+      // NOT widened (r15): the bigramLogProb differently-pruned-
+      // consumers measurement applies verbatim (1.7 → 2.5 s widened)
       val all = docs(s, d)
       val bg = bigramsOf(all)
       val bcR = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nbr"))
@@ -1092,7 +1113,15 @@ object TextOps {
     * docs stream (the ragChunksOf precedent — map-only, so the batch
     * code IS the twin). */
   private[graft] def piiScrubbed(documents: DataFrame): DataFrame = {
-    val inj = documents.select(col("doc_id"),
+    // widen (r15): the three-detector regexp pass is evaluated TWICE
+    // over the corpus (the presentation orderBy's range-bounds sampling
+    // pass + the real pass), both previously on the single-row-group
+    // scan's one task (2 × ~0.5 s single-core of the 1.3 s wall).
+    // Streaming frames pass through widen untouched, so the builder
+    // stays the streaming twin verbatim; at scale widen no-ops and the
+    // plan is the pinned map-pass + sort.
+    val inj = graft.operators.Parallelism
+      .widen(documents, col("doc_id")).select(col("doc_id"),
       when(col("doc_id") % 5 === 0, col("text"))
         .when(col("doc_id") % 2 === 0,
           concat(piiSpan, lit(" "), col("text")))

@@ -109,10 +109,14 @@ object PlanDigests {
       "AQEShuffleRead x2 | BroadcastExchange x2 | BroadcastHashJoin x3 | Exchange x2 | Filter x3 | Generate x2 | HashAggregate x2 | Project x9 | ReusedExchange x1 | Scan ExistingRDD x3 | Sort x1",
     "q104_triangles" ->
       "AQEShuffleRead x6 | BroadcastExchange x4 | BroadcastHashJoin x4 | Exchange x5 | HashAggregate x5 | Project x7 | ReusedExchange x2 | Scan ExistingRDD x4 | Union x1",
+    // r15: +1 Exchange on both q12 twins — the conditional
+    // Parallelism.widen spread of the month-slice probe side (the
+    // heavy join+expand work ran on the single-row-group scan's one
+    // task; at scale widen no-ops and the r14 shape returns)
     "q12_range_join" ->
-      "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Exchange x3 | Filter x2 | HashAggregate x4 | Project x1 | Scan parquet x2 | Sort x1",
+      "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastNestedLoopJoin x1 | ColumnarToRow x2 | Exchange x4 | Filter x2 | HashAggregate x4 | Project x2 | Scan parquet x2 | Sort x1",
     "q12_range_join_bucketed" ->
-      "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x2 | Exchange x3 | Filter x3 | Generate x1 | HashAggregate x4 | Project x3 | Scan parquet x2 | Sort x1",
+      "AQEShuffleRead x3 | BroadcastExchange x1 | BroadcastHashJoin x1 | ColumnarToRow x2 | Exchange x4 | Filter x3 | Generate x1 | HashAggregate x4 | Project x3 | Scan parquet x2 | Sort x1",
     "q37_ngram_jaccard" ->
       "AQEShuffleRead x5 | BroadcastExchange x1 | BroadcastHashJoin x2 | ColumnarToRow x1 | Exchange x5 | Filter x3 | Generate x3 | HashAggregate x4 | ObjectHashAggregate x3 | Project x7 | ReusedExchange x2 | Scan parquet x1 | Sort x1",
     // r9: jaccardPairsOf no longer force-broadcasts the per-doc counts

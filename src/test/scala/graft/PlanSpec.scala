@@ -265,13 +265,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dhash64"), s"native dhash64 expression missing:\n$p")
   }
 
-  test("q152 pii scrub is map-only: one exchange (presentation sort)") {
+  test("q152 pii scrub is map-only: no exchange beyond the presentation " +
+      "sort and the small-file parallelism spread") {
     // the scrub's scale story is one codegen'd regexp map pass over
     // the corpus — injection, detection and redaction must not move a
-    // row until the final orderBy
+    // row until the final orderBy. r15: a conditional Parallelism
+    // .widen sits below the regexp pass, so the FIXTURE plan (single-
+    // row-group scan) shows its spread exchange too; at scale widen
+    // no-ops and the map-pass + sort shape is unchanged.
     val p = finalPlan("q152_pii_scrub")
     val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges == 1, s"expected only the orderBy exchange, got:\n$p")
+    assert(exchanges == 2,
+      s"expected the widen spread + the orderBy exchange, got:\n$p")
     // regexp_count lowers to size(regexp_extract_all(...)) — the
     // replace chain adds 3 more regexp sites, all inside one
     // WholeStageCodegen span
