@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r16: throughput collector for the local batch JVM. G1 (the JDK 17
+  // default) optimizes pause times, which a non-interactive batch
+  // engine does not care about; its concurrent marking + region
+  // management tax every allocation-heavy 32-thread stage. Measured on
+  // the 11-key regression subset at sf0.1/local[32]: -8% alone, -16%
+  // combined with the codegen-cache fix (OPTIMIZATION_r16.md §2).
+  // Cluster deployments set executor GC flags in their own
+  // spark.executor.extraJavaOptions; this line is the local-mode twin.
+  "-XX:+UseParallelGC",
 )

@@ -164,7 +164,9 @@ object GraftFunctions {
       (exprs: Seq[Expression]) =>
         DHash64(exprs.head, exprs(1), exprs(2), exprs(3))),
     ("audiofp64", classOf[AudioFp64],
-      (exprs: Seq[Expression]) => AudioFp64(exprs.head)))
+      (exprs: Seq[Expression]) => AudioFp64(exprs.head)),
+    ("dot128", classOf[Dot128],
+      (exprs: Seq[Expression]) => Dot128(exprs.head, exprs(1))))
 
   /** Idempotently register graft's native expressions on a session, so
     * `expr("cosine_sim(a, b)")` etc. resolve (SQL + DataFrame surfaces).

@@ -96,9 +96,14 @@ object Dedup {
     * reads ONLY the stratum: the keep-rule Filter must sit on the
     * documents scan feeding the PPJoin pipeline, which is what makes
     * the exact arm's cost proportional to the stratum, not the corpus. */
+  /** The q54-family keep rule behind [[stratumDocs]] — ONE definition,
+    * shared with q115's stratum-flag column so the flagged shared
+    * stream and the standalone stratum scan can never drift. */
+  private[graft] val stratumKeep =
+    expr("ascii(substring(md5(text), 1, 1)) % 5 < 3")
+
   private[graft] def stratumDocs(s: SparkSession, d: String): DataFrame =
-    withTok(Tables.load(s, d, "documents")
-      .filter(expr("ascii(substring(md5(text), 1, 1)) % 5 < 3")))
+    withTok(Tables.load(s, d, "documents").filter(stratumKeep))
 
   /** 60-bit cross-engine hash: the integer value of the first 15 hex
     * chars of md5(e), via the native Hash60 expression (graft.functions)
@@ -222,11 +227,17 @@ object Dedup {
     *    aliased expression -> per-doc counts come from shingleCounts()
     *    (an aggregation boundary) instead.
     */
-  def shingledOf(docsDf: DataFrame): DataFrame = {
+  def shingledOf(docsDf: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    // `carry` (r16): extra per-document columns to keep alongside the
+    // exploded shingles (q115 rides its stratum flag through the shared
+    // stream); the default keeps every existing call site's projection
+    // — and plan — exactly as before
     docsDf
       .withColumn("sh3", expr("shingles3(tok)"))
-      .select(col("doc_id"), explode_outer(col("sh3")).as("sh"))
+      .select(col("doc_id") +: carry.map(col) :+
+        explode_outer(col("sh3")).as("sh"): _*)
       .filter(col("sh").isNotNull)
   }
 
@@ -556,6 +567,18 @@ object Dedup {
         graft.operators.Parallelism.widen(docsDf, col("doc_id")))
       .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
       .repartition(nPart, col("shk"))
+    docsetsFromKeyed(s, sh)
+  }
+
+  /** The df-rank + per-doc-array half of [[docsetsOf]] over an
+    * already-keyed (doc_id, shk) stream — split out (r16) so q115 can
+    * build BOTH its exact arms' docsets (full-corpus df universe and
+    * stratum-local df universe) from one shared, materialized shingle
+    * stream. Document frequencies are computed over exactly the rows
+    * passed in, so a stratum-filtered input yields the same docsets as
+    * shingling the stratum from scratch (shingling is per-document). */
+  private def docsetsFromKeyed(s: SparkSession, sh: DataFrame): DataFrame = {
+    val nPart = s.sessionState.conf.numShufflePartitions
     val dfreq = sh.groupBy("shk").agg(count(lit(1)).as("df"))
     graft.operators.Materialize.truncate(
       sh.join(dfreq, Seq("shk"))
@@ -573,8 +596,16 @@ object Dedup {
     * plan-shape story). Returns (a_id, b_id, inter, jac), a_id < b_id,
     * unordered. */
   def exactJaccardPairsOf(s: SparkSession, docsDf: DataFrame,
+      t: Double): DataFrame =
+    exactJaccardPairsFromDocsets(docsetsOf(s, docsDf), t)
+
+  /** The pair half of [[exactJaccardPairsOf]] over an
+    * already-materialized docsets table — split out (r16) so q115's two
+    * exact arms can derive their docsets from ONE shared shingle stream
+    * instead of each re-running the scan → tokenize → shingle → hash
+    * pipeline (see the q115 entry). */
+  private def exactJaccardPairsFromDocsets(docsets: DataFrame,
       t: Double): DataFrame = {
-    val docsets = docsetsOf(s, docsDf)
     // both candidate sides explode the CHECKPOINTED docsets —
     // deriving them from `sh` would re-run the scan -> shingle ->
     // hash pipeline again (the checkpoint barrier splits the plan,
@@ -896,14 +927,44 @@ object Dedup {
       // pipelines — the PPJoin verifies and the band self-join — run
       // exactly once. Near-dup-sized state, a rounding error next to
       // the shingle streams behind it.
+      //
+      // r16: the two exact arms derive their docsets from ONE shared,
+      // materialized shingle stream carrying the stratum flag — the
+      // full arm and the stratum arm previously each re-ran the whole
+      // scan → tokenize → shingles3 → xxhash64 pipeline (DiagStages:
+      // the two heaviest stage groups of the query, near-duplicates of
+      // each other). Shingling is per-document and each arm's df
+      // aggregate runs over exactly its own row universe (stratum df
+      // over stratum rows), so both docsets tables are bit-identical
+      // to the re-shingled forms (docsetsFromKeyed's contract) and the
+      // pair sets — and the oracle hashes — are unchanged. Scale
+      // shape: strictly better at 100 TB too — GIVEN the full exact
+      // arm already pays the corpus shingle pass, the stratum arm now
+      // rides it for one filtered df-aggregate instead of a second
+      // corpus scan. (The production stratum-ONLY deployment — where
+      // no full arm exists to share with — remains the standalone
+      // exactJaccardPairsOf(stratumDocs(..)) composition, whose
+      // stratum-proportional scan PlanSpec still pins.)
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val shF = graft.operators.Materialize.truncate(
+        shingledOf(graft.operators.Parallelism.widen(
+            docs(s, d).withColumn("strat", stratumKeep), col("doc_id"))
+            .select(col("doc_id"), col("strat"), col("tok")),
+          carry = Seq("strat"))
+          .select(col("doc_id"), col("strat"),
+            xxhash64(col("sh")).as("shk"))
+          .repartition(nPart, col("shk")))
       val ex = graft.operators.Materialize.truncate(
-        exactJaccardPairsOf(s, docs(s, d), 0.5)
+        exactJaccardPairsFromDocsets(
+          docsetsFromKeyed(s, shF.select("doc_id", "shk")), 0.5)
           .select("a_id", "b_id"))
       val lsh = graft.operators.Materialize.truncate(
         bandPairsOf(signaturesOf(docs(s, d)))
           .select("a_id", "b_id"))
       val exS = graft.operators.Materialize.truncate(
-        exactJaccardPairsOf(s, stratumDocs(s, d), 0.5)
+        exactJaccardPairsFromDocsets(
+          docsetsFromKeyed(s,
+            shF.filter(col("strat")).select("doc_id", "shk")), 0.5)
           .select("a_id", "b_id"))
       val hit = lsh.join(ex, Seq("a_id", "b_id"), "left_semi")
       // exS ⊆ stratum×stratum by construction, so this semi-join is

@@ -110,13 +110,43 @@ object Similarity {
         .as("d2"))
   }
 
-  /** Micro-unit long format (vec_id, pos, vi): the exact-BIGINT
-    * quantization every Lloyd consumer shares. */
-  private def microEl(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos"),
-        expr("cast(floor(cast(col as double) * 1000000 + 0.5) as bigint)")
-          .as("vi"))
+  /** Micro-unit ARRAY format (vec_id, varr): the exact-BIGINT
+    * quantization every Lloyd consumer shares — vi = floor(v·1e6 + 0.5)
+    * per element (bit-identical to the pre-r16 long form's
+    * posexplode+cast: transform applies the same expression), kept as
+    * one array row per vector. This is the ASSIGNMENT-side
+    * representation (r16):
+    * ranking a vector against k broadcast centroids is a per-vector
+    * decision, so it wants the whole vector in one row — the long
+    * format exists for the centroid RECOMPUTE, whose (c_id, pos) sums
+    * genuinely aggregate across vectors, and is derived from this
+    * array form map-side ([[longOf]]) wherever both are needed. */
+  private def microArr(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), expr(
+      """transform(embedding,
+           v -> cast(floor(cast(v as double) * 1000000 + 0.5) as bigint))""")
+      .as("varr"))
+
+  /** The micro-unit LONG format (vec_id, pos, vi), derived map-side
+    * from a (vec_id, varr) array frame — posexplode of an
+    * already-quantized array, so checkpointing the array form once
+    * serves both representations without a second scan or shuffle.
+    * Used where the work genuinely aggregates ACROSS vectors (the
+    * (c_id, pos) centroid recompute); assignment stays on the array
+    * form. */
+  private def longOf(ev: DataFrame): DataFrame =
+    ev.select(col("vec_id"), posexplode(col("varr")))
+      .select(col("vec_id"), col("pos"), col("col").as("vi"))
+
+  /** Broadcastable array form of a centroid SUM table: (c_id, sarr)
+    * with sarr[p] = si at pos p (positions are dense 0..dims-1 by
+    * construction — posexplode emits every index, and a (c_id, pos)
+    * sum over members preserves exactly that index set). k rows. */
+  private def centArrOf(cent: DataFrame): DataFrame =
+    cent.groupBy("c_id")
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(pos, si))), x -> x.si)")
+        .as("sarr"))
 
   /** Exact squared norms of the centroid sum vectors; an (impossible in
     * practice, but guarded identically in the oracle) all-zero sum
@@ -127,17 +157,37 @@ object Similarity {
         .as("cn2"))
       .filter(col("cn2") > 0)
 
-  /** One exact assignment pass: every el vector to its nearest centroid
-    * by the scale-invariant ranking r = sign(dot)·dot²/cn2. Argmax per
-    * vector via max(struct(r, -c_id)) — the q17 trick: identical
-    * semantics to a (r DESC, c_id ASC) ranking window (ties on the
-    * exact double r break to the LOWEST c_id) but it fuses into the
-    * aggregate chain with no per-round sort. Centroids broadcast —
-    * the corpus never shuffles for them. */
-  private def assignTo(el: DataFrame, cent: DataFrame): DataFrame =
-    el.join(broadcast(cent), Seq("pos"))
-      .groupBy("vec_id", "c_id")
-      .agg(sum(expr("cast(vi as decimal(38,0)) * si")).as("dot"))
+  /** One exact assignment pass: every vector (array form, [[microArr]])
+    * to its nearest centroid by the scale-invariant ranking
+    * r = sign(dot)·dot²/cn2. Argmax per vector via max(struct(r,
+    * -c_id)) — the q17 trick: identical semantics to a (r DESC, c_id
+    * ASC) ranking window (ties on the exact double r break to the
+    * LOWEST c_id) but it fuses into the aggregate chain with no
+    * per-round sort.
+    *
+    * r16: the dot is ONE fused native pass per (vector, centroid) pair
+    * — dot128(varr, sarr), the exact int128 twin of the former
+    * relational form (explode to (pos, vi), k-way broadcast-join fanout
+    * on pos, sum(cast(vi as decimal(38,0)) * si) per pair in a hash
+    * aggregate). Bit-identical dots by construction (graft.functions.
+    * Dot128's scaladoc carries the per-case parity argument; the
+    * nv-guard below reproduces the join's empty-vector absence), but
+    * the per-round corpus·k-row exchange-to-aggregate machinery — the
+    * heaviest stages of every Lloyd consumer, and mostly DECIMAL buffer
+    * churn — collapses into a map pass over |corpus| rows. Map-side
+    * assignment against a broadcast codebook is also the production IVF
+    * shape at any scale: the corpus never shuffles to be assigned.
+    * Centroids broadcast (k·dims rows, domain-bounded). */
+  private def assignTo(ev: DataFrame, cent: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(ev.sparkSession)
+    ev.crossJoin(broadcast(centArrOf(cent)))
+      .select(col("vec_id"), col("c_id"),
+        expr("dot128(varr, sarr)").as("dot"), size(col("varr")).as("nv"))
+      // dot IS NULL with nv = 0 ⟺ the relational join on pos produced
+      // no (vec, centroid) row at all (empty vector) — drop, matching
+      // the group's absence. dot IS NULL with nv > 0 (all-NULL
+      // elements) kept: the relational sum yielded a NULL dot row.
+      .filter(col("dot").isNotNull || col("nv") > 0)
       .join(broadcast(centNorms(cent)), Seq("c_id"))
       .withColumn("r", expr(
         """(case when dot >= 0 then 1.0d else -1.0d end)
@@ -146,6 +196,7 @@ object Similarity {
       .groupBy("vec_id")
       .agg(max(struct(col("r"), (-col("c_id")).as("nc"))).as("m"))
       .select(col("vec_id"), (-col("m.nc")).as("c_id"))
+  }
 
   /** q50's Lloyd loop (k = 16 seeded from the first 16 vectors):
     * `iters` assign/recompute rounds over a micro-unit long format,
@@ -184,21 +235,28 @@ object Similarity {
     // stream inherits the scan's partition count, and a single-row-
     // group fixture file plans as ONE partition — localCheckpoint
     // PRESERVES that layout, so every downstream Lloyd round (the
-    // broadcast join + the two aggregates, the heaviest stages of the
-    // whole query) ran serially on one core however many the session
-    // had. Hash(vec_id) is the one partitioning every consumer wants:
-    // it satisfies the (vec_id, c_id) partial agg and the per-vector
-    // argmax without further exchanges. At scale the scan has
-    // thousands of splits and widen is a no-op. Measured (sf0.1,
-    // local[32]): q50 3.9 s → see OPTIMIZATION_r15.md.
-    val el = graft.operators.Materialize.truncate(
-      graft.operators.Parallelism.widen(microEl(emb(s, d)), col("vec_id")))
+    // heaviest stages of the whole query) ran serially on one core
+    // however many the session had. Hash(vec_id) is the one
+    // partitioning every consumer wants: it satisfies the (c_id, pos)
+    // recompute's input spread and the per-vector argmax without
+    // further exchanges. At scale the scan has thousands of splits and
+    // widen is a no-op. Measured (sf0.1, local[32]): q50 3.9 s → see
+    // OPTIMIZATION_r15.md.
+    //
+    // r16: the checkpoint holds the ARRAY form (one row per vector) —
+    // assignment consumes it directly (assignTo's fused dot128 pass)
+    // and the recompute derives the (vec_id, pos, vi) long rows
+    // map-side (longOf), so one materialization serves both without
+    // the explode ever being re-planned from the scan.
+    val ev = graft.operators.Materialize.truncate(
+      graft.operators.Parallelism.widen(microArr(emb(s, d)), col("vec_id")))
+    val el = longOf(ev)
     var cent = graft.operators.Materialize.truncate(
       el.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("pos"), col("vi").as("si")))
-    var asg: DataFrame = el.sparkSession.emptyDataFrame
+    var asg: DataFrame = ev.sparkSession.emptyDataFrame
     for (i <- 1 to iters) {
-      asg = assignTo(el, cent)
+      asg = assignTo(ev, cent)
       // the final round's recomputed centroids have no consumer — an
       // eager materialization there would be a pure waste job
       if (i < iters) cent = graft.operators.Materialize.truncate(
@@ -225,31 +283,34 @@ object Similarity {
        NOT IN ('c', 'd', 'e', 'f')""")
 
   /** q139's TRAINING input before materialization — the sampled
-    * micro-unit long format. Exposed so PlanSpec can assert the
-    * sample filter sits on the training scan (the materialized query
-    * hides training behind its checkpoints). */
+    * micro-unit ARRAY format ([[microArr]]; the long rows derive from
+    * it map-side where the recompute needs them). Exposed so PlanSpec
+    * can assert the sample filter sits on the training scan (the
+    * materialized query hides training behind its checkpoints). */
   private[graft] def sampledTrainingInput(s: SparkSession,
       d: String): DataFrame =
-    microEl(emb(s, d).select(col("vec_id"), col("embedding"))
+    microArr(emb(s, d).select(col("vec_id"), col("embedding"))
       .filter(sampleKeep))
 
   /** iters full Lloyd rounds (assign + recompute, INCLUDING the final
-    * recompute) over an already-materialized micro-unit `el`, seeded
-    * from its 16 lowest vec_ids; returns the final centroid SUM-vector
-    * table (k·dims rows, materialized). This is the TRAINING half used
-    * when training input ≠ assignment input (q139 trains on a sample,
-    * q140 routes probes against the final codebook): unlike
-    * lloydAssignments, the post-final-assignment centroids DO have
-    * consumers here, so the extra recompute is paid deliberately. */
-  private[graft] def lloydCentroids(el: DataFrame, iters: Int): DataFrame = {
-    val seeds = el.select("vec_id").distinct()
+    * recompute) over an already-materialized micro-unit array frame
+    * `ev`, seeded from its 16 lowest vec_ids; returns the final
+    * centroid SUM-vector table (k·dims rows, materialized). This is
+    * the TRAINING half used when training input ≠ assignment input
+    * (q139 trains on a sample, q140 routes probes against the final
+    * codebook): unlike lloydAssignments, the post-final-assignment
+    * centroids DO have consumers here, so the extra recompute is paid
+    * deliberately. */
+  private[graft] def lloydCentroids(ev: DataFrame, iters: Int): DataFrame = {
+    val el = longOf(ev)
+    val seeds = ev.select("vec_id").distinct()
       .orderBy("vec_id").limit(16)
       .select(col("vec_id").as("c_id"))
     var cent = graft.operators.Materialize.truncate(
       el.join(broadcast(seeds), col("vec_id") === col("c_id"))
         .select(col("c_id"), col("pos"), col("vi").as("si")))
     for (_ <- 1 to iters) {
-      val asg = assignTo(el, cent)
+      val asg = assignTo(ev, cent)
       cent = graft.operators.Materialize.truncate(
         el.join(asg, Seq("vec_id"))
           .groupBy("c_id", "pos").agg(sum("vi").as("si")))
@@ -755,13 +816,13 @@ object Similarity {
       // both micro-unit streams widen before their checkpoints (the
       // lloydAssignments rationale: a single-row-group scan pins every
       // training/assignment round to one core otherwise)
-      val elS = graft.operators.Materialize.truncate(
+      val evS = graft.operators.Materialize.truncate(
         graft.operators.Parallelism.widen(
           sampledTrainingInput(s, d), col("vec_id")))
-      val cent = lloydCentroids(elS, 3)
-      val el = graft.operators.Materialize.truncate(
-        graft.operators.Parallelism.widen(microEl(e), col("vec_id")))
-      val lists = graft.operators.Materialize.truncate(assignTo(el, cent))
+      val cent = lloydCentroids(evS, 3)
+      val ev = graft.operators.Materialize.truncate(
+        graft.operators.Parallelism.widen(microArr(e), col("vec_id")))
+      val lists = graft.operators.Materialize.truncate(assignTo(ev, cent))
       val bestC = lists.filter(col("vec_id") === 0).select("c_id")
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("pe"))
@@ -769,7 +830,7 @@ object Similarity {
         .join(broadcast(bestC), Seq("c_id"))
         .filter(col("vec_id") =!= 0)
       val scanned = cand.agg(count(lit(1)).as("n_scanned"))
-      val ntrain = elS.select("vec_id").distinct()
+      val ntrain = evS.select("vec_id").distinct()
         .agg(count(lit(1)).as("n_train"))
       val top = cand.crossJoin(broadcast(probe))
         .select(col("vec_id"), round(cosine("embedding", "pe"), 4).as("sim"))
@@ -799,14 +860,16 @@ object Similarity {
     "q140_multiprobe_learned" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
       // widen before the checkpoint (the lloydAssignments rationale)
-      val el = graft.operators.Materialize.truncate(
-        graft.operators.Parallelism.widen(microEl(e), col("vec_id")))
-      val cent = lloydCentroids(el, 3)
-      val lists = graft.operators.Materialize.truncate(assignTo(el, cent))
-      val pr = el.filter(col("vec_id") === 0)
-        .join(broadcast(cent), Seq("pos"))
-        .groupBy("c_id")
-        .agg(sum(expr("cast(vi as decimal(38,0)) * si")).as("dot"))
+      val ev = graft.operators.Materialize.truncate(
+        graft.operators.Parallelism.widen(microArr(e), col("vec_id")))
+      val cent = lloydCentroids(ev, 3)
+      val lists = graft.operators.Materialize.truncate(assignTo(ev, cent))
+      // probe ranking = the assignment's fused dot128 against the same
+      // broadcast codebook (r16, same rewrite as assignTo — one row per
+      // (probe, centroid) instead of the k·dims join fanout)
+      val pr = ev.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(centArrOf(cent)))
+        .select(col("c_id"), expr("dot128(varr, sarr)").as("dot"))
         .join(broadcast(centNorms(cent)), Seq("c_id"))
         .withColumn("r", expr(
           """(case when dot >= 0 then 1.0d else -1.0d end)

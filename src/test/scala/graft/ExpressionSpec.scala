@@ -318,9 +318,12 @@ class ExpressionSpec extends SparkSpec {
           "sorted_intersect_count(xs, ys) AS c9",
           "size(jl_project(a, 4)) AS c10",
           "dhash64(img, 9, 8, 1) AS c11",
-          "audiofp64(smp) AS c12")
+          "audiofp64(smp) AS c12",
+          "dot128(xs, ys) AS c13")
         .collect().head
       assert(!row.anyNull && row.getAs[Long]("c9") == 2L) // {4, 9}
+      // 1·4 + 4·9 + 9·12 = 148, exact
+      assert(row.getAs[java.math.BigDecimal]("c13").longValueExact == 148L)
       assert(row.getAs[Int]("c6") == 2 && row.getAs[Int]("c8") == 3)
       assert(row.getAs[Int]("c10") == 4)
       // increasing 9x8 rows -> all 64 gradient bits (ImagePipelineSpec's
@@ -374,7 +377,8 @@ class ExpressionSpec extends SparkSpec {
           "jl_project(a, 4) AS c10",
           "cosine_sim(jl_project(a, 4), jl_project(b, 4)) AS c11",
           "dhash64(img, 9, 8, 1) AS c12",
-          "audiofp64(smp) AS c13")
+          "audiofp64(smp) AS c13",
+          "dot128(xs, ys) AS c14")
         .collect().head
     }
     try {
@@ -392,6 +396,80 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("dot128: bit-identical to the relational decimal-sum formulation " +
+      "on real embeddings (the Lloyd assignment parity claim)") {
+    // the EXACT shape dot128 replaced (r16): explode to (pos, vi) rows,
+    // broadcast-join centroids on pos, sum(cast(vi as decimal(38,0)) *
+    // si) per (vector, centroid). Any divergence here means the Lloyd
+    // assignments — and every IVF query's oracle hash — drift.
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val el = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        expr("cast(floor(cast(col as double) * 1000000 + 0.5) as bigint)")
+          .as("vi"))
+    val ev = e.select(col("vec_id"), expr(
+      """transform(embedding,
+           v -> cast(floor(cast(v as double) * 1000000 + 0.5) as bigint))""")
+      .as("varr"))
+    val cent = el.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("pos"), col("vi").as("si"))
+    val centArr = cent.groupBy("c_id")
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(pos, si))), x -> x.si)")
+        .as("sarr"))
+    val legacy = el.join(broadcast(cent), Seq("pos"))
+      .groupBy("vec_id", "c_id")
+      .agg(sum(expr("cast(vi as decimal(38,0)) * si")).as("dot"))
+    val fused = ev.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("c_id"),
+        expr("dot128(varr, sarr)").as("dot2"))
+      .filter(col("dot2").isNotNull || size(col("varr")) > 0)
+    val bad = legacy.join(fused, Seq("vec_id", "c_id"), "full")
+      .filter(not(col("dot") <=> col("dot2")))
+    assert(bad.isEmpty, s"dot mismatch rows:\n${bad.take(3).mkString("\n")}")
+  }
+
+  test("dot128: null/empty semantics, range check, length mismatch") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    def one(sql: String): org.apache.spark.sql.Row =
+      spark.sql(s"SELECT $sql AS v").collect().head
+    // empty arrays -> NULL (the relational group never existed)
+    assert(one("dot128(cast(array() as array<bigint>), " +
+      "cast(array() as array<bigint>))").isNullAt(0))
+    // a NULL element pair contributes nothing; all-NULL -> NULL
+    assert(one(
+      "dot128(array(2L, cast(null as bigint)), array(3L, 5L))")
+      .getDecimal(0).longValueExact == 6L)
+    assert(one(
+      "dot128(array(cast(null as bigint)), array(3L))").isNullAt(0))
+    // NULL array -> NULL (null-intolerant)
+    assert(one("dot128(cast(null as array<bigint>), array(1L))").isNullAt(0))
+    // exact above-Long magnitudes round-trip (6 x 1.6e37 = 9.6e37 fits)
+    assert(one(
+      """dot128(array_repeat(4000000000000000000L, 6),
+               array_repeat(4000000000000000000L, 6))""")
+      .getDecimal(0).toBigInteger ==
+      new java.math.BigInteger("4000000000000000000").pow(2)
+        .multiply(java.math.BigInteger.valueOf(6)))
+    // 7 x 1.6e37 = 1.12e38 >= 10^38: out of DECIMAL(38,0) range, throws
+    // (exactly where the relational decimal sum's ANSI check throws)
+    val over = intercept[Exception] {
+      one("""dot128(array_repeat(4000000000000000000L, 7),
+                    array_repeat(4000000000000000000L, 7))""")
+    }
+    assert(over.getMessage != null)
+    // length mismatch is corrupted input: loud failure (cosine_sim rule)
+    val mm = intercept[Exception] {
+      one("dot128(array(1L, 2L), array(1L))")
+    }
+    assert(mm.getMessage.contains("length mismatch") ||
+      mm.getCause != null)
+  }
+
   test("GraftExtensions installs into SparkSessionExtensions") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)  // must register without throwing
@@ -400,7 +478,8 @@ class ExpressionSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1).toSet == Set("cosine_sim",
       "simhash64", "simhash_md5", "hash60", "mix61", "shingles3",
       "minhash_bands", "pair_combos", "bloom_might_contain",
-      "sorted_intersect_count", "jl_project", "dhash64", "audiofp64"))
+      "sorted_intersect_count", "jl_project", "dhash64", "audiofp64",
+      "dot128"))
   }
 
   test("sorted_intersect_count: equals size(array_intersect) on sorted sets") {

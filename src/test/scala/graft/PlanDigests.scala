@@ -66,9 +66,15 @@ object PlanDigests {
       "AQEShuffleRead x1 | BroadcastExchange x7 | BroadcastHashJoin x5 | BroadcastNestedLoopJoin x4 | ColumnarToRow x4 | Exchange x3 | Filter x7 | HashAggregate x8 | Project x11 | ReusedExchange x2 | Scan ExistingRDD x4 | Scan parquet x4 | TakeOrderedAndProject x2",
     // r10: multi-probe over the learned codebook — same checkpointed
     // training, plus the probe's 16-row centroid ranking (one extra
-    // TakeOrdered) and the 2-list candidate join
+    // TakeOrdered) and the 2-list candidate join.
+    // r16: the probe ranking runs the fused dot128 pass like the
+    // assignment rewrite (OPTIMIZATION_r16.md): the k·dims pos-join +
+    // decimal-sum HashAggregate became a 16-row codebook BNLJ cross
+    // (+1 BNLJ, -1 BroadcastHashJoin, -2 HashAggregate) over the
+    // collect_list codebook arrays (+2 ObjectHashAggregate — the
+    // partial/final pair of centArrOf, k-bounded rows)
     "q140_multiprobe_learned" ->
-      "AQEShuffleRead x2 | BroadcastExchange x8 | BroadcastHashJoin x7 | BroadcastNestedLoopJoin x3 | ColumnarToRow x4 | Exchange x3 | Filter x10 | HashAggregate x8 | Project x13 | ReusedExchange x2 | Scan ExistingRDD x5 | Scan parquet x4 | TakeOrderedAndProject x3",
+      "AQEShuffleRead x2 | BroadcastExchange x8 | BroadcastHashJoin x6 | BroadcastNestedLoopJoin x4 | ColumnarToRow x4 | Exchange x3 | Filter x10 | HashAggregate x6 | ObjectHashAggregate x2 | Project x13 | ReusedExchange x2 | Scan ExistingRDD x5 | Scan parquet x4 | TakeOrderedAndProject x3",
     // r11: BPE merge training — the 3 merge rounds hide behind the
     // per-round Materialize checkpoints (q50 pattern); the visible
     // tail is the 3-row merge report: each round's 1-row best-pair
